@@ -1,0 +1,125 @@
+"""PLAIN_DICTIONARY / RLE_DICTIONARY.
+
+Reference: /root/reference/parquet-column/.../values/dictionary/DictionaryValuesWriter.java
+ - ids assigned in first-seen (insertion) order via fastutil LinkedOpenHashMaps
+   (:229-250 Binary, :341-410 long, :487-557 int, :412-485 double-as-raw-bits —
+   NaN bit patterns preserved by dictionary-encoding the *raw bits*, :428);
+ - data page = 1-byte bitWidth header + RLE/bit-packed-hybrid of int ids
+   (getBytes() :153-180, bitWidth = getWidthFromMaxInt(maxId) :156);
+ - dictionary page = PLAIN-encoded uniques (toDictPageAndClose() :253-268).
+
+Our dictionary build is one vectorized call: ``pd.factorize`` returns codes +
+uniques in first-seen order (same order a streaming hash map would assign).
+Floats are factorized on their raw bit patterns (uint32/uint64 views) so NaN
+payloads and -0.0 survive bit-identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .bitpack import width_for_max
+from .plain import (
+    decode_plain_bytes,
+    decode_plain_numeric,
+    encode_plain_bytes,
+    encode_plain_numeric,
+)
+from .ragged import RaggedBytes
+from .rle import decode_hybrid, encode_hybrid
+
+# ---------------------------------------------------------------- build
+
+
+def factorize_numeric(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """codes:int64, uniques:same-dtype-as-input, first-seen order.
+    float32/float64 are factorized via raw-bit views (NaN-preserving)."""
+    kind = values.dtype.kind
+    if kind == "f":
+        bits = values.view(np.uint32 if values.dtype == np.float32 else np.uint64)
+        codes, uniq_bits = pd.factorize(bits, use_na_sentinel=False)
+        return codes.astype(np.int64), np.asarray(uniq_bits).view(values.dtype)
+    codes, uniques = pd.factorize(values, use_na_sentinel=False)
+    return codes.astype(np.int64), np.asarray(uniques).astype(values.dtype, copy=False)
+
+
+def factorize_bytes(col: RaggedBytes) -> tuple[np.ndarray, RaggedBytes]:
+    """First-seen factorize of a ragged byte column without materializing
+    Python objects per row when avoidable: short values (<=8 bytes) are packed
+    into uint64 keys and factorized numerically; longer values fall back to a
+    pandas object factorize (still one vectorized call)."""
+    n = len(col)
+    if n == 0:
+        return np.zeros(0, np.int64), col
+    lens = col.lengths
+    max_len = int(lens.max()) if n else 0
+    if max_len <= 7:
+        # collision-free u64 key: 7 value bytes + 1 length byte (length
+        # disambiguates trailing NULs, e.g. b"a" vs b"a\x00")
+        padded = np.zeros((n, 8), dtype=np.uint8)
+        pos = np.repeat(np.arange(n, dtype=np.int64) * 8 - col.offsets[:-1], lens) + np.arange(
+            int(lens.sum()), dtype=np.int64
+        )
+        padded.reshape(-1)[pos] = col.data
+        padded[:, 7] = lens
+        keys = padded.view(np.uint64).reshape(n)
+        codes, uniq_idx = _factorize_first_index(keys)
+        return codes, col.take(uniq_idx)
+    obj = pd.Series(col.to_pylist(), dtype=object)
+    codes, uniques = pd.factorize(obj, use_na_sentinel=False)
+    return codes.astype(np.int64), RaggedBytes.from_pylist(list(uniques))
+
+
+def _factorize_first_index(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """factorize returning (codes, index-of-first-occurrence) in first-seen order."""
+    codes, _ = pd.factorize(keys, use_na_sentinel=False)
+    codes = codes.astype(np.int64)
+    nuniq = int(codes.max()) + 1 if len(codes) else 0
+    first = np.zeros(nuniq, dtype=np.int64)
+    # reverse scatter: positions written later are overwritten by earlier ones
+    first[codes[::-1]] = np.arange(len(codes) - 1, -1, -1, dtype=np.int64)
+    return codes, first
+
+
+# ---------------------------------------------------------------- pages
+
+
+def encode_dict_data_page(codes: np.ndarray, max_id: int) -> bytes:
+    """1-byte bitWidth + RLE-hybrid of ids (DictionaryValuesWriter.getBytes :153-180)."""
+    width = width_for_max(max_id)
+    return bytes([width]) + encode_hybrid(codes.astype(np.uint64), width)
+
+
+def decode_dict_data_page(buf, count: int) -> np.ndarray:
+    width = buf[0]
+    return decode_hybrid(memoryview(buf)[1:], width, count).astype(np.int64)
+
+
+def encode_dict_page_numeric(uniques: np.ndarray) -> bytes:
+    return encode_plain_numeric(uniques)
+
+
+def decode_dict_page_numeric(buf, dtype, count: int) -> np.ndarray:
+    return decode_plain_numeric(buf, dtype, count)
+
+
+def encode_dict_page_bytes(uniques: RaggedBytes) -> bytes:
+    return encode_plain_bytes(uniques)
+
+
+def decode_dict_page_bytes(buf, count: int) -> RaggedBytes:
+    return decode_plain_bytes(buf, count)
+
+
+# ---------------------------------------------------------------- size model
+
+
+def dict_encoded_size(n: int, n_unique: int, dict_bytes: int) -> int:
+    """Estimated total (dict page + data page) for the fallback decision —
+    mirrors FallbackValuesWriter.isCompressionSatisfying
+    (/root/reference/.../values/fallback/FallbackValuesWriter.java:81-92)."""
+    width = width_for_max(max(n_unique - 1, 0))
+    # hybrid worst case: all bit-packed + ~1 header byte per 504 values
+    data = 1 + (n * width + 7) // 8 + max(1, n // 504) * 2
+    return dict_bytes + data

@@ -1,0 +1,93 @@
+"""Ragged byte-array columns as (offsets:int64[n+1], data:uint8[total]).
+
+This is exactly Arrow's variable-binary layout, which is also what
+DELTA_LENGTH_BYTE_ARRAY stores (lengths + concatenated bytes) — see
+/root/reference/parquet-column/.../deltalengthbytearray/DeltaLengthByteArrayValuesWriter.java:43-70.
+Keeping columns in this layout means string kernels never touch Python objects.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class RaggedBytes:
+    """Immutable ragged byte-string column."""
+
+    __slots__ = ("offsets", "data")
+
+    def __init__(self, offsets: np.ndarray, data: np.ndarray):
+        self.offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+        self.data = np.ascontiguousarray(data, dtype=np.uint8)
+
+    def __len__(self) -> int:
+        return len(self.offsets) - 1
+
+    @property
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+    def __getitem__(self, i: int) -> bytes:
+        return self.data[self.offsets[i] : self.offsets[i + 1]].tobytes()
+
+    def to_pylist(self) -> list[bytes]:
+        o = self.offsets
+        d = self.data
+        return [d[o[i] : o[i + 1]].tobytes() for i in range(len(self))]
+
+    def __eq__(self, other) -> bool:  # bit-identical comparison
+        return (
+            isinstance(other, RaggedBytes)
+            and np.array_equal(self.offsets, other.offsets)
+            and np.array_equal(self.data, other.data)
+        )
+
+    @staticmethod
+    def from_pylist(values) -> "RaggedBytes":
+        n = len(values)
+        lens = np.fromiter((len(v) for v in values), dtype=np.int64, count=n)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        data = np.frombuffer(b"".join(values), dtype=np.uint8) if n else np.zeros(0, np.uint8)
+        return RaggedBytes(offsets, data)
+
+    @staticmethod
+    def from_arrow(arr) -> "RaggedBytes":
+        """Zero-copy from a pyarrow String/Binary/LargeString/LargeBinary array
+        (must be null-free — nulls are stripped at the page layer)."""
+        import pyarrow as pa
+
+        if arr.null_count:
+            raise ValueError("from_arrow requires null-free input")
+        if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+            off_dtype = np.int64
+        else:
+            off_dtype = np.int32
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        buffers = arr.buffers()
+        offsets = np.frombuffer(buffers[1], dtype=off_dtype, count=len(arr) + 1, offset=arr.offset * np.dtype(off_dtype).itemsize)
+        base = offsets[0]
+        data = np.frombuffer(buffers[2], dtype=np.uint8)[base : offsets[-1]] if buffers[2] is not None else np.zeros(0, np.uint8)
+        return RaggedBytes(offsets.astype(np.int64) - int(base), data)
+
+    def to_arrow(self, large: bool = False, binary: bool = False):
+        import pyarrow as pa
+
+        if large:
+            typ = pa.large_binary() if binary else pa.large_string()
+            off = pa.py_buffer(self.offsets.tobytes())
+        else:
+            typ = pa.binary() if binary else pa.string()
+            off = pa.py_buffer(self.offsets.astype(np.int32).tobytes())
+        return pa.Array.from_buffers(typ, len(self), [None, off, pa.py_buffer(self.data.tobytes())])
+
+    def take(self, indices: np.ndarray) -> "RaggedBytes":
+        """Gather rows by index, vectorized (no per-row Python)."""
+        lens = self.lengths[indices]
+        out_off = np.zeros(len(indices) + 1, dtype=np.int64)
+        np.cumsum(lens, out=out_off[1:])
+        total = int(out_off[-1])
+        # source positions: for each output row, a contiguous range starting at offsets[idx]
+        starts = self.offsets[indices]
+        pos = np.repeat(starts - out_off[:-1], lens) + np.arange(total, dtype=np.int64)
+        return RaggedBytes(out_off, self.data[pos])
