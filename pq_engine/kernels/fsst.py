@@ -1,0 +1,406 @@
+"""FSST-style string symbol-table compression.
+
+The reference (apache/parquet-java) has **no** symbol-table string codec — the
+nearest analogs are the dictionary page (symbol table stored ahead of data,
+DictionaryValuesWriter.java:253-268) and DELTA_BYTE_ARRAY prefix sharing
+(DeltaByteArrayWriter.java:38-104). The algorithm here follows the published
+design of Boncz, Freitag & Neumann, "FSST: Fast Random Access String
+Compression", PVLDB 13(9), 2020: up to 255 symbols of 1..8 bytes, greedy
+longest-match encoding, escape byte 255 for uncovered bytes, table built
+bottom-up over a few generations of pair-merging on a sample.
+
+Everything is vectorized NumPy:
+
+* candidate keys: 8 shifted-OR passes build a u64 sliding-window view;
+* longest match per position: 8 ``searchsorted`` lookups (length 8 → 1);
+* the greedy parse (jump pos → pos + matchlen) is resolved with pointer
+  doubling — log2(n) vectorized gather passes instead of a per-token loop;
+* decode expands tokens with one ragged gather.
+
+Matches never cross string boundaries, so any slice of encoded strings decodes
+independently (the "random access" property of the paper).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .delta import decode_delta, encode_delta
+from .ragged import RaggedBytes
+from .varint import encode_uvarint, read_uvarint
+
+ESCAPE = 255
+MAX_SYMBOLS = 255
+MAX_SYM_LEN = 8
+
+
+# ------------------------------------------------------------------ table
+
+
+class SymbolTable:
+    __slots__ = (
+        "symbols",
+        "sym_lens",
+        "flat",
+        "flat_off",
+        "keys_by_len",
+        "codes_by_len",
+        "_lut",
+    )
+
+    def __init__(self, symbols: list[bytes]):
+        self._lut = None
+        if len(symbols) > MAX_SYMBOLS:
+            raise ValueError("too many symbols")
+        self.symbols = symbols
+        n = len(symbols)
+        self.sym_lens = np.fromiter((len(s) for s in symbols), dtype=np.int64, count=n)
+        self.flat = np.frombuffer(b"".join(symbols), dtype=np.uint8) if n else np.zeros(0, np.uint8)
+        self.flat_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(self.sym_lens, out=self.flat_off[1:])
+        # per-length sorted key tables for the encoder
+        self.keys_by_len = {}
+        self.codes_by_len = {}
+        for L in range(1, MAX_SYM_LEN + 1):
+            idx = [i for i, s in enumerate(symbols) if len(s) == L]
+            if not idx:
+                continue
+            keys = np.array(
+                [int.from_bytes(symbols[i], "little") for i in idx], dtype=np.uint64
+            )
+            order = np.argsort(keys)
+            self.keys_by_len[L] = keys[order]
+            self.codes_by_len[L] = np.array(idx, dtype=np.int64)[order]
+
+    def serialize(self) -> bytes:
+        out = bytearray([len(self.symbols)])
+        out += bytes(int(l) for l in self.sym_lens)
+        out += self.flat.tobytes()
+        return bytes(out)
+
+    def lut(self):
+        """Cached lookup tables for the fast match path (the paper's
+        shortCodes + one-symbol-per-bucket idea, vectorized):
+        - code1[256] / code2[65536]: codes for 1- and 2-byte symbols (-1 none);
+        - long symbols (3..8 bytes) are keyed by their first 3 bytes, at most
+          one per 3-byte prefix (build_table enforces this), giving a single
+          sorted-probe + verify per position instead of a pass per length."""
+        if self._lut is None:
+            code1 = np.full(256, -1, dtype=np.int16)
+            code2 = np.full(65536, -1, dtype=np.int16)
+            longs = []  # (k3, code)
+            for i, s in enumerate(self.symbols):
+                if len(s) == 1:
+                    code1[s[0]] = i
+                elif len(s) == 2:
+                    code2[s[0] | (s[1] << 8)] = i
+                else:
+                    longs.append((s[0] | (s[1] << 8) | (s[2] << 16), i))
+            if longs:
+                longs.sort()
+                k3 = np.array([k for k, _ in longs], dtype=np.uint32)
+                c3 = np.array([c for _, c in longs], dtype=np.int16)
+                l3 = self.sym_lens[c3].astype(np.uint8)
+                key3 = np.array(
+                    [int.from_bytes(self.symbols[c], "little") for c in c3],
+                    dtype=np.uint64,
+                )
+                mask3 = np.array(
+                    [(1 << (8 * int(l))) - 1 for l in l3], dtype=np.uint64
+                )
+            else:
+                k3 = np.zeros(0, np.uint32)
+                c3 = np.zeros(0, np.int16)
+                l3 = np.zeros(0, np.uint8)
+                key3 = np.zeros(0, np.uint64)
+                mask3 = np.zeros(0, np.uint64)
+            self._lut = (code1, code2, k3, c3, l3, key3, mask3)
+        return self._lut
+
+    @staticmethod
+    def deserialize(buf) -> tuple["SymbolTable", int]:
+        n = buf[0]
+        lens = list(buf[1 : 1 + n])
+        pos = 1 + n
+        symbols = []
+        for l in lens:
+            symbols.append(bytes(buf[pos : pos + l]))
+            pos += l
+        return SymbolTable(symbols), pos
+
+
+def _window_keys(data: np.ndarray) -> np.ndarray:
+    """u64 little-endian view of data[pos:pos+8] for every pos (zero-padded tail)."""
+    n = len(data)
+    padded = np.zeros(n + MAX_SYM_LEN, dtype=np.uint8)
+    padded[:n] = data
+    keys = np.zeros(n, dtype=np.uint64)
+    for k in range(MAX_SYM_LEN):
+        keys |= padded[k : k + n].astype(np.uint64) << np.uint64(8 * k)
+    return keys
+
+
+def _match(data: np.ndarray, eos_minus_pos: np.ndarray, table: SymbolTable):
+    """Longest symbol match at every position: returns (code:int64 — -1 for
+    escape, mlen:int64). ``eos_minus_pos[p]`` = bytes remaining in p's string.
+
+    Fast path: one 2-byte-LUT gather decides len-1/len-2 matches for every
+    position; only positions whose 2-byte prefix can start a longer symbol
+    (usually a small minority) run the per-length searchsorted escalation.
+    This keeps the number of full-array passes small — the machine is
+    memory-bandwidth-bound, so passes are the budget."""
+    n = len(data)
+    if n == 0:
+        return np.full(0, -1, dtype=np.int16), np.ones(0, dtype=np.int64)
+    code1, code2, k3tab, c3, l3, key3, mask3 = table.lut()
+    padded = np.zeros(n + MAX_SYM_LEN, dtype=np.uint8)
+    padded[:n] = data
+    k2 = data.astype(np.uint16)
+    k2 |= padded[1 : 1 + n].astype(np.uint16) << np.uint16(8)
+    c2 = code2[k2]
+    c1 = code1[data]
+    rem8 = np.minimum(eos_minus_pos, MAX_SYM_LEN).astype(np.uint8)
+    use2 = (c2 >= 0) & (rem8 >= 2)
+    code = np.where(use2, c2, c1)
+    mlen = np.where(use2, np.uint8(2), np.uint8(1))
+    if len(k3tab):
+        k3 = k2.astype(np.uint32)
+        k3 |= padded[2 : 2 + n].astype(np.uint32) << np.uint32(16)
+        j = np.searchsorted(k3tab, k3).astype(np.int32)
+        j[j == len(k3tab)] = 0
+        cand = np.flatnonzero((k3tab[j] == k3) & (rem8 >= 3))
+        if len(cand):
+            jj = j[cand]
+            keys = padded[cand].astype(np.uint64)
+            for k in range(1, MAX_SYM_LEN):
+                keys |= padded[cand + k].astype(np.uint64) << np.uint64(8 * k)
+            ok = ((keys & mask3[jj]) == key3[jj]) & (l3[jj] <= rem8[cand])
+            rows = cand[ok]
+            code[rows] = c3[jj[ok]]
+            mlen[rows] = l3[jj[ok]]
+    return code, mlen.astype(np.int64)
+
+
+def _orbit(step: np.ndarray, starts: np.ndarray, n: int) -> np.ndarray:
+    """Positions visited by repeatedly applying pos += step[pos] from each
+    start (pointer doubling: O(n log n) vectorized, no per-token loop)."""
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    jump = np.minimum(np.arange(n, dtype=np.int64) + step, n)
+    jump = np.append(jump, n)  # sentinel fixpoint
+    mark = np.zeros(n + 1, dtype=bool)
+    mark[starts] = True
+    mark[n] = True
+    rounds = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
+    for _ in range(rounds):
+        idx = np.flatnonzero(mark)
+        new = jump[idx]
+        if mark[new].all():
+            break
+        mark[new] = True
+        jump = jump[jump]
+    return np.flatnonzero(mark[:n])
+
+
+def _parse(step: np.ndarray, starts: np.ndarray, ends: np.ndarray, n: int) -> np.ndarray:
+    """Token start positions for a greedy parse pos += step[pos] per string.
+
+    Two strategies: with many strings, frontier "waves" advance every string
+    one token per round (total work = number of tokens, each round one small
+    gather); with few long strings, pointer doubling. Both are loop-over-
+    rounds, never loop-over-tokens-in-Python."""
+    if n == 0 or len(starts) == 0:
+        return np.zeros(0, dtype=np.int64)
+    if len(starts) < 32:
+        return _orbit(step, starts, n)
+    waves = [starts]
+    frontier = starts
+    fends = ends
+    while True:
+        nxt = frontier + step[frontier]
+        keep = nxt < fends
+        if not keep.any():
+            break
+        frontier = nxt[keep]
+        fends = fends[keep]
+        waves.append(frontier)
+    out = np.concatenate(waves)
+    out.sort()
+    return out
+
+
+def encode_fsst_tokens(col: RaggedBytes, table: SymbolTable):
+    """Tokenize a ragged column. Returns (positions, codes, string_id) where
+    codes == -1 marks escaped literal bytes."""
+    n = len(col.data)
+    lens = col.lengths
+    eos = np.repeat(col.offsets[1:], lens)  # end-of-string per byte position
+    pos_idx = np.arange(n, dtype=np.int64)
+    code, mlen = _match(col.data, eos - pos_idx, table)
+    nz = lens > 0
+    positions = _parse(mlen, col.offsets[:-1][nz], col.offsets[1:][nz], n)
+    codes = code[positions]
+    string_id = np.searchsorted(col.offsets, positions, side="right") - 1
+    return positions, codes, string_id
+
+
+def encode_fsst(col: RaggedBytes, table: SymbolTable) -> bytes:
+    """Page body: [table][uvarint n_strings][u32 len of delta(lengths)]
+    [delta-packed per-string encoded byte lengths][token stream]."""
+    nstr = len(col)
+    positions, codes, string_id = encode_fsst_tokens(col, table)
+    esc = codes < 0
+    out_len = np.where(esc, 2, 1).astype(np.int64)
+    total = int(out_len.sum())
+    stream = np.zeros(total, dtype=np.uint8)
+    out_pos = np.zeros(len(codes) + 1, dtype=np.int64)
+    np.cumsum(out_len, out=out_pos[1:])
+    stream[out_pos[:-1][~esc]] = codes[~esc]
+    if esc.any():
+        e = out_pos[:-1][esc]
+        stream[e] = ESCAPE
+        stream[e + 1] = col.data[positions[esc]]
+    # per-string encoded byte length
+    enc_lens = np.bincount(string_id, weights=out_len, minlength=nstr).astype(np.int64)
+    head = encode_delta(enc_lens.astype(np.int32) if enc_lens.max(initial=0) < 2**31 else enc_lens)
+    out = bytearray(table.serialize())
+    out += encode_uvarint(nstr)
+    out += len(head).to_bytes(4, "little")
+    out += head
+    out += stream.tobytes()
+    return bytes(out)
+
+
+def decode_fsst(buf) -> RaggedBytes:
+    table, pos = SymbolTable.deserialize(buf)
+    nstr, pos = read_uvarint(buf, pos)
+    hlen = int.from_bytes(bytes(buf[pos : pos + 4]), "little")
+    pos += 4
+    enc_lens = decode_delta(memoryview(buf)[pos : pos + hlen], np.int64)[:nstr]
+    pos += hlen
+    stream = np.frombuffer(buf, dtype=np.uint8, offset=pos)
+    enc_off = np.zeros(nstr + 1, dtype=np.int64)
+    np.cumsum(enc_lens, out=enc_off[1:])
+    n = int(enc_off[-1])
+    stream = stream[:n]
+    # token starts: step = 2 on escape bytes, 1 otherwise; same parse trick
+    step = np.where(stream == ESCAPE, 2, 1).astype(np.int64)
+    nz = enc_lens > 0
+    positions = _parse(step, enc_off[:-1][nz], enc_off[1:][nz], n)
+    toks = stream[positions]
+    esc = toks == ESCAPE
+    codes = toks.astype(np.int64)
+    out_lens = np.ones(len(toks), dtype=np.int64)
+    out_lens[~esc] = table.sym_lens[codes[~esc]]
+    out_off = np.zeros(len(toks) + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=out_off[1:])
+    total = int(out_off[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    if esc.any():
+        out[out_off[:-1][esc]] = stream[positions[esc] + 1]
+    sym_rows = np.flatnonzero(~esc)
+    if len(sym_rows):
+        s_codes = codes[sym_rows]
+        s_lens = table.sym_lens[s_codes]
+        gtotal = int(s_lens.sum())
+        gather = np.repeat(table.flat_off[s_codes] - np.cumsum(s_lens) + s_lens, s_lens) + np.arange(
+            gtotal, dtype=np.int64
+        )
+        scatter = np.repeat(out_off[:-1][sym_rows] - np.cumsum(s_lens) + s_lens, s_lens) + np.arange(
+            gtotal, dtype=np.int64
+        )
+        out[scatter] = table.flat[gather]
+    # per-string output lengths
+    tok_string = np.searchsorted(enc_off, positions, side="right") - 1
+    str_lens = np.bincount(tok_string, weights=out_lens, minlength=nstr).astype(np.int64)
+    offsets = np.zeros(nstr + 1, dtype=np.int64)
+    np.cumsum(str_lens, out=offsets[1:])
+    return RaggedBytes(offsets, out)
+
+
+# ------------------------------------------------------------------ build
+
+
+def build_table(sample: RaggedBytes, generations: int = 4, sample_cap: int = 1 << 14) -> SymbolTable:
+    """Bottom-up pair-merge construction on a byte-capped sample (the paper's
+    iterative scheme). Per generation: tokenize sample with the current table,
+    count adjacent same-string token pairs whose concatenation is <= 8 bytes,
+    gain = freq * concat_len, keep the best 255 candidates."""
+    data = sample.data
+    if len(data) > sample_cap:
+        # cap by whole strings
+        cut = int(np.searchsorted(sample.offsets, sample_cap))
+        cut = max(1, cut)
+        sample = RaggedBytes(sample.offsets[: cut + 1], data[: sample.offsets[cut]])
+        data = sample.data
+    if len(data) == 0:
+        return SymbolTable([])
+
+    # generation 0: frequent single bytes
+    freq = np.bincount(data, minlength=256)
+    order = np.argsort(freq)[::-1]
+    keep = order[freq[order] > 0][:MAX_SYMBOLS]
+    table = SymbolTable([bytes([int(b)]) for b in keep])
+
+    for _ in range(generations):
+        positions, codes, string_id = encode_fsst_tokens(sample, table)
+        ntok = len(positions)
+        if ntok < 2:
+            break
+        # token byte strings: symbol bytes or literal byte
+        tok_lens = np.ones(ntok, dtype=np.int64)
+        sym_mask = codes >= 0
+        tok_lens[sym_mask] = table.sym_lens[codes[sym_mask]]
+        # candidate singles: every token's own bytes; gain = freq * len
+        gains: dict[bytes, int] = {}
+
+        def _add(sym: bytes, g: int):
+            if 0 < len(sym) <= MAX_SYM_LEN:
+                gains[sym] = gains.get(sym, 0) + g
+
+        # count token occurrences (vectorized) then add gains per distinct token
+        tok_key = np.where(sym_mask, codes, 256 + col_literal(sample, positions, sym_mask))
+        uniq, counts = np.unique(tok_key, return_counts=True)
+        for k, c in zip(uniq.tolist(), counts.tolist()):
+            sym = table.symbols[k] if k < 256 and k < len(table.symbols) else bytes([k - 256])
+            _add(sym, int(c) * len(sym))
+        # adjacent pairs within the same string
+        same = string_id[1:] == string_id[:-1]
+        a = tok_key[:-1][same]
+        b = tok_key[1:][same]
+        pair_key = a * 1024 + b
+        puniq, pcounts = np.unique(pair_key, return_counts=True)
+        for pk, c in zip(puniq.tolist(), pcounts.tolist()):
+            ka, kb = pk // 1024, pk % 1024
+            sa = table.symbols[ka] if ka < 256 else bytes([ka - 256])
+            sb = table.symbols[kb] if kb < 256 else bytes([kb - 256])
+            _add(sa + sb, int(c) * (len(sa) + len(sb)))
+        ranked = sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))
+        # the fast matcher probes ONE long symbol per 3-byte prefix, so keep
+        # only the highest-gain 3..8-byte symbol per distinct first-3-bytes
+        chosen: list[bytes] = []
+        seen3: set[bytes] = set()
+        for s, _ in ranked:
+            if len(s) >= 3:
+                if s[:3] in seen3:
+                    continue
+                seen3.add(s[:3])
+            chosen.append(s)
+            if len(chosen) == MAX_SYMBOLS:
+                break
+        table = SymbolTable(chosen)
+    return table
+
+
+def col_literal(col: RaggedBytes, positions: np.ndarray, sym_mask: np.ndarray) -> np.ndarray:
+    """Literal byte value for escape tokens, 0 elsewhere (shape matches positions)."""
+    lit = np.zeros(len(positions), dtype=np.int64)
+    esc = ~sym_mask
+    lit[esc] = col.data[positions[esc]]
+    return lit
+
+
+def encode_fsst_auto(col: RaggedBytes, generations: int = 4) -> bytes:
+    """Build table from the column's own head sample, then encode."""
+    table = build_table(col, generations=generations)
+    return encode_fsst(col, table)
