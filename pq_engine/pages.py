@@ -1,0 +1,359 @@
+"""Page framing: slice a column batch into pages, encode each with the chosen
+codec, emit (manifest_row, blob) pairs; and the inverse.
+
+Maps the reference's write path (SURVEY.md §3.1 —
+ColumnWriterBase.write → page cut at ColumnWriteStoreBase.sizeCheck
+(/root/reference/parquet-hadoop/.../ColumnWriteStoreBase.java:224-272, page
+target 1MiB / 20k rows per ParquetProperties.java:50,62) → compress → CRC32 →
+ColumnIndexBuilder stats) onto vectorized slices of an Arrow batch:
+
+* a "page" is a fixed-row slice (PAGE_ROWS, default 20 480) of the batch,
+  additionally capped by PAGE_BYTES for blob-heavy columns;
+* validity (parquet def-levels for a flat schema ≡ Arrow validity) is stored
+  as a u32-length-prefixed RLE width-1 stream before the value body, exactly
+  the V1 level framing (RunLengthBitPackingHybridValuesWriter.java:66-73);
+* every page gets min/max/null_count/ndv + CRC32 manifest fields — the
+  lineage record of the north rule (ColumnIndexBuilder.java:67-249 semantics,
+  64-byte truncation per BinaryTruncator.java:36-104);
+* dictionaries are per-page (self-contained blobs) rather than per-chunk:
+  resume/decode then never needs cross-page state; for low-NDV columns the
+  per-page dictionary overhead is bounded by NDV·avg_len per 20k rows.
+* the PLAIN safety rail (FallbackValuesWriter.isCompressionSatisfying
+  :81-92): any codec output >= the PLAIN encoding of the same values is
+  discarded for PLAIN.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+from .kernels import bytestream, delta, deltastrings, dictionary, fsst, plain, rle
+from .kernels.ragged import RaggedBytes
+from .stats import choose_codec, numeric_stats, ragged_stats
+
+PAGE_ROWS = 20_480
+PAGE_BYTES = 1 << 20  # 1 MiB value-bytes target per page (ParquetProperties.java:50)
+STAT_TRUNC = 64  # ParquetProperties.java:59
+
+_NUMERIC = {
+    "int32": np.int32,
+    "int64": np.int64,
+    "timestamp_us": np.int64,
+    "float32": np.float32,
+    "float64": np.float64,
+}
+RAGGED_TYPES = ("string", "binary")
+
+
+# ------------------------------------------------------------------ codecs
+
+
+def _encode_values(codec: str, ptype: str, vals) -> bytes:
+    if ptype == "bool":
+        if codec == "rle":
+            return rle.encode_bool_rle(vals)
+        return plain.encode_plain_bool(vals)
+    if ptype in _NUMERIC:
+        if codec == "plain":
+            return plain.encode_plain_numeric(vals)
+        if codec == "delta":
+            return delta.encode_delta(vals)
+        if codec == "bss":
+            return bytestream.encode_bss(vals)
+        if codec == "dict":
+            codes, uniques = dictionary.factorize_numeric(vals)
+            dpage = dictionary.encode_dict_page_numeric(uniques)
+            body = dictionary.encode_dict_data_page(codes, max(len(uniques) - 1, 0))
+            return (
+                len(uniques).to_bytes(4, "little")
+                + len(dpage).to_bytes(4, "little")
+                + dpage
+                + body
+            )
+    if ptype in RAGGED_TYPES:
+        if codec == "plain":
+            return plain.encode_plain_bytes(vals)
+        if codec == "dlba":
+            return deltastrings.encode_delta_length(vals)
+        if codec == "dba":
+            return deltastrings.encode_delta_byte_array(vals)
+        if codec == "fsst":
+            return fsst.encode_fsst_auto(vals)
+        if codec == "dict":
+            codes, uniques = dictionary.factorize_bytes(vals)
+            dpage = dictionary.encode_dict_page_bytes(uniques)
+            body = dictionary.encode_dict_data_page(codes, max(len(uniques) - 1, 0))
+            return (
+                len(uniques).to_bytes(4, "little")
+                + len(dpage).to_bytes(4, "little")
+                + dpage
+                + body
+            )
+    raise ValueError(f"codec {codec!r} unsupported for ptype {ptype!r}")
+
+
+def _decode_values(codec: str, ptype: str, buf, count: int):
+    if ptype == "bool":
+        if codec == "rle":
+            return rle.decode_bool_rle(buf, count)
+        return plain.decode_plain_bool(buf, count)
+    if ptype in _NUMERIC:
+        dt = _NUMERIC[ptype]
+        if codec == "plain":
+            return plain.decode_plain_numeric(buf, dt, count)
+        if codec == "delta":
+            return delta.decode_delta(buf, dt)
+        if codec == "bss":
+            return bytestream.decode_bss(buf, dt, count)
+        if codec == "dict":
+            nuniq = int.from_bytes(bytes(buf[:4]), "little")
+            dlen = int.from_bytes(bytes(buf[4:8]), "little")
+            uniques = dictionary.decode_dict_page_numeric(buf[8 : 8 + dlen], dt, nuniq)
+            codes = dictionary.decode_dict_data_page(memoryview(buf)[8 + dlen :], count)
+            return uniques[codes]
+    if ptype in RAGGED_TYPES:
+        if codec == "plain":
+            return plain.decode_plain_bytes(buf, count)
+        if codec == "dlba":
+            return deltastrings.decode_delta_length(buf, count)
+        if codec == "dba":
+            return deltastrings.decode_delta_byte_array(buf, count)
+        if codec == "fsst":
+            return fsst.decode_fsst(buf)
+        if codec == "dict":
+            nuniq = int.from_bytes(bytes(buf[:4]), "little")
+            dlen = int.from_bytes(bytes(buf[4:8]), "little")
+            uniques = dictionary.decode_dict_page_bytes(buf[8 : 8 + dlen], nuniq)
+            codes = dictionary.decode_dict_data_page(memoryview(buf)[8 + dlen :], count)
+            return uniques.take(codes)
+    raise ValueError(f"codec {codec!r} unsupported for ptype {ptype!r}")
+
+
+# ------------------------------------------------------------------ stats
+
+
+def _truncate_min(b: bytes) -> bytes:
+    return b[:STAT_TRUNC]
+
+
+def _truncate_max(b: bytes) -> bytes:
+    """BinaryTruncator.truncateMax semantics (:75-104): truncate then
+    increment the last byte that can be incremented so the result still
+    upper-bounds the value."""
+    if len(b) <= STAT_TRUNC:
+        return b
+    t = bytearray(b[:STAT_TRUNC])
+    for i in range(len(t) - 1, -1, -1):
+        if t[i] < 0xFF:
+            t[i] += 1
+            return bytes(t[: i + 1])
+    return b  # all 0xff — cannot truncate safely
+
+def _page_stats(ptype: str, vals, null_count: int) -> dict:
+    if ptype in RAGGED_TYPES:
+        if len(vals) == 0:
+            return {"min": None, "max": None, "ndv": 0, "null_count": null_count}
+        # unsigned-lexicographic min/max (parquet BINARY comparator)
+        lst = vals.to_pylist()
+        mn, mx = min(lst), max(lst)
+        _, uniq = dictionary.factorize_bytes(vals)
+        return {
+            "min": _truncate_min(mn).decode("utf-8", "replace"),
+            "max": _truncate_max(mx).decode("utf-8", "replace"),
+            "ndv": len(uniq),
+            "null_count": null_count,
+        }
+    if len(vals) == 0:
+        return {"min": None, "max": None, "ndv": 0, "null_count": null_count}
+    if ptype == "bool":
+        return {
+            "min": str(bool(vals.min())),
+            "max": str(bool(vals.max())),
+            "ndv": int(len(np.unique(vals))),
+            "null_count": null_count,
+        }
+    if ptype in ("float32", "float64"):
+        finite = vals[~np.isnan(vals)]
+        mn = float(finite.min()) if len(finite) else None
+        mx = float(finite.max()) if len(finite) else None
+        bits = vals.view(np.uint32 if vals.dtype == np.float32 else np.uint64)
+        return {
+            "min": repr(mn),
+            "max": repr(mx),
+            "ndv": int(len(np.unique(bits))),
+            "null_count": null_count,
+        }
+    return {
+        "min": str(int(vals.min())),
+        "max": str(int(vals.max())),
+        "ndv": int(len(np.unique(vals))),
+        "null_count": null_count,
+    }
+
+
+# ------------------------------------------------------------------ page API
+
+
+def _plain_size(ptype: str, vals) -> int:
+    if ptype in RAGGED_TYPES:
+        return int(vals.lengths.sum()) + 4 * len(vals)
+    if ptype == "bool":
+        return (len(vals) + 7) // 8
+    return len(vals) * vals.dtype.itemsize
+
+
+def encode_column(
+    values,
+    ptype: str,
+    validity: np.ndarray | None = None,
+    codec: str = "auto",
+    page_rows: int = PAGE_ROWS,
+    page_bytes: int = PAGE_BYTES,
+    page_compression: str | None = None,
+) -> list[tuple[dict, bytes]]:
+    """Encode one column batch into pages.
+
+    ``values``: np.ndarray (numeric/bool) or RaggedBytes — NON-NULL values
+    only, in order. ``validity``: bool array over all rows (None = no nulls).
+    Returns [(manifest_row, blob)] per page.
+    """
+    n_rows = len(validity) if validity is not None else len(values)
+    # choose codec once per batch from sampled stats (not per page)
+    if codec == "auto":
+        st = ragged_stats(values) if ptype in RAGGED_TYPES else (
+            numeric_stats(values) if ptype != "bool" else None
+        )
+        codec = choose_codec(ptype, st, page_compression) if st is not None else "rle"
+
+    # page row boundaries over ALL rows (nulls occupy rows but not values)
+    bounds = _page_bounds(values, ptype, validity, n_rows, page_rows, page_bytes)
+
+    out = []
+    vpos = 0  # position in the values (non-null) domain
+    for pi in range(len(bounds) - 1):
+        r0, r1 = bounds[pi], bounds[pi + 1]
+        if validity is not None:
+            pv = validity[r0:r1]
+            nnull = int((~pv).sum())
+            v0, v1 = vpos, vpos + (r1 - r0 - nnull)
+        else:
+            pv = None
+            nnull = 0
+            v0, v1 = r0, r1
+        vals = _slice_values(values, ptype, v0, v1)
+        vpos = v1
+
+        body = _encode_values(codec, ptype, vals)
+        page_codec = codec
+        plain_sz = _plain_size(ptype, vals)
+        if codec != "plain" and len(body) >= plain_sz and ptype != "bool":
+            body = _encode_values("plain", ptype, vals)
+            page_codec = "plain"
+
+        header = bytearray([1 if pv is not None else 0])
+        if pv is not None:
+            header += rle.encode_hybrid_length_prefixed(pv.astype(np.uint64), 1)
+        if page_compression == "zlib":
+            body = zlib.compress(body, 1)
+        blob = bytes(header) + body
+
+        meta = {
+            "page": pi,
+            "codec": page_codec,
+            "ptype": ptype,
+            "n_rows": r1 - r0,
+            "raw_bytes": plain_sz,
+            "encoded_bytes": len(blob),
+            "crc32": zlib.crc32(blob) & 0xFFFFFFFF,
+            "compression": page_compression or "none",
+            **_page_stats(ptype, vals, nnull),
+        }
+        out.append((meta, blob))
+    return out
+
+
+def _page_bounds(values, ptype, validity, n_rows, page_rows, page_bytes):
+    if n_rows == 0:
+        return [0]  # no pages
+    if ptype in RAGGED_TYPES and len(values):
+        # cap pages by value bytes too (oversized html blobs)
+        if validity is None:
+            bytes_at_row = values.offsets
+        else:
+            vstart = np.zeros(n_rows + 1, dtype=np.int64)
+            np.cumsum(validity, out=vstart[1:])
+            bytes_at_row = values.offsets[vstart]
+        bounds = [0]
+        while bounds[-1] < n_rows:
+            r0 = bounds[-1]
+            r1 = min(r0 + page_rows, n_rows)
+            if bytes_at_row[r1] - bytes_at_row[r0] > page_bytes:
+                r1 = max(
+                    r0 + 1,
+                    int(np.searchsorted(bytes_at_row, bytes_at_row[r0] + page_bytes)),
+                )
+                r1 = min(r1, n_rows)
+            bounds.append(r1)
+        return bounds
+    return list(range(0, n_rows, page_rows)) + [n_rows]
+
+
+def _slice_values(values, ptype, v0, v1):
+    if ptype in RAGGED_TYPES:
+        return RaggedBytes(
+            values.offsets[v0 : v1 + 1] - values.offsets[v0],
+            values.data[values.offsets[v0] : values.offsets[v1]],
+        )
+    return values[v0:v1]
+
+
+def decode_column(pages: list[tuple[dict, bytes]]):
+    """Inverse of encode_column: returns (values, validity|None) concatenated
+    across pages in page order."""
+    vals_parts = []
+    valid_parts = []
+    any_nulls = False
+    for meta, blob in pages:
+        if zlib.crc32(blob) & 0xFFFFFFFF != meta["crc32"]:
+            raise IOError(f"page {meta['page']} CRC mismatch")
+        has_validity = blob[0] == 1
+        pos = 1
+        n_rows = meta["n_rows"]
+        if has_validity:
+            v, consumed = rle.decode_hybrid_length_prefixed(
+                memoryview(blob)[1:], 1, n_rows
+            )
+            validity = v.astype(bool)
+            pos += consumed
+            any_nulls = True
+        else:
+            validity = np.ones(n_rows, dtype=bool)
+        body = memoryview(blob)[pos:]
+        if meta.get("compression", "none") == "zlib":
+            body = zlib.decompress(bytes(body))
+        count = int(validity.sum())
+        vals_parts.append(_decode_values(meta["codec"], meta["ptype"], body, count))
+        valid_parts.append(validity)
+    ptype = pages[0][0]["ptype"] if pages else "int64"
+    if ptype in RAGGED_TYPES:
+        all_vals = _concat_ragged(vals_parts)
+    else:
+        all_vals = np.concatenate(vals_parts) if vals_parts else np.zeros(0)
+    validity = np.concatenate(valid_parts) if valid_parts else np.zeros(0, bool)
+    return all_vals, (validity if any_nulls else None)
+
+
+def _concat_ragged(parts: list[RaggedBytes]) -> RaggedBytes:
+    if not parts:
+        return RaggedBytes(np.zeros(1, np.int64), np.zeros(0, np.uint8))
+    if len(parts) == 1:
+        return parts[0]
+    datas = [p.data for p in parts]
+    offs = [parts[0].offsets]
+    base = parts[0].offsets[-1]
+    for p in parts[1:]:
+        offs.append(p.offsets[1:] + base)
+        base = base + p.offsets[-1]
+    return RaggedBytes(np.concatenate(offs), np.concatenate(datas))
