@@ -100,8 +100,8 @@ def ragged_stats(col: RaggedBytes) -> ColumnStats:
     else:
         entropy = 0.0
     dict_bytes_est = int(uniques.lengths.sum() + 4 * len(uniques)) if len(uniques) else 0
-    if ndv_ratio < 1.0:
-        dict_bytes_est = int(dict_bytes_est * min(ndv_est / max(len(uniques), 1), n / k))
+    # scale sample-dictionary size up to the estimated full-batch NDV
+    dict_bytes_est = int(dict_bytes_est * ndv_est / max(len(uniques), 1))
     from .kernels.deltastrings import shared_prefix_lengths
 
     # adjacency matters for prefix share — use a contiguous slice, not a stride

@@ -157,9 +157,20 @@ def test_chooser_low_card_dict():
 
 
 def test_chooser_text_fsst():
-    texts = [b"the quick brown fox jumps over the lazy dog " * 3 + str(i).encode() for i in range(5000)]
+    # natural-language text, distinct values, no dominant shared prefix
+    words = ["the", "web", "page", "has", "content", "about", "many", "topics"]
+    texts = [
+        (" ".join(words[(i * 7 + j) % len(words)] for j in range(25)) + str(i)).encode()
+        for i in range(5000)
+    ]
     st = ragged_stats(RaggedBytes.from_pylist(texts))
     assert choose_codec("string", st) == "fsst"
+
+
+def test_chooser_shared_prefix_text_dba():
+    texts = [b"the quick brown fox jumps over the lazy dog " * 3 + str(i).encode() for i in range(5000)]
+    st = ragged_stats(RaggedBytes.from_pylist(texts))
+    assert choose_codec("string", st) == "dba"
 
 
 def test_chooser_sorted_urls_dba():
