@@ -1,0 +1,261 @@
+"""Deterministic synthetic Common-Crawl-style web-page table (FIXTURES.md F1).
+
+Schema (BASELINE.json input_hint): url:string, warc_ts:timestamp,
+html:binary, text:string, lang:string.
+
+Key invariant (north rule / input_hint): **text is a pure deterministic
+function of url** — token indices are hash-mixed from the url's hash — so
+"byte-identical extracted text per url" is checkable after any round-trip.
+
+Everything is vectorized NumPy; the Spark path generates per-partition with
+``mapInArrow`` over ``spark.range`` so any scale factor streams without
+collecting to the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .kernels.ragged import RaggedBytes
+
+N_DOMAINS = 1000
+N_LANGS = 40
+VOCAB = 5000
+TEXT_VOCAB = 50_000
+_LANGS = np.array(
+    [
+        "en", "zh", "es", "de", "fr", "ja", "ru", "pt", "it", "nl", "pl", "tr",
+        "ar", "ko", "sv", "cs", "fa", "id", "vi", "el", "hu", "da", "fi", "no",
+        "ro", "uk", "th", "he", "bg", "sk", "lt", "hr", "sr", "et", "lv", "sl",
+        "ms", "hi", "bn", "ta",
+    ]
+)
+
+
+def _zipf_ranks(u: np.ndarray, n: int, a: float) -> np.ndarray:
+    """Map uniform(0,1) to Zipf(a)-distributed ranks in [0, n) via inverse-CDF
+    of the continuous approximation."""
+    if a <= 1.0001:
+        a = 1.0001
+    # P(rank <= r) ∝ r^(1-a); invert
+    r = (u * (n ** (1 - a) - 1) + 1) ** (1 / (1 - a))
+    return np.minimum(r.astype(np.int64), n - 1)
+
+
+def _mix(h: np.ndarray, salt: int) -> np.ndarray:
+    """splitmix64-style vectorized hash mixing."""
+    z = (h + np.uint64((salt * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _u01(h: np.ndarray) -> np.ndarray:
+    return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _words(prefix: str, n: int) -> RaggedBytes:
+    return RaggedBytes.from_pylist([f"{prefix}{i}".encode() for i in range(n)])
+
+
+def _join_tokens(token_ids: np.ndarray, counts: np.ndarray, vocab: RaggedBytes, sep: bytes = b" ") -> RaggedBytes:
+    """Build ragged strings: for row i, join vocab[token_ids[...]] of counts[i]
+    tokens with ``sep``. token_ids is flat (sum(counts),)."""
+    n = len(counts)
+    tok = vocab.take(token_ids)
+    # append sep to every token, then trim one sep per non-empty row
+    tok_lens = tok.lengths + len(sep)
+    row_lens = np.bincount(
+        np.repeat(np.arange(n), counts), weights=tok_lens, minlength=n
+    ).astype(np.int64)
+    row_lens = np.maximum(row_lens - len(sep) * (counts > 0), 0)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(row_lens, out=offsets[1:])
+    total = int(offsets[-1]) + len(sep)  # slack for the trimmed final sep
+    out = np.zeros(total, dtype=np.uint8)
+    # write tokens+sep contiguously, then the trim falls out of offsets math
+    with_sep_lens = tok_lens
+    starts = np.zeros(len(token_ids), dtype=np.int64)
+    np.cumsum(with_sep_lens[:-1], out=starts[1:])
+    sep_arr = np.frombuffer(sep, dtype=np.uint8)
+    ntok = len(token_ids)
+    gtotal = int(tok.lengths.sum())
+    if gtotal:
+        scatter = np.repeat(starts - tok.offsets[:-1], tok.lengths) + np.arange(gtotal, dtype=np.int64)
+        out_full = np.zeros(int(with_sep_lens.sum()) + len(sep), dtype=np.uint8)
+        out_full[scatter] = tok.data
+        for b in range(len(sep)):
+            out_full[starts + tok.lengths + b] = sep_arr[b]
+        # now cut rows: row i spans tokens [tok_start[i], tok_start[i]+counts[i])
+        tok_start = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=tok_start[1:])
+        row_byte_start = np.where(counts > 0, starts[np.minimum(tok_start, max(ntok - 1, 0))], 0)
+        gather = np.repeat(row_byte_start - offsets[:-1], row_lens) + np.arange(int(offsets[-1]), dtype=np.int64)
+        out[: int(offsets[-1])] = out_full[gather]
+    return RaggedBytes(offsets, out[: int(offsets[-1])])
+
+
+_PATH_VOCAB = _words("seg", VOCAB)
+_TEXT_VOCAB = _words("tok", TEXT_VOCAB)
+_HTML_TEMPLATE = (
+    b"<html><head><title>synthetic page</title></head><body>"
+    + b"<p>lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod</p>" * 64
+    + b"</body></html>"
+)
+
+
+def gen_webpages(n: int, seed: int = 42, html_mu: float = 6.5, html_sigma: float = 1.2,
+                 html_max: int = 1 << 18, sort_by_domain: bool = True) -> pa.Table:
+    """Generate ``n`` rows deterministically. ``seed`` varies per partition in
+    the distributed path."""
+    base = _mix(np.arange(n, dtype=np.uint64), seed + 1)
+
+    # --- url: https://{domain}/{1-5 path tokens}
+    dom_rank = _zipf_ranks(_u01(_mix(base, 2)), N_DOMAINS, 1.2)
+    if sort_by_domain:
+        order = np.argsort(dom_rank, kind="stable")
+        dom_rank = dom_rank[order]
+        base = base[order]
+    n_seg = 1 + (_mix(base, 3) % np.uint64(5)).astype(np.int64)
+    total_seg = int(n_seg.sum())
+    row_of_seg = np.repeat(np.arange(n), n_seg)
+    seg_idx = np.arange(total_seg) - np.repeat(np.cumsum(n_seg) - n_seg, n_seg)
+    seg_hash = _mix(base[row_of_seg] + seg_idx.astype(np.uint64), 4)
+    seg_ids = _zipf_ranks(_u01(seg_hash), VOCAB, 1.1)
+    paths = _join_tokens(seg_ids, n_seg, _PATH_VOCAB, sep=b"/")
+    hosts = RaggedBytes.from_pylist(
+        [f"https://host{r}.example.com/".encode() for r in range(N_DOMAINS)]
+    ).take(dom_rank)
+    url = _concat_cols(hosts, paths)
+
+    # --- warc_ts: near-monotone int64 micros
+    rng_free = _u01(_mix(base, 5))
+    deltas = (-np.log(np.maximum(rng_free, 1e-12)) * 900_000).astype(np.int64)  # exp(mean .9s) in us
+    ts = np.int64(1735689600_000_000) + np.cumsum(deltas)
+    swap = _u01(_mix(base, 6)) < 0.01  # 1% out-of-order
+    si = np.flatnonzero(swap[:-1])
+    ts[si], ts[si + 1] = ts[si + 1].copy(), ts[si].copy()
+
+    # --- text: pure function of url (the per-row invariant)
+    url_hash = _hash_ragged(url)
+    tcount = np.maximum(
+        (np.exp(2.5 + 1.0 * _norm(_mix(url_hash, 7)))).astype(np.int64), 1
+    )  # LogNormal-ish token count, mean ~ 20
+    tcount = np.minimum(tcount, 400)
+    ttotal = int(tcount.sum())
+    trow = np.repeat(np.arange(n), tcount)
+    tj = np.arange(ttotal) - np.repeat(np.cumsum(tcount) - tcount, tcount)
+    th = _mix(url_hash[trow] + (tj * 0x9E3779B9).astype(np.uint64), 8)
+    tok_ids = _zipf_ranks(_u01(th), TEXT_VOCAB, 1.3)
+    text = _join_tokens(tok_ids, tcount, _TEXT_VOCAB)
+
+    # --- html: pseudo-HTML, LogNormal lengths, 0.1% oversized, 2% null
+    hlen = np.exp(html_mu + html_sigma * _norm(_mix(base, 9))).astype(np.int64)
+    hlen = np.clip(hlen, 256, html_max)
+    hlen[_u01(_mix(base, 10)) < 0.001] = html_max
+    html_null = _u01(_mix(base, 11)) < 0.02
+    hlen[html_null] = 0
+    tmpl = np.frombuffer(_HTML_TEMPLATE, dtype=np.uint8)
+    reps = int(np.ceil(int(hlen.max(initial=0)) / len(tmpl))) + 1
+    tiled = np.tile(tmpl, reps)
+    h_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(hlen, out=h_off[1:])
+    start_in_tmpl = (_mix(base, 12) % np.uint64(len(tmpl))).astype(np.int64)
+    # int32 gather indices (html slabs are the big allocation; halve the temp)
+    gather = np.repeat((start_in_tmpl - h_off[:-1] % len(tiled)).astype(np.int64), hlen)
+    gather += np.arange(int(h_off[-1]), dtype=np.int64)
+    np.mod(gather, len(tiled), out=gather)
+    html = RaggedBytes(h_off, tiled[gather])
+
+    # --- lang: Zipf(1.5) over 40 codes
+    lang_ids = _zipf_ranks(_u01(_mix(base, 13)), N_LANGS, 1.5)
+
+    return pa.table(
+        {
+            "url": url.to_arrow(),
+            "warc_ts": pa.array(ts.astype("datetime64[us]")),
+            "html": pa.compute.if_else(
+                pa.array(~html_null), html.to_arrow(binary=True), pa.nulls(n, pa.binary())
+            ),
+            "text": text.to_arrow(),
+            "lang": pa.array(_LANGS[lang_ids]),
+        }
+    )
+
+
+def _concat_cols(a: RaggedBytes, b: RaggedBytes) -> RaggedBytes:
+    n = len(a)
+    lens = a.lengths + b.lengths
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    out = np.zeros(int(off[-1]), dtype=np.uint8)
+    # scatter a's bytes at row starts, b's bytes right after a's per row
+    sa = np.repeat(off[:-1] - a.offsets[:-1], a.lengths) + np.arange(
+        int(a.lengths.sum()), dtype=np.int64
+    )
+    out[sa] = a.data
+    sb = np.repeat(off[:-1] + a.lengths - b.offsets[:-1], b.lengths) + np.arange(
+        int(b.lengths.sum()), dtype=np.int64
+    )
+    out[sb] = b.data
+    return RaggedBytes(off, out)
+
+
+def _hash_ragged(col: RaggedBytes) -> np.ndarray:
+    """Order-sensitive 64-bit hash per ragged value, vectorized: position-mixed
+    byte contributions summed per row."""
+    n = len(col)
+    pos_in_row = np.arange(len(col.data), dtype=np.uint64) - np.repeat(
+        col.offsets[:-1].astype(np.uint64), col.lengths
+    )
+    contrib = _mix(col.data.astype(np.uint64) + (pos_in_row << np.uint64(8)), 99)
+    row = np.repeat(np.arange(n), col.lengths)
+    sums = np.bincount(row, weights=contrib.view(np.int64).astype(np.float64) % (2**52), minlength=n)
+    return _mix(sums.astype(np.uint64), 100)
+
+
+def _norm(h: np.ndarray) -> np.ndarray:
+    """Deterministic standard-normal-ish from hashes (sum of 4 uniforms, CLT)."""
+    u = sum(_u01(_mix(h, 40 + i)) for i in range(4))
+    return (u - 2.0) * np.sqrt(3.0)
+
+
+def webpages_df(spark, n_rows: int, partitions: int | None = None, seed: int = 42,
+                html_mu: float = 7.5, html_max: int = 1 << 18):
+    """Distributed generation: each partition generates its slice via the same
+    deterministic kernel (seed offset by partition id)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    # spark.range with explicit numPartitions yields EXACTLY one pid per
+    # partition (hash-repartitioning by pid would collide/leave empties)
+    plan = spark.range(0, partitions, 1, partitions).withColumnRenamed("id", "pid")
+    n_parts = partitions
+    total = n_rows
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("html", T.BinaryType(), True),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False),
+        ]
+    )
+
+    def gen(it):
+        from pq_engine.memtune import tune_allocator
+
+        tune_allocator()
+        for batch in it:
+            for pid in batch.column(0).to_pylist():
+                nr = total // n_parts + (1 if pid < total % n_parts else 0)
+                if nr:
+                    tbl = gen_webpages(nr, seed=seed + pid * 1_000_003, html_mu=html_mu, html_max=html_max)
+                    for rb in tbl.to_batches(max_chunksize=20_480):
+                        yield rb
+
+    return plan.mapInArrow(gen, schema)

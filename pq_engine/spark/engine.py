@@ -1,0 +1,404 @@
+"""The distributed encode/decode engine.
+
+Write path (SURVEY.md §3.1 mapping): Spark repartitions (optionally salted for
+hot-domain skew), ``mapInArrow`` hands each worker Arrow record batches of
+~``maxRecordsPerBatch`` rows (≈ a parquet page row target), the pages layer
+slices/encodes per column, and each page becomes one output row
+``(split_id, batch_id, column, page, codec, …stats…, data)``. The manifest
+fields double as the north-rule lineage record; ``run_encode_job`` checkpoints
+per-split lineage and resumes idempotently via an anti-join on completed
+splits (the distribution unit, like ParquetInputFormat's splits ≈ row groups).
+
+Equivalent reference entry points: ParquetWriter.write → InternalParquetRecordWriter
+(/root/reference/parquet-hadoop/.../ParquetWriter.java:430,
+ InternalParquetRecordWriter.java:156-218) and ParquetOutputFormat for the
+distribution boundary.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..kernels.ragged import RaggedBytes
+from ..memtune import tune_allocator
+from ..pages import PAGE_BYTES, PAGE_ROWS, RAGGED_TYPES, decode_column, encode_column
+
+# ---------------------------------------------------------------- schema
+
+PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("split_id", T.IntegerType(), False),
+        T.StructField("batch_id", T.IntegerType(), False),
+        T.StructField("column", T.StringType(), False),
+        T.StructField("page", T.IntegerType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("ptype", T.StringType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("null_count", T.LongType(), False),
+        T.StructField("raw_bytes", T.LongType(), False),
+        T.StructField("encoded_bytes", T.LongType(), False),
+        T.StructField("crc32", T.LongType(), False),
+        T.StructField("compression", T.StringType(), False),
+        T.StructField("min", T.StringType(), True),
+        T.StructField("max", T.StringType(), True),
+        T.StructField("ndv", T.LongType(), False),
+        T.StructField("data", T.BinaryType(), False),
+    ]
+)
+
+_PAGE_ARROW = pa.schema(
+    [
+        ("split_id", pa.int32()),
+        ("batch_id", pa.int32()),
+        ("column", pa.string()),
+        ("page", pa.int32()),
+        ("codec", pa.string()),
+        ("ptype", pa.string()),
+        ("n_rows", pa.int64()),
+        ("null_count", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("encoded_bytes", pa.int64()),
+        ("crc32", pa.int64()),
+        ("compression", pa.string()),
+        ("min", pa.string()),
+        ("max", pa.string()),
+        ("ndv", pa.int64()),
+        ("data", pa.large_binary()),
+    ]
+)
+
+
+def spark_type_to_ptype(dt: T.DataType) -> str:
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.IntegerType):
+        return "int32"
+    if isinstance(dt, T.LongType):
+        return "int64"
+    if isinstance(dt, T.FloatType):
+        return "float32"
+    if isinstance(dt, T.DoubleType):
+        return "float64"
+    if isinstance(dt, T.TimestampType):
+        return "timestamp_us"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "int32"
+    raise TypeError(f"unsupported Spark type for encoding: {dt}")
+
+
+def ptype_to_spark_type(ptype: str) -> T.DataType:
+    return {
+        "string": T.StringType(),
+        "binary": T.BinaryType(),
+        "int32": T.IntegerType(),
+        "int64": T.LongType(),
+        "float32": T.FloatType(),
+        "float64": T.DoubleType(),
+        "timestamp_us": T.TimestampType(),
+        "bool": T.BooleanType(),
+    }[ptype]
+
+
+# ---------------------------------------------------------------- arrow <-> kernels
+
+
+def _arrow_to_values(arr: pa.Array, ptype: str):
+    """Split an Arrow array into (non-null values in kernel form, validity|None)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    validity = None
+    if arr.null_count:
+        validity = np.asarray(arr.is_valid())
+        arr = arr.drop_null()
+    if ptype in RAGGED_TYPES:
+        return RaggedBytes.from_arrow(arr), validity
+    if ptype == "timestamp_us":
+        ts = arr.cast(pa.timestamp("us"))
+        vals = np.asarray(ts.cast(pa.int64()))
+        return vals.astype(np.int64, copy=False), validity
+    if ptype == "bool":
+        return np.asarray(arr), validity
+    np_dtype = {"int32": np.int32, "int64": np.int64, "float32": np.float32, "float64": np.float64}[ptype]
+    return np.asarray(arr).astype(np_dtype, copy=False), validity
+
+
+def _values_to_arrow(values, validity, ptype: str) -> pa.Array:
+    if ptype in RAGGED_TYPES:
+        dense = values.to_arrow(large=False, binary=(ptype == "binary"))
+    elif ptype == "timestamp_us":
+        dense = pa.array(values.astype("datetime64[us]"))
+    else:
+        dense = pa.array(values)
+    if validity is None:
+        return dense
+    # re-expand nulls: scatter dense values into a full-length array
+    n = len(validity)
+    idx = np.full(n, -1, dtype=np.int64)
+    idx[validity] = np.arange(int(validity.sum()), dtype=np.int64)
+    mask = pa.array(validity)
+    taken = dense.take(pa.array(np.maximum(idx, 0)))
+    return pa.compute.if_else(mask, taken, pa.nulls(n, dense.type))
+
+
+# ---------------------------------------------------------------- encode
+
+
+def encode_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    codec: str = "auto",
+    page_rows: int = PAGE_ROWS,
+    page_bytes: int = PAGE_BYTES,
+    page_compression: str | None = None,
+    split_col: str | None = None,
+) -> DataFrame:
+    """Encode ``columns`` (default: all supported) of ``df`` into a page table.
+
+    Runs as one mapInArrow pass — no shuffle beyond whatever partitioning the
+    caller set up (use :func:`repartition_for_encode` for skew control).
+    ``split_col``: optional int column carrying a stable split id (used by the
+    resumable job so ids survive the resume anti-join's reshuffle); when
+    absent the task partition id is used."""
+    cols = columns or [f.name for f in df.schema.fields if f.name != split_col]
+    ptypes = {f.name: spark_type_to_ptype(f.dataType) for f in df.schema.fields if f.name in cols}
+
+    def encode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tune_allocator()
+        from pyspark import TaskContext
+
+        task_split = TaskContext.get().partitionId() if TaskContext.get() else -1
+        for bi, batch in enumerate(it):
+            if split_col is not None:
+                split = int(batch.column(batch.schema.get_field_index(split_col))[0].as_py())
+            else:
+                split = task_split
+            rows = {k: [] for k in (
+                "split_id", "batch_id", "column", "page", "codec", "ptype", "n_rows",
+                "null_count", "raw_bytes", "encoded_bytes", "crc32", "compression",
+                "min", "max", "ndv", "data",
+            )}
+            for name in cols:
+                ptype = ptypes[name]
+                arr = batch.column(batch.schema.get_field_index(name))
+                values, validity = _arrow_to_values(arr, ptype)
+                for meta, blob in encode_column(
+                    values,
+                    ptype,
+                    validity=validity,
+                    codec=codec,
+                    page_rows=page_rows,
+                    page_bytes=page_bytes,
+                    page_compression=page_compression,
+                ):
+                    rows["split_id"].append(split)
+                    rows["batch_id"].append(bi)
+                    rows["column"].append(name)
+                    rows["page"].append(meta["page"])
+                    rows["codec"].append(meta["codec"])
+                    rows["ptype"].append(meta["ptype"])
+                    rows["n_rows"].append(meta["n_rows"])
+                    rows["null_count"].append(meta["null_count"])
+                    rows["raw_bytes"].append(meta["raw_bytes"])
+                    rows["encoded_bytes"].append(meta["encoded_bytes"])
+                    rows["crc32"].append(meta["crc32"])
+                    rows["compression"].append(meta["compression"])
+                    rows["min"].append(meta["min"])
+                    rows["max"].append(meta["max"])
+                    rows["ndv"].append(meta["ndv"])
+                    rows["data"].append(blob)
+            yield pa.RecordBatch.from_pydict(rows, schema=_PAGE_ARROW)
+
+    return df.mapInArrow(encode_batches, PAGE_SCHEMA)
+
+
+def repartition_for_encode(
+    df: DataFrame,
+    num_partitions: int,
+    key: str | None = None,
+    salt_buckets: int = 1,
+) -> DataFrame:
+    """Deterministic repartition with optional key-salting for hot-key skew
+    (north rule: 'skew handled explicitly'). With ``salt_buckets > 1`` a hot
+    key (e.g. one domain with 10^9 pages) spreads over that many partitions;
+    the salt is a stable hash of all columns, so retries are deterministic."""
+    if key is None:
+        return df.repartition(num_partitions)
+    parts = [F.col(key)]
+    if salt_buckets > 1:
+        parts.append(F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)))
+    return df.repartition(num_partitions, *parts)
+
+
+def roundtrip_column(
+    df: DataFrame,
+    value_col: str,
+    codec: str = "auto",
+    page_rows: int = PAGE_ROWS,
+) -> DataFrame:
+    """Encode ``value_col`` with ``codec`` and decode it back, inside one
+    mapInArrow pass, leaving every other column untouched. The returned frame
+    has the same schema as the input — equality with the input IS the
+    bit-identity proof for that codec (driven against the DuckDB oracle by
+    __spark_entry__)."""
+    field_idx = df.schema.fieldNames().index(value_col)
+    ptype = spark_type_to_ptype(df.schema.fields[field_idx].dataType)
+    arrow_schema = None
+
+    def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tune_allocator()
+        for batch in it:
+            arr = batch.column(field_idx)
+            values, validity = _arrow_to_values(arr, ptype)
+            pgs = encode_column(values, ptype, validity=validity, codec=codec, page_rows=page_rows)
+            vals2, valid2 = decode_column(pgs)
+            if validity is not None and valid2 is None:
+                valid2 = np.ones(len(validity), dtype=bool)
+            arr2 = _values_to_arrow(vals2, valid2, ptype).cast(arr.type)
+            cols = [batch.column(i) if i != field_idx else arr2 for i in range(batch.num_columns)]
+            yield pa.RecordBatch.from_arrays(cols, schema=batch.schema)
+
+    return df.mapInArrow(fn, df.schema)
+
+
+# ---------------------------------------------------------------- decode
+
+
+def decode_table(pages_df: DataFrame, column_order: list[str] | None = None) -> DataFrame:
+    """Reassemble the original table from a page table. Groups by
+    (split_id, batch_id) — each group holds every column's pages for one
+    input Arrow batch — and zips decoded columns back into rows."""
+    first = pages_df.select("column", "ptype").distinct().collect()
+    ptypes = {r["column"]: r["ptype"] for r in first}
+    cols = column_order or sorted(ptypes)
+    out_schema = T.StructType(
+        [T.StructField(c, ptype_to_spark_type(ptypes[c]), True) for c in cols]
+    )
+
+    def decode_group(pdf):
+        import pandas as pd
+
+        tune_allocator()
+        arrays = {}
+        n_rows = None
+        for name in cols:
+            sub = pdf[pdf["column"] == name].sort_values("page")
+            pages = [
+                (
+                    {
+                        "page": int(r.page),
+                        "codec": r.codec,
+                        "ptype": r.ptype,
+                        "n_rows": int(r.n_rows),
+                        "crc32": int(r.crc32),
+                        "compression": r.compression,
+                    },
+                    bytes(r.data),
+                )
+                for r in sub.itertuples()
+            ]
+            values, validity = decode_column(pages)
+            arr = _values_to_arrow(values, validity, ptypes[name])
+            arrays[name] = arr
+            n_rows = len(arr)
+        tbl = pa.table(arrays)
+        out = tbl.to_pandas()
+        if ptypes_get_binary := [c for c in cols if ptypes[c] == "binary"]:
+            for c in ptypes_get_binary:
+                out[c] = out[c].map(bytes, na_action="ignore")
+        return out[cols]
+
+    return (
+        pages_df.groupBy("split_id", "batch_id")
+        .applyInPandas(decode_group, schema=out_schema)
+    )
+
+
+# ---------------------------------------------------------------- job + lineage
+
+
+def lineage_from_pages(pages_df: DataFrame) -> DataFrame:
+    """Per-split lineage record (north rule): input split, pages written,
+    bytes, checksum-of-checksums."""
+    return pages_df.groupBy("split_id").agg(
+        F.count("*").alias("pages_written"),
+        F.sum("n_rows").alias("values_written"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("encoded_bytes").alias("encoded_bytes"),
+        F.expr("sum(crc32)").alias("checksum_sum"),
+        F.collect_set("codec").alias("codecs"),
+    )
+
+
+def run_encode_job(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    columns: list[str] | None = None,
+    num_partitions: int | None = None,
+    key: str | None = None,
+    salt_buckets: int = 1,
+    codec: str = "auto",
+    page_compression: str | None = None,
+) -> dict:
+    """Encode ``df`` to ``out_dir`` (pages parquet + lineage parquet),
+    resuming from a previous partial run: splits already present in the
+    lineage checkpoint are anti-joined away before encoding. Returns a small
+    summary dict."""
+    pages_path = os.path.join(out_dir, "pages")
+    lineage_path = os.path.join(out_dir, "lineage")
+
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    work = repartition_for_encode(df, num_partitions, key=key, salt_buckets=salt_buckets)
+    # stable split id: the partition the deterministic repartition assigned.
+    # Resume requires the same num_partitions/key so ids reproduce.
+    work = work.withColumn("__split", F.spark_partition_id())
+
+    done_splits = None
+    try:
+        done_splits = spark.read.parquet(lineage_path).select("split_id").distinct()
+    except Exception:
+        pass
+    if done_splits is not None:
+        # broadcast anti-join: no reshuffle of the big side, and __split rides
+        # along as a column so encode_table keeps the original ids
+        work = work.join(
+            F.broadcast(done_splits.withColumnRenamed("split_id", "__split")),
+            on="__split",
+            how="left_anti",
+        )
+
+    pages_df = encode_table(
+        work,
+        columns=columns,
+        codec=codec,
+        page_compression=page_compression,
+        split_col="__split",
+    )
+    pages_df.write.mode("append").parquet(pages_path)
+
+    written = spark.read.parquet(pages_path)
+    lineage = lineage_from_pages(written)
+    lineage.write.mode("overwrite").parquet(lineage_path)
+    agg = written.agg(
+        F.count("*").alias("pages"),
+        F.sum("raw_bytes").alias("raw"),
+        F.sum("encoded_bytes").alias("enc"),
+    ).collect()[0]
+    return {
+        "pages": agg["pages"],
+        "raw_bytes": int(agg["raw"] or 0),
+        "encoded_bytes": int(agg["enc"] or 0),
+        "pages_path": pages_path,
+        "lineage_path": lineage_path,
+    }
