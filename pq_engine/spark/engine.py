@@ -87,7 +87,7 @@ def spark_type_to_ptype(dt: T.DataType) -> str:
         return "float32"
     if isinstance(dt, T.DoubleType):
         return "float64"
-    if isinstance(dt, T.TimestampType):
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return "timestamp_us"
     if isinstance(dt, T.BooleanType):
         return "bool"
