@@ -256,7 +256,8 @@ def encode_column(
         if pv is not None:
             header += rle.encode_hybrid_length_prefixed(pv.astype(np.uint64), 1)
         if page_compression == "zlib":
-            body = zlib.compress(body, 1)
+            body = zlib.compress(body, 6)  # gzip-default level: size parity
+            # with the reference's GZIP codec (CompressionCodecName.java)
         blob = bytes(header) + body
 
         meta = {

@@ -152,7 +152,15 @@ def choose_codec(ptype: str, st: ColumnStats, page_compression: str | None = Non
             n, st.ndv_est, st.dict_bytes_est
         ) < 0.6 * raw:
             return "dict"
-        # sorted-url-like data: incremental prefix encoding wins
+        if page_compression:
+            # a general-purpose page compressor (reference analog: SNAPPY/GZIP
+            # per page, CompressionCodecName.java) does the heavy lifting at
+            # ~100-500 MB/s/core; length-delta passthrough feeds it best and
+            # keeps the encode compute-bound (scales with cores, not DRAM)
+            return "dlba"
+        # lightweight-encoding-only mode (parity with the reference's
+        # encoding-level comparisons):
+        # sorted-url-like data → incremental prefix encoding
         if st.prefix_share > 0.4:
             return "dba"
         # high-NDV text: FSST if byte distribution is skewed enough to pay;

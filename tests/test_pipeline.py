@@ -1,0 +1,117 @@
+"""Training-data pipeline operator tests on the driver testdata tables."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+def test_dedup_exact_counts(spark, docs):
+    from pq_engine.pipeline.dedup import dedup_exact
+
+    out = dedup_exact(docs)
+    assert out.agg(F.sum("copies")).collect()[0][0] == docs.count()
+
+
+def test_minhash_detects_planted_dup(spark, docs):
+    from pq_engine.pipeline.dedup import minhash_lsh_pairs
+
+    # plant a near-duplicate of doc 0 with id 999999
+    base = docs.filter("doc_id = 0").select("text").collect()[0][0]
+    dup = spark.createDataFrame(
+        [(999999, base + " extra tail", "en", "srcX", len(base))],
+        docs.schema.fieldNames(),
+    )
+    pairs = minhash_lsh_pairs(docs.union(dup), threshold=0.5).collect()
+    assert any({p.id_a, p.id_b} == {0, 999999} for p in pairs), pairs
+
+
+def test_simhash_identical_distance_zero(spark, docs):
+    from pq_engine.pipeline.dedup import simhash_near_pairs
+
+    dup = docs.filter("doc_id = 1").withColumn("doc_id", F.lit(888888))
+    pairs = simhash_near_pairs(docs.union(dup), max_hamming=0).collect()
+    assert any({p.id_a, p.id_b} == {1, 888888} and p.hamming == 0 for p in pairs)
+
+
+def test_ngram_jaccard_exact_one_for_identical(spark, docs):
+    from pq_engine.pipeline.dedup import ngram_jaccard
+
+    pairs = spark.createDataFrame([(0, 0)], "id_a long, id_b long")
+    # self-pair: jaccard must be exactly 1
+    docs_b = docs.withColumnRenamed("doc_id", "doc_id")
+    out = ngram_jaccard(pairs, docs).collect()
+    assert out[0]["jaccard"] == 1.0
+
+
+def test_ann_bruteforce_self_query(spark, embs):
+    from pq_engine.pipeline.similarity import ann_bruteforce_topk
+
+    target = embs.filter("vec_id = 7").select("embedding").collect()[0][0]
+    top = ann_bruteforce_topk(embs, list(target), k=3).collect()
+    assert top[0]["vec_id"] == 7  # a vector's own query ranks it first
+    assert abs(top[0]["cos"] - 1.0) < 1e-5
+
+
+def test_ann_lsh_finds_self_and_subsets_exact(spark, embs):
+    from pq_engine.pipeline.similarity import ann_bruteforce_topk, ann_lsh_topk
+
+    # querying WITH an existing vector: its own bucket always matches, so the
+    # vector itself must come back rank-1 (the deterministic LSH guarantee)
+    target = list(embs.filter("vec_id = 7").select("embedding").collect()[0][0])
+    approx = ann_lsh_topk(embs, target, 5, n_planes=8, probes=8).collect()
+    assert approx[0]["vec_id"] == 7 and abs(approx[0]["cos"] - 1.0) < 1e-5
+    # results are ordered by descending cosine
+    cosines = [r["cos"] for r in approx]
+    assert cosines == sorted(cosines, reverse=True)
+
+def test_rolling_hash_matches_numpy_reference(spark, docs):
+    from pq_engine.pipeline.text import fingerprint_rolling
+
+    rows = fingerprint_rolling(docs.limit(20)).select("doc_id", "text", "rhash").collect()
+    P = 1099511628211
+    for r in rows:
+        b = r["text"].encode()
+        h = 0
+        for ch in b:
+            h = (h * P + ch) & 0xFFFFFFFFFFFFFFFF
+        expected = h if h < 2**63 else h - 2**64
+        assert r["rhash"] == expected, r["doc_id"]
+
+
+def test_media_metadata_and_features(spark, docs):
+    from pq_engine.pipeline.multimodal import extract_features, media_metadata
+
+    df = docs.withColumn("blob", F.encode(F.col("text"), "utf-8"))
+    meta = media_metadata(df, "blob").select("doc_id", "media_meta.*")
+    r = meta.filter("n_bytes <= 0").count()
+    assert r == 0
+    feats = extract_features(df.limit(10), "blob", feature_dim=16)
+    rows = feats.select("features").collect()
+    assert all(len(x["features"]) == 16 for x in rows)
+    # determinism across runs
+    rows2 = extract_features(df.limit(10), "blob", feature_dim=16).select("features").collect()
+    assert [list(a["features"]) for a in rows] == [list(b["features"]) for b in rows2]
+
+
+def test_quality_filter_monotone(spark, docs):
+    from pq_engine.pipeline.text import quality_filter
+
+    strict = quality_filter(docs, min_tokens=50).count()
+    loose = quality_filter(docs, min_tokens=5).count()
+    assert strict <= loose <= docs.count()
