@@ -1,0 +1,174 @@
+"""Cross-implementation interop goldens (mirrors the reference's
+TestInterOp* suite, SURVEY.md §5 item 4 — but in reverse: WE write the file,
+independent readers of the public format decode it).
+
+If pyarrow and DuckDB both read files whose pages were produced by our
+kernels and see bit-identical values, our encoders are byte-compatible with
+the format parquet-java decodes."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from pq_engine.interop.parquet_writer import write_parquet
+from pq_engine.kernels.ragged import RaggedBytes
+
+RNG = np.random.default_rng(5)
+
+
+def _write_and_read(tmp_path, columns, n_rows):
+    path = str(tmp_path / "t.parquet")
+    write_parquet(path, columns, n_rows)
+    table = pq.read_table(path)
+    assert table.num_rows == n_rows
+    return path, table
+
+
+def test_plain_numerics_roundtrip_via_pyarrow(tmp_path):
+    i32 = RNG.integers(-(2**31), 2**31, size=1000).astype(np.int32)
+    i64 = RNG.integers(-(2**62), 2**62, size=1000).astype(np.int64)
+    f64 = RNG.standard_normal(1000)
+    path, t = _write_and_read(
+        tmp_path,
+        [
+            {"name": "a", "ptype": "int32", "codec": "plain", "values": i32},
+            {"name": "b", "ptype": "int64", "codec": "plain", "values": i64},
+            {"name": "c", "ptype": "float64", "codec": "plain", "values": f64},
+        ],
+        1000,
+    )
+    np.testing.assert_array_equal(t.column("a").to_numpy(), i32)
+    np.testing.assert_array_equal(t.column("b").to_numpy(), i64)
+    np.testing.assert_array_equal(
+        t.column("c").to_numpy().view(np.uint64), f64.view(np.uint64)
+    )
+
+
+def test_delta_binary_packed_read_by_pyarrow(tmp_path):
+    ts = (1735689600_000_000 + np.cumsum(RNG.integers(0, 10**6, size=5000))).astype(np.int64)
+    ramp = np.arange(5000, dtype=np.int32) * 3 - 1000
+    path, t = _write_and_read(
+        tmp_path,
+        [
+            {"name": "ts", "ptype": "int64", "codec": "delta", "values": ts},
+            {"name": "ramp", "ptype": "int32", "codec": "delta", "values": ramp},
+        ],
+        5000,
+    )
+    np.testing.assert_array_equal(t.column("ts").to_numpy(), ts)
+    np.testing.assert_array_equal(t.column("ramp").to_numpy(), ramp)
+
+
+def test_dictionary_rle_read_by_pyarrow(tmp_path):
+    langs = np.array([b"en", b"de", b"fr", b"zh-hans"], dtype=object)
+    vals = RaggedBytes.from_pylist([langs[i] for i in RNG.integers(0, 4, size=3000)])
+    ints = RNG.integers(0, 5, size=3000).astype(np.int64) * 1000
+    path, t = _write_and_read(
+        tmp_path,
+        [
+            {"name": "lang", "ptype": "string", "codec": "dict", "values": vals},
+            {"name": "v", "ptype": "int64", "codec": "dict", "values": ints},
+        ],
+        3000,
+    )
+    assert t.column("lang").to_pylist() == [v.decode() for v in vals.to_pylist()]
+    np.testing.assert_array_equal(t.column("v").to_numpy(), ints)
+
+
+def test_delta_length_and_delta_byte_array_read_by_pyarrow(tmp_path):
+    texts = RaggedBytes.from_pylist(
+        [f"document number {i} with words".encode() for i in range(2000)]
+    )
+    urls = RaggedBytes.from_pylist(
+        sorted(f"https://host{i % 9}.com/p/{i}".encode() for i in range(2000))
+    )
+    path, t = _write_and_read(
+        tmp_path,
+        [
+            {"name": "text", "ptype": "string", "codec": "dlba", "values": texts},
+            {"name": "url", "ptype": "string", "codec": "dba", "values": urls},
+        ],
+        2000,
+    )
+    assert t.column("text").to_pylist() == [v.decode() for v in texts.to_pylist()]
+    assert t.column("url").to_pylist() == [v.decode() for v in urls.to_pylist()]
+
+
+def test_byte_stream_split_read_by_pyarrow(tmp_path):
+    f32 = RNG.standard_normal(4000).astype(np.float32)
+    f64 = RNG.standard_normal(4000) * 1e9
+    path, t = _write_and_read(
+        tmp_path,
+        [
+            {"name": "x", "ptype": "float32", "codec": "bss", "values": f32},
+            {"name": "y", "ptype": "float64", "codec": "bss", "values": f64},
+        ],
+        4000,
+    )
+    np.testing.assert_array_equal(
+        t.column("x").to_numpy().view(np.uint32), f32.view(np.uint32)
+    )
+    np.testing.assert_array_equal(
+        t.column("y").to_numpy().view(np.uint64), f64.view(np.uint64)
+    )
+
+
+def test_bool_plain_read_by_pyarrow(tmp_path):
+    b = RNG.random(777) < 0.3
+    path, t = _write_and_read(
+        tmp_path, [{"name": "flag", "ptype": "bool", "codec": "plain", "values": b}], 777
+    )
+    np.testing.assert_array_equal(np.asarray(t.column("flag")), b)
+
+
+def test_nullable_column_with_def_levels(tmp_path):
+    validity = RNG.random(2500) >= 0.25
+    dense = RNG.integers(0, 10**9, size=int(validity.sum())).astype(np.int64)
+    path, t = _write_and_read(
+        tmp_path,
+        [
+            {
+                "name": "v",
+                "ptype": "int64",
+                "codec": "plain",
+                "values": dense,
+                "validity": validity,
+            }
+        ],
+        2500,
+    )
+    col = t.column("v")
+    assert col.null_count == int((~validity).sum())
+    np.testing.assert_array_equal(
+        np.asarray(col.drop_null()), dense
+    )
+
+
+def test_duckdb_reads_our_file_too(tmp_path):
+    import duckdb
+
+    ts = (10**15 + np.cumsum(RNG.integers(0, 10**6, size=1000))).astype(np.int64)
+    vals = RaggedBytes.from_pylist([f"r{i % 7}".encode() for i in range(1000)])
+    path = str(tmp_path / "d.parquet")
+    write_parquet(
+        path,
+        [
+            {"name": "ts", "ptype": "int64", "codec": "delta", "values": ts},
+            {"name": "tag", "ptype": "string", "codec": "dict", "values": vals},
+        ],
+        1000,
+    )
+    got = duckdb.sql(f"SELECT sum(ts)::HUGEINT, count(distinct tag) FROM read_parquet('{path}')").fetchone()
+    assert got[0] == int(ts.astype(object).sum())
+    assert got[1] == 7
+
+
+def test_fsst_not_in_format(tmp_path):
+    # FSST has no parquet encoding id — the writer must refuse, not corrupt
+    vals = RaggedBytes.from_pylist([b"x"])
+    with pytest.raises((ValueError, KeyError)):
+        write_parquet(
+            str(tmp_path / "bad.parquet"),
+            [{"name": "v", "ptype": "string", "codec": "fsst", "values": vals}],
+            1,
+        )
