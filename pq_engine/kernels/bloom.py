@@ -1,0 +1,125 @@
+"""Split-block bloom filter (parquet-format BloomFilterHeader semantics).
+
+Reference: /root/reference/parquet-column/.../values/bloomfilter/
+BlockSplitBloomFilter.java:72-301 — 32-byte blocks of 8 uint32 words; each
+inserted value sets ONE bit per word, chosen by the 8 SALT constants (:84);
+the block index is the top 32 bits of xxHash64(value) scaled by the block
+count ("block index = (h >> 32) * numBlocks >> 32"). optimalNumOfBits per
+:theory. XxHash64 (seed 0) vectorized in NumPy over 8-byte-key batches;
+variable-length byte values are pre-hashed to u64 keys.
+
+Everything is batch-vectorized: insert/contains take arrays, not scalars.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SALT = np.array(
+    [
+        0x47B6137B, 0x44974D91, 0x8824AD5B, 0xA2B7289D,
+        0x705495C7, 0x2DF1424B, 0x9EFC4947, 0x5C6BFB31,
+    ],
+    dtype=np.uint32,
+)  # BlockSplitBloomFilter.java:84
+
+_P1 = np.uint64(0x9E3779B185EBCA87)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_P3 = np.uint64(0x165667B19E3779F9)
+_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_P5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _rotl(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def xxhash64_u64(keys: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Vectorized XxHash64 of 8-byte little-endian keys (the shape parquet
+    hashes fixed-width values in; XxHash.java delegates to the same core)."""
+    k = keys.astype(np.uint64, copy=False)
+    h = np.uint64(seed) + _P5 + np.uint64(8)
+    k1 = _rotl(k * _P2, 31) * _P1
+    h = h ^ k1
+    h = _rotl(h, 27) * _P1 + _P4
+    h ^= h >> np.uint64(33)
+    h *= _P2
+    h ^= h >> np.uint64(29)
+    h *= _P3
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def optimal_num_bytes(ndv: int, fpp: float = 0.01) -> int:
+    """optimalNumOfBits (BlockSplitBloomFilter.java) rounded up to a
+    power-of-two byte count in [32, 128 MiB]."""
+    bits = -8 * ndv / np.log(1 - fpp ** (1.0 / 8))
+    nbytes = int(bits) // 8
+    nbytes = max(32, nbytes)
+    nbytes = 1 << int(np.ceil(np.log2(nbytes)))
+    return min(nbytes, 128 << 20)
+
+
+class BlockSplitBloomFilter:
+    def __init__(self, num_bytes: int):
+        if num_bytes % 32:
+            raise ValueError("bloom size must be a multiple of 32 bytes")
+        self.blocks = np.zeros((num_bytes // 32, 8), dtype=np.uint32)
+
+    @property
+    def num_blocks(self) -> int:
+        return len(self.blocks)
+
+    def _addr(self, hashes: np.ndarray):
+        block = ((hashes >> np.uint64(32)) * np.uint64(self.num_blocks)) >> np.uint64(32)
+        low = hashes.astype(np.uint32)  # low 32 bits
+        # one bit per word: bit = (low * SALT[w]) >> 27
+        bits = ((low[:, None] * SALT[None, :]) >> np.uint32(27)).astype(np.uint32)
+        return block.astype(np.int64), bits
+
+    def insert_hashes(self, hashes: np.ndarray) -> None:
+        block, bits = self._addr(hashes)
+        masks = (np.uint32(1) << bits)  # (n, 8)
+        # scatter-OR per word column (8 fixed passes)
+        for w in range(8):
+            np.bitwise_or.at(self.blocks[:, w], block, masks[:, w])
+
+    def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        block, bits = self._addr(hashes)
+        masks = np.uint32(1) << bits
+        got = self.blocks[block]  # (n, 8)
+        return ((got & masks) == masks).all(axis=1)
+
+    def insert_u64(self, keys: np.ndarray) -> None:
+        self.insert_hashes(xxhash64_u64(keys))
+
+    def contains_u64(self, keys: np.ndarray) -> np.ndarray:
+        return self.contains_hashes(xxhash64_u64(keys))
+
+    def serialize(self) -> bytes:
+        return self.blocks.astype("<u4").tobytes()
+
+    @staticmethod
+    def deserialize(buf) -> "BlockSplitBloomFilter":
+        arr = np.frombuffer(buf, dtype="<u4").reshape(-1, 8)
+        f = BlockSplitBloomFilter(arr.size * 4)
+        f.blocks = arr.copy()
+        return f
+
+
+def ragged_keys(col) -> np.ndarray:
+    """Stable u64 keys for variable-length values (pre-hash before bloom,
+    mirroring hashBytes): FNV-1a over bytes, vectorized per position pass."""
+    from .ragged import RaggedBytes
+
+    assert isinstance(col, RaggedBytes)
+    n = len(col)
+    out = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    lens = col.lengths
+    maxlen = int(lens.max()) if n else 0
+    prime = np.uint64(0x100000001B3)
+    for j in range(maxlen):  # passes over byte positions, not rows
+        rows = np.flatnonzero(lens > j)
+        b = col.data[col.offsets[:-1][rows] + j].astype(np.uint64)
+        out[rows] = (out[rows] ^ b) * prime
+    return out
