@@ -151,22 +151,23 @@ def _match(data: np.ndarray, eos_minus_pos: np.ndarray, table: SymbolTable):
     memory-bandwidth-bound, so passes are the budget."""
     n = len(data)
     if n == 0:
-        return np.full(0, -1, dtype=np.int16), np.ones(0, dtype=np.int64)
+        return np.full(0, -1, dtype=np.int16), np.ones(0, dtype=np.uint8)
     code1, code2, k3tab, c3, l3, key3, mask3 = table.lut()
     padded = np.zeros(n + MAX_SYM_LEN, dtype=np.uint8)
     padded[:n] = data
-    k2 = data.astype(np.uint16)
-    k2 |= padded[1 : 1 + n].astype(np.uint16) << np.uint16(8)
+    # k3 built once; k2 is its low half (saves a pass vs building both)
+    k3 = data.astype(np.uint32)
+    k3 |= padded[1 : 1 + n].astype(np.uint32) << np.uint32(8)
+    k2 = k3.astype(np.uint16)
+    k3 |= padded[2 : 2 + n].astype(np.uint32) << np.uint32(16)
     c2 = code2[k2]
     c1 = code1[data]
-    rem8 = np.minimum(eos_minus_pos, MAX_SYM_LEN).astype(np.uint8)
+    rem8 = eos_minus_pos  # uint8, capped at 8 by the caller
     use2 = (c2 >= 0) & (rem8 >= 2)
     code = np.where(use2, c2, c1)
     mlen = np.where(use2, np.uint8(2), np.uint8(1))
     if len(k3tab):
-        k3 = k2.astype(np.uint32)
-        k3 |= padded[2 : 2 + n].astype(np.uint32) << np.uint32(16)
-        j = np.searchsorted(k3tab, k3).astype(np.int32)
+        j = np.searchsorted(k3tab, k3)
         j[j == len(k3tab)] = 0
         cand = np.flatnonzero((k3tab[j] == k3) & (rem8 >= 3))
         if len(cand):
@@ -178,7 +179,7 @@ def _match(data: np.ndarray, eos_minus_pos: np.ndarray, table: SymbolTable):
             rows = cand[ok]
             code[rows] = c3[jj[ok]]
             mlen[rows] = l3[jj[ok]]
-    return code, mlen.astype(np.int64)
+    return code, mlen
 
 
 def _orbit(step: np.ndarray, starts: np.ndarray, n: int) -> np.ndarray:
@@ -229,14 +230,26 @@ def _parse(step: np.ndarray, starts: np.ndarray, ends: np.ndarray, n: int) -> np
     return out
 
 
+def _rem8(col: RaggedBytes) -> np.ndarray:
+    """bytes-remaining-in-string per position, capped at MAX_SYM_LEN, as
+    uint8 — built with 7 small scatters instead of 3 full int64 passes."""
+    n = len(col.data)
+    rem = np.full(n, MAX_SYM_LEN, dtype=np.uint8)
+    ends = col.offsets[1:]
+    starts = col.offsets[:-1]
+    for k in range(1, MAX_SYM_LEN):
+        idx = ends - k
+        valid = idx >= starts
+        rem[idx[valid]] = k
+    return rem
+
+
 def encode_fsst_tokens(col: RaggedBytes, table: SymbolTable):
     """Tokenize a ragged column. Returns (positions, codes, string_id) where
     codes == -1 marks escaped literal bytes."""
     n = len(col.data)
     lens = col.lengths
-    eos = np.repeat(col.offsets[1:], lens)  # end-of-string per byte position
-    pos_idx = np.arange(n, dtype=np.int64)
-    code, mlen = _match(col.data, eos - pos_idx, table)
+    code, mlen = _match(col.data, _rem8(col), table)
     nz = lens > 0
     positions = _parse(mlen, col.offsets[:-1][nz], col.offsets[1:][nz], n)
     codes = code[positions]

@@ -151,10 +151,17 @@ def _truncate_max(b: bytes) -> bytes:
             return bytes(t[: i + 1])
     return b  # all 0xff — cannot truncate safely
 
+BLOB_STATS_CUTOFF = 512  # bytes; like the reference, omit stats for oversized
+# binary values (ColumnIndexBuilder/BinaryTruncator skip semantics) — a blob
+# column's min/max is useless for pruning and costly to compute
+
+
 def _page_stats(ptype: str, vals, null_count: int) -> dict:
     if ptype in RAGGED_TYPES:
         if len(vals) == 0:
             return {"min": None, "max": None, "ndv": 0, "null_count": null_count}
+        if float(vals.lengths.mean()) > BLOB_STATS_CUTOFF:
+            return {"min": None, "max": None, "ndv": -1, "null_count": null_count}
         # unsigned-lexicographic min/max (parquet BINARY comparator)
         lst = vals.to_pylist()
         mn, mx = min(lst), max(lst)
