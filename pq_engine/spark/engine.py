@@ -143,6 +143,8 @@ def _values_to_arrow(values, validity, ptype: str) -> pa.Array:
         return dense
     # re-expand nulls: scatter dense values into a full-length array
     n = len(validity)
+    if len(dense) == 0:
+        return pa.nulls(n, dense.type)
     idx = np.full(n, -1, dtype=np.int64)
     idx[validity] = np.arange(int(validity.sum()), dtype=np.int64)
     mask = pa.array(validity)
@@ -321,6 +323,35 @@ def decode_table(pages_df: DataFrame, column_order: list[str] | None = None) -> 
         pages_df.groupBy("split_id", "batch_id")
         .applyInPandas(decode_group, schema=out_schema)
     )
+
+
+def prune_pages_by_stats(
+    pages_df: DataFrame,
+    column: str,
+    lo=None,
+    hi=None,
+    numeric: bool = False,
+) -> DataFrame:
+    """Predicate pushdown on the page table — the engine-side analog of the
+    reference's statistics/column-index filter stack (RowGroupFilter.java:
+    90-122, ColumnIndexFilter.calculateRowRanges): drop every (split, batch)
+    whose `column` page stats prove no row in [lo, hi] can exist, BEFORE any
+    page is decoded. Pages with omitted stats (min/max null) are kept —
+    stats may only prove absence, never presence."""
+    mn = F.col("min").cast("double") if numeric else F.col("min")
+    mx = F.col("max").cast("double") if numeric else F.col("max")
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col("max").isNull() | (mx >= F.lit(lo)))
+    if hi is not None:
+        cond = cond & (F.col("min").isNull() | (mn <= F.lit(hi)))
+    surviving = (
+        pages_df.filter(F.col("column") == column)
+        .filter(cond)
+        .select("split_id", "batch_id")
+        .distinct()
+    )
+    return pages_df.join(surviving, ["split_id", "batch_id"], "left_semi")
 
 
 # ---------------------------------------------------------------- job + lineage
