@@ -148,6 +148,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf_dir, "documents"), max_hamming=8
         )
 
+    def rewrite_prune(spark, sf_dir):
+        from pq_engine.spark.engine import decode_table, encode_table
+        from pq_engine.spark.rewrite import prune_columns
+
+        df = _read(spark, sf_dir, "documents")
+        pages = encode_table(df)
+        return decode_table(prune_columns(pages, ["doc_id", "lang"]), ["doc_id", "lang"])
+
+    def rewrite_mask_hash(spark, sf_dir):
+        from pq_engine.spark.engine import decode_table, encode_table
+        from pq_engine.spark.rewrite import mask_hash
+
+        df = _read(spark, sf_dir, "documents").select("doc_id", "text")
+        pages = encode_table(df)
+        return decode_table(mask_hash(pages, "text"), ["doc_id", "text"])
+
+    def pushdown_stats(spark, sf_dir):
+        from pq_engine.spark.engine import decode_table, encode_table, prune_pages_by_stats
+
+        df = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+        pages = encode_table(df, page_rows=64)  # many pages → real pruning
+        pruned = prune_pages_by_stats(pages, "lang", lo="de", hi="en")
+        out = decode_table(pruned, ["doc_id", "lang"])
+        # stats pruning is conservative; exact residual filter on top (the
+        # reference's record-level filter after the column-index level)
+        return out.filter((F.col("lang") >= "de") & (F.col("lang") <= "en"))
+
     def media_meta(spark, sf_dir):
         from pq_engine.pipeline.multimodal import media_metadata
 
@@ -178,6 +205,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- manifest / stats (SURVEY §2.6) ---
         "manifest_stats": manifest_stats,
         "encode_summary": encode_summary,  # rows-only (sizes not SQL-expressible)
+        # --- rewrite ops + read-side pushdown (SURVEY §2.4/§2.5) ---
+        "rewrite_prune": rewrite_prune,
+        "rewrite_mask_hash": rewrite_mask_hash,
+        "pushdown_stats": pushdown_stats,
         # --- training-data pipeline ---
         "dedup_exact": dedup_exact,
         "token_count": tok_count,
@@ -232,6 +263,9 @@ def oracle_sql() -> dict[str, str]:
                      COUNT(DISTINCT n_chars)::BIGINT FROM documents
             )
         """,
+        "rewrite_prune": "SELECT doc_id, lang FROM documents",
+        "rewrite_mask_hash": "SELECT doc_id, md5(text) AS text FROM documents",
+        "pushdown_stats": "SELECT doc_id, lang FROM documents WHERE lang >= 'de' AND lang <= 'en'",
         "dedup_exact": """
             SELECT md5(text) AS fingerprint, MIN(doc_id) AS keeper,
                    COUNT(*) AS copies
