@@ -175,6 +175,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference's record-level filter after the column-index level)
         return out.filter((F.col("lang") >= "de") & (F.col("lang") <= "en"))
 
+    def bloom_pushdown(spark, sf_dir):
+        from pq_engine.spark.engine import (
+            decode_table,
+            encode_table,
+            prune_pages_by_bloom,
+        )
+
+        df = _read(spark, sf_dir, "documents").select("doc_id", "source")
+        pages = encode_table(df, page_rows=64, with_bloom=True)
+        pruned = prune_pages_by_bloom(pages, "source", "src3")
+        out = decode_table(pruned, ["doc_id", "source"])
+        # bloom can only disprove; exact residual filter on survivors
+        return out.filter(F.col("source") == "src3")
+
     def media_meta(spark, sf_dir):
         from pq_engine.pipeline.multimodal import media_metadata
 
@@ -209,6 +223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rewrite_prune": rewrite_prune,
         "rewrite_mask_hash": rewrite_mask_hash,
         "pushdown_stats": pushdown_stats,
+        "bloom_pushdown": bloom_pushdown,
         # --- training-data pipeline ---
         "dedup_exact": dedup_exact,
         "token_count": tok_count,
@@ -266,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
         "rewrite_prune": "SELECT doc_id, lang FROM documents",
         "rewrite_mask_hash": "SELECT doc_id, md5(text) AS text FROM documents",
         "pushdown_stats": "SELECT doc_id, lang FROM documents WHERE lang >= 'de' AND lang <= 'en'",
+        "bloom_pushdown": "SELECT doc_id, source FROM documents WHERE source = 'src3'",
         "dedup_exact": """
             SELECT md5(text) AS fingerprint, MIN(doc_id) AS keeper,
                    COUNT(*) AS copies

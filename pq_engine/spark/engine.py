@@ -155,6 +155,41 @@ def _values_to_arrow(values, validity, ptype: str) -> pa.Array:
 # ---------------------------------------------------------------- encode
 
 
+BLOOM_MAX_VALUE_LEN = 64  # bloom only for lookup-sized values (reference:
+# blobs aren't bloom candidates; AdaptiveBlockSplitBloomFilter targets ids/keys)
+
+
+def _bloom_keys(values, ptype: str):
+    """u64 keys for bloom hashing. Any deterministic map works (key
+    collisions only raise FPP, never cause false negatives)."""
+    import numpy as np
+
+    if ptype in RAGGED_TYPES:
+        from ..kernels.bloom import ragged_keys
+
+        if len(values) == 0 or float(values.lengths.mean()) > BLOOM_MAX_VALUE_LEN:
+            return None
+        return ragged_keys(values)
+    if ptype == "bool":
+        return None
+    return np.ascontiguousarray(values).view(np.uint64)
+
+
+def bloom_key_for_value(value, ptype: str):
+    """Driver-side key for a probe value (must match _bloom_keys)."""
+    import numpy as np
+
+    from ..kernels.bloom import ragged_keys
+    from ..kernels.ragged import RaggedBytes
+
+    if ptype in RAGGED_TYPES:
+        v = value.encode() if isinstance(value, str) else bytes(value)
+        return int(ragged_keys(RaggedBytes.from_pylist([v]))[0])
+    dt = {"int32": np.int32, "int64": np.int64, "timestamp_us": np.int64,
+          "float32": np.float32, "float64": np.float64}[ptype]
+    return int(np.array([value], dtype=dt).view(np.uint64)[0])
+
+
 def encode_table(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -163,6 +198,7 @@ def encode_table(
     page_bytes: int = PAGE_BYTES,
     page_compression: str | None = None,
     split_col: str | None = None,
+    with_bloom: bool = False,
 ) -> DataFrame:
     """Encode ``columns`` (default: all supported) of ``df`` into a page table.
 
@@ -193,6 +229,30 @@ def encode_table(
                 ptype = ptypes[name]
                 arr = batch.column(batch.schema.get_field_index(name))
                 values, validity = _arrow_to_values(arr, ptype)
+                if with_bloom:
+                    keys = _bloom_keys(values, ptype)
+                    if keys is not None and len(keys):
+                        from ..kernels.bloom import BlockSplitBloomFilter, optimal_num_bytes
+
+                        bf = BlockSplitBloomFilter(optimal_num_bytes(len(keys), 0.01))
+                        bf.insert_u64(keys)
+                        blob = bf.serialize()
+                        rows["split_id"].append(split)
+                        rows["batch_id"].append(bi)
+                        rows["column"].append(name)
+                        rows["page"].append(-1)  # chunk-index row, not a data page
+                        rows["codec"].append("bloom")
+                        rows["ptype"].append(ptype)
+                        rows["n_rows"].append(len(keys))
+                        rows["null_count"].append(0)
+                        rows["raw_bytes"].append(0)
+                        rows["encoded_bytes"].append(len(blob))
+                        rows["crc32"].append(0)
+                        rows["compression"].append("none")
+                        rows["min"].append(None)
+                        rows["max"].append(None)
+                        rows["ndv"].append(-1)
+                        rows["data"].append(blob)
                 for meta, blob in encode_column(
                     values,
                     ptype,
@@ -293,7 +353,7 @@ def decode_table(pages_df: DataFrame, column_order: list[str] | None = None) -> 
         arrays = {}
         n_rows = None
         for name in cols:
-            sub = pdf[pdf["column"] == name].sort_values("page")
+            sub = pdf[(pdf["column"] == name) & (pdf["page"] >= 0)].sort_values("page")
             pages = [
                 (
                     {
@@ -351,6 +411,45 @@ def prune_pages_by_stats(
         .select("split_id", "batch_id")
         .distinct()
     )
+    return pages_df.join(surviving, ["split_id", "batch_id"], "left_semi")
+
+
+def prune_pages_by_bloom(pages_df: DataFrame, column: str, value) -> DataFrame:
+    """Bloom-level pushdown (BloomFilterImpl analog, RowGroupFilter level 3):
+    drop every (split, batch) whose bloom chunk-index row proves ``column``
+    never equals ``value`` — no data page is decoded. Chunks without a bloom
+    row are conservatively kept."""
+    import pandas as pd
+
+    ptype = (
+        pages_df.filter((F.col("column") == column) & (F.col("page") >= 0))
+        .select("ptype")
+        .first()["ptype"]
+    )
+    key = bloom_key_for_value(value, ptype)
+
+    blooms = pages_df.filter((F.col("column") == column) & (F.col("page") == -1))
+
+    def check(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from ..kernels.bloom import BlockSplitBloomFilter
+
+        keep = []
+        for r in pdf.itertuples():
+            bf = BlockSplitBloomFilter.deserialize(bytes(r.data))
+            if bf.contains_u64(np.array([key], dtype=np.uint64))[0]:
+                keep.append({"split_id": r.split_id, "batch_id": r.batch_id})
+        return pd.DataFrame(keep, columns=["split_id", "batch_id"])
+
+    maybe = blooms.groupBy("split_id", "batch_id").applyInPandas(
+        check, "split_id int, batch_id int"
+    )
+    # chunks lacking a bloom row must survive too
+    with_bloom_keys = blooms.select("split_id", "batch_id").distinct()
+    all_keys = pages_df.select("split_id", "batch_id").distinct()
+    no_bloom = all_keys.join(with_bloom_keys, ["split_id", "batch_id"], "left_anti")
+    surviving = maybe.unionByName(no_bloom).distinct()
     return pages_df.join(surviving, ["split_id", "batch_id"], "left_semi")
 
 

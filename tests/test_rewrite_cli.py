@@ -93,3 +93,24 @@ def test_cli_smoke(spark, pages, tmp_path):
         )
         assert r.returncode == 0, (cmd, r.stderr[-500:])
         assert r.stdout.strip(), cmd
+
+
+def test_bloom_pushdown_prunes_without_decode(spark):
+    from pq_engine.spark.engine import encode_table, prune_pages_by_bloom
+
+    df = webpages_df(spark, 3000, partitions=2, seed=8).select("url", "lang")
+    pages = encode_table(df, page_rows=256, with_bloom=True).cache()
+    n_bloom = pages.filter("page = -1").count()
+    assert n_bloom > 0
+    # value that exists → its chunks survive; garbage value → all pruned
+    present = df.select("lang").first()["lang"]
+    kept = prune_pages_by_bloom(pages, "lang", present)
+    assert kept.count() > 0
+    gone = prune_pages_by_bloom(pages, "lang", "xx-not-a-lang")
+    assert gone.count() == 0
+    # decode of a bloom-carrying table ignores the index rows
+    back = decode_table(kept)
+    assert (
+        back.filter(F.col("lang") == present).count()
+        == df.filter(F.col("lang") == present).count()
+    )
