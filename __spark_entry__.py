@@ -189,6 +189,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bloom can only disprove; exact residual filter on survivors
         return out.filter(F.col("source") == "src3")
 
+    def dict_pushdown(spark, sf_dir):
+        from pq_engine.spark.engine import (
+            decode_table,
+            encode_table,
+            prune_pages_by_dictionary,
+        )
+
+        df = _read(spark, sf_dir, "events").select("event_id", "event_type")
+        pages = encode_table(df, page_rows=512)
+        pruned = prune_pages_by_dictionary(pages, "event_type", "signup")
+        out = decode_table(pruned, ["event_id", "event_type"])
+        return out.filter(F.col("event_type") == "signup")
+
     def media_meta(spark, sf_dir):
         from pq_engine.pipeline.multimodal import media_metadata
 
@@ -224,6 +237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rewrite_mask_hash": rewrite_mask_hash,
         "pushdown_stats": pushdown_stats,
         "bloom_pushdown": bloom_pushdown,
+        "dict_pushdown": dict_pushdown,
         # --- training-data pipeline ---
         "dedup_exact": dedup_exact,
         "token_count": tok_count,
@@ -282,6 +296,7 @@ def oracle_sql() -> dict[str, str]:
         "rewrite_mask_hash": "SELECT doc_id, md5(text) AS text FROM documents",
         "pushdown_stats": "SELECT doc_id, lang FROM documents WHERE lang >= 'de' AND lang <= 'en'",
         "bloom_pushdown": "SELECT doc_id, source FROM documents WHERE source = 'src3'",
+        "dict_pushdown": "SELECT event_id, event_type FROM events WHERE event_type = 'signup'",
         "dedup_exact": """
             SELECT md5(text) AS fingerprint, MIN(doc_id) AS keeper,
                    COUNT(*) AS copies

@@ -453,6 +453,69 @@ def prune_pages_by_bloom(pages_df: DataFrame, column: str, value) -> DataFrame:
     return pages_df.join(surviving, ["split_id", "batch_id"], "left_semi")
 
 
+def prune_pages_by_dictionary(pages_df: DataFrame, column: str, value) -> DataFrame:
+    """Dictionary-level pushdown (DictionaryFilter.java:65-214 analog,
+    RowGroupFilter level 2): for chunks where EVERY page of ``column`` is
+    dictionary-encoded (the reference's hasNonDictionaryPages check), decode
+    only the dictionary pages and drop the chunk if ``value`` is absent from
+    all of them. Ids are never decoded. Non-dict chunks are kept."""
+    import pandas as pd
+
+    target = pages_df.filter((F.col("column") == column) & (F.col("page") >= 0))
+
+    if isinstance(value, str):
+        probe = value.encode()
+    elif isinstance(value, (bytes, bytearray)):
+        probe = bytes(value)
+    else:
+        probe = value  # numeric
+
+    def check(pdf: pd.DataFrame) -> pd.DataFrame:
+        import zlib as _z
+
+        import numpy as np
+
+        from ..kernels import dictionary as dk
+        from ..kernels import rle as rk
+
+        key = {"split_id": int(pdf.iloc[0]["split_id"]), "batch_id": int(pdf.iloc[0]["batch_id"])}
+        if (pdf["codec"] != "dict").any():
+            return pd.DataFrame([key])  # non-dict pages → cannot disprove
+        for r in pdf.itertuples():
+            blob = bytes(r.data)
+            pos = 1
+            if blob[0] == 1:  # validity prefix
+                vlen = int.from_bytes(blob[1:5], "little")
+                pos = 5 + vlen
+            body = blob[pos:]
+            if r.compression == "zlib":
+                body = _z.decompress(body)
+            nuniq = int.from_bytes(body[:4], "little")
+            dlen = int.from_bytes(body[4:8], "little")
+            dict_buf = body[8 : 8 + dlen]
+            if r.ptype in ("string", "binary"):
+                uniques = dk.decode_dict_page_bytes(dict_buf, nuniq)
+                if probe in uniques.to_pylist():
+                    return pd.DataFrame([key])
+            else:
+                dt = {"int32": np.int32, "int64": np.int64, "timestamp_us": np.int64,
+                      "float32": np.float32, "float64": np.float64}[r.ptype]
+                uniques = dk.decode_dict_page_numeric(dict_buf, dt, nuniq)
+                if (uniques == dt(probe)).any():
+                    return pd.DataFrame([key])
+        return pd.DataFrame(columns=["split_id", "batch_id"])
+
+    surviving = target.groupBy("split_id", "batch_id").applyInPandas(
+        check, "split_id int, batch_id int"
+    )
+    # chunks with no pages of this column at all survive (nothing to disprove)
+    has_col = target.select("split_id", "batch_id").distinct()
+    all_keys = pages_df.select("split_id", "batch_id").distinct()
+    no_col = all_keys.join(has_col, ["split_id", "batch_id"], "left_anti")
+    keep = surviving.unionByName(no_col).distinct()
+    return pages_df.join(keep, ["split_id", "batch_id"], "left_semi")
+
+
 # ---------------------------------------------------------------- job + lineage
 
 

@@ -114,3 +114,21 @@ def test_bloom_pushdown_prunes_without_decode(spark):
         back.filter(F.col("lang") == present).count()
         == df.filter(F.col("lang") == present).count()
     )
+
+
+def test_dictionary_pushdown(spark):
+    from pq_engine.spark.engine import encode_table, prune_pages_by_dictionary
+
+    df = webpages_df(spark, 3000, partitions=2, seed=8).select("url", "lang")
+    pages = encode_table(df).cache()
+    assert pages.filter("column='lang' and codec='dict'").count() > 0
+    present = df.select("lang").first()["lang"]
+    kept = prune_pages_by_dictionary(pages, "lang", present)
+    assert kept.count() > 0
+    gone = prune_pages_by_dictionary(pages, "lang", "xx-nope")
+    assert gone.count() == 0
+    back = decode_table(kept)
+    assert (
+        back.filter(F.col("lang") == present).count()
+        == df.filter(F.col("lang") == present).count()
+    )
