@@ -31,8 +31,11 @@ def _page_dicts(tbl, split, batch, column):
     import pyarrow.compute as pc
 
     mask = pc.and_(
-        pc.and_(pc.equal(tbl["split_id"], split), pc.equal(tbl["batch_id"], batch)),
-        pc.equal(tbl["column"], column),
+        pc.and_(
+            pc.and_(pc.equal(tbl["split_id"], split), pc.equal(tbl["batch_id"], batch)),
+            pc.equal(tbl["column"], column),
+        ),
+        pc.greater_equal(tbl["page"], 0),  # skip bloom chunk-index rows
     )
     sub = tbl.filter(mask).sort_by("page")
     return [

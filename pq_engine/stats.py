@@ -147,10 +147,12 @@ def choose_codec(ptype: str, st: ColumnStats, page_compression: str | None = Non
             return "dict"
         return "bss" if page_compression else "plain"
     if ptype in ("string", "binary"):
-        raw = n * st.avg_len
+        # cheapest non-dict alternative: DLBA ≈ data bytes + ~0.5B/value of
+        # packed lengths (PLAIN adds a full 4B/value prefix)
+        alt = n * st.avg_len + 0.5 * n
         if st.dict_bytes_est < DICT_PAGE_SIZE_THRESHOLD and dict_encoded_size(
             n, st.ndv_est, st.dict_bytes_est
-        ) < 0.6 * raw:
+        ) < 0.85 * alt:
             return "dict"
         if page_compression:
             # a general-purpose page compressor (reference analog: SNAPPY/GZIP
