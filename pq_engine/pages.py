@@ -317,9 +317,16 @@ def _slice_values(values, ptype, v0, v1):
     return values[v0:v1]
 
 
-def decode_column(pages: list[tuple[dict, bytes]]):
+def decode_column(pages: list[tuple[dict, bytes]], ptype: str | None = None):
     """Inverse of encode_column: returns (values, validity|None) concatenated
-    across pages in page order."""
+    across pages in page order. ``ptype`` disambiguates the empty-input case."""
+    if not pages:
+        ptype = ptype or "int64"
+        if ptype in RAGGED_TYPES:
+            return RaggedBytes(np.zeros(1, np.int64), np.zeros(0, np.uint8)), None
+        if ptype == "bool":
+            return np.zeros(0, dtype=bool), None
+        return np.zeros(0, dtype=_NUMERIC.get(ptype, np.int64)), None
     vals_parts = []
     valid_parts = []
     any_nulls = False

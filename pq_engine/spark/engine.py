@@ -368,7 +368,7 @@ def decode_table(pages_df: DataFrame, column_order: list[str] | None = None) -> 
                 )
                 for r in sub.itertuples()
             ]
-            values, validity = decode_column(pages)
+            values, validity = decode_column(pages, ptypes[name])
             arr = _values_to_arrow(values, validity, ptypes[name])
             arrays[name] = arr
             n_rows = len(arr)
