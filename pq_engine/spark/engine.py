@@ -338,50 +338,49 @@ def roundtrip_column(
 def decode_table(pages_df: DataFrame, column_order: list[str] | None = None) -> DataFrame:
     """Reassemble the original table from a page table. Groups by
     (split_id, batch_id) — each group holds every column's pages for one
-    input Arrow batch — and zips decoded columns back into rows."""
+    input Arrow batch — and zips decoded columns back into rows.
+    Arrow-native (``applyInArrow``): blobs never round-trip through pandas."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
     first = pages_df.select("column", "ptype").distinct().collect()
     ptypes = {r["column"]: r["ptype"] for r in first}
     cols = column_order or sorted(ptypes)
     out_schema = T.StructType(
         [T.StructField(c, ptype_to_spark_type(ptypes[c]), True) for c in cols]
     )
+    arrow_schema = to_arrow_schema(out_schema)
 
-    def decode_group(pdf):
-        import pandas as pd
+    def decode_group(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
         tune_allocator()
-        arrays = {}
-        n_rows = None
+        arrays = []
         for name in cols:
-            sub = pdf[(pdf["column"] == name) & (pdf["page"] >= 0)].sort_values("page")
+            sub = tbl.filter(
+                pc.and_(pc.equal(tbl["column"], name), pc.greater_equal(tbl["page"], 0))
+            ).sort_by("page")
             pages = [
                 (
                     {
-                        "page": int(r.page),
-                        "codec": r.codec,
-                        "ptype": r.ptype,
-                        "n_rows": int(r.n_rows),
-                        "crc32": int(r.crc32),
-                        "compression": r.compression,
+                        "page": sub["page"][i].as_py(),
+                        "codec": sub["codec"][i].as_py(),
+                        "ptype": sub["ptype"][i].as_py(),
+                        "n_rows": sub["n_rows"][i].as_py(),
+                        "crc32": sub["crc32"][i].as_py(),
+                        "compression": sub["compression"][i].as_py(),
                     },
-                    bytes(r.data),
+                    sub["data"][i].as_py(),
                 )
-                for r in sub.itertuples()
+                for i in range(sub.num_rows)
             ]
             values, validity = decode_column(pages, ptypes[name])
             arr = _values_to_arrow(values, validity, ptypes[name])
-            arrays[name] = arr
-            n_rows = len(arr)
-        tbl = pa.table(arrays)
-        out = tbl.to_pandas()
-        if ptypes_get_binary := [c for c in cols if ptypes[c] == "binary"]:
-            for c in ptypes_get_binary:
-                out[c] = out[c].map(bytes, na_action="ignore")
-        return out[cols]
+            arrays.append(arr.cast(arrow_schema.field(name).type))
+        return pa.table(arrays, schema=arrow_schema)
 
     return (
         pages_df.groupBy("split_id", "batch_id")
-        .applyInPandas(decode_group, schema=out_schema)
+        .applyInArrow(decode_group, schema=out_schema)
     )
 
 
