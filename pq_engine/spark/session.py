@@ -23,7 +23,13 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     arrow_batch_rows: int = ARROW_BATCH_ROWS,
+    task_cpus: int = 1,
 ) -> SparkSession:
+    """``task_cpus > 1`` caps concurrent Python workers at cores/task_cpus —
+    on DRAM-starved hosts memory-bound encode peaks well below the core count
+    (this sandbox: ~8 workers), and fewer workers also means fewer heap
+    arenas paying first-touch page faults. On a real cluster the equivalent
+    knob is executor cores vs spark.task.cpus."""
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if master is None:
@@ -45,6 +51,7 @@ def get_spark(
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        .config("spark.task.cpus", str(task_cpus))
     )
     for k, v in _MALLOC_ENV.items():
         b = b.config(f"spark.executorEnv.{k}", v)
