@@ -202,6 +202,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = decode_table(pruned, ["event_id", "event_type"])
         return out.filter(F.col("event_type") == "signup")
 
+    def analytics_on_decoded(spark, sf_dir):
+        """TPC-H-Q1-style aggregation over a decoded round-trip: proves the
+        encoded tables compose with ordinary Spark SQL analytics."""
+        from pq_engine.spark.engine import decode_table, encode_table
+
+        df = _read(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_quantity", "l_orderkey"
+        )
+        back = decode_table(
+            encode_table(df), ["l_returnflag", "l_linestatus", "l_quantity", "l_orderkey"]
+        )
+        return back.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 3).alias("sum_qty"),
+            F.count_distinct("l_orderkey").alias("n_orders"),
+        )
+
+    def sessionize_events(spark, sf_dir):
+        """Window-function sessionization (30-min gap) per user."""
+        from pyspark.sql import Window as W
+
+        ev = _read(spark, sf_dir, "events")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
+            F.lag(F.col("ts").cast("timestamp")).over(w)
+        )
+        new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        return (
+            ev.withColumn("new_sess", new_sess)
+            .groupBy("user_id")
+            .agg(
+                F.sum("new_sess").alias("n_sessions"),
+                F.count("*").alias("n_events"),
+            )
+        )
+
     def media_meta(spark, sf_dir):
         from pq_engine.pipeline.multimodal import media_metadata
 
@@ -238,6 +274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pushdown_stats": pushdown_stats,
         "bloom_pushdown": bloom_pushdown,
         "dict_pushdown": dict_pushdown,
+        "analytics_on_decoded": analytics_on_decoded,
+        "sessionize_events": sessionize_events,
         # --- training-data pipeline ---
         "dedup_exact": dedup_exact,
         "token_count": tok_count,
@@ -297,6 +335,25 @@ def oracle_sql() -> dict[str, str]:
         "pushdown_stats": "SELECT doc_id, lang FROM documents WHERE lang >= 'de' AND lang <= 'en'",
         "bloom_pushdown": "SELECT doc_id, source FROM documents WHERE source = 'src3'",
         "dict_pushdown": "SELECT event_id, event_type FROM events WHERE event_type = 'signup'",
+        "analytics_on_decoded": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+                   round(SUM(l_quantity), 3) AS sum_qty,
+                   COUNT(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "sessionize_events": """
+            SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+            FROM (
+              SELECT user_id,
+                     CASE WHEN prev_ts IS NULL
+                          OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+              FROM (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                FROM events
+              )
+            ) GROUP BY user_id
+        """,
         "dedup_exact": """
             SELECT md5(text) AS fingerprint, MIN(doc_id) AS keeper,
                    COUNT(*) AS copies
