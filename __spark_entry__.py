@@ -144,8 +144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def simhash_pairs(spark, sf_dir):
+        # max_hamming=3 → 4 x 16-bit chunks: the banding guarantee matches
+        # the requested radius exactly (VERDICT r1 — h=8 overclaimed recall)
         return dedup.simhash_near_pairs(
-            _read(spark, sf_dir, "documents"), max_hamming=8
+            _read(spark, sf_dir, "documents"), max_hamming=3
         )
 
     def rewrite_prune(spark, sf_dir):
@@ -225,10 +227,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         ev = _read(spark, sf_dir, "events")
         w = W.partitionBy("user_id").orderBy("ts", "event_id")
-        gap = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
+        # microsecond-exact gap (no second truncation), matches epoch_us oracle
+        gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
             F.lag(F.col("ts").cast("timestamp")).over(w)
         )
-        new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
         return (
             ev.withColumn("new_sess", new_sess)
             .groupBy("user_id")
@@ -342,11 +345,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "sessionize_events": """
-            SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+            SELECT user_id, SUM(new_sess)::BIGINT AS n_sessions, COUNT(*) AS n_events
             FROM (
               SELECT user_id,
                      CASE WHEN prev_ts IS NULL
-                          OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+                          OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess
               FROM (
                 SELECT user_id, ts,
                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

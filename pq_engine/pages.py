@@ -134,22 +134,30 @@ def _decode_values(codec: str, ptype: str, buf, count: int):
 # ------------------------------------------------------------------ stats
 
 
-def _truncate_min(b: bytes) -> bytes:
-    return b[:STAT_TRUNC]
+def _truncate_min_str(s: str) -> str:
+    """Codepoint-boundary truncation (BinaryTruncator.truncateMin semantics,
+    :36-74, which backs up over UTF-8 continuation bytes so the stored min
+    never compares GREATER than the true min). A codepoint prefix is always
+    <= the full string under UTF-8 binary order, so it stays a lower bound."""
+    return s[:STAT_TRUNC]
 
 
-def _truncate_max(b: bytes) -> bytes:
-    """BinaryTruncator.truncateMax semantics (:75-104): truncate then
-    increment the last byte that can be incremented so the result still
-    upper-bounds the value."""
-    if len(b) <= STAT_TRUNC:
-        return b
-    t = bytearray(b[:STAT_TRUNC])
+def _truncate_max_str(s: str) -> str:
+    """BinaryTruncator.truncateMax semantics (:75-104): truncate at a valid
+    codepoint boundary, then increment the last incrementable codepoint
+    (skipping the surrogate gap) so the result still upper-bounds the value.
+    Falls back to the untruncated string when no codepoint can increment."""
+    if len(s) <= STAT_TRUNC:
+        return s
+    t = s[:STAT_TRUNC]
     for i in range(len(t) - 1, -1, -1):
-        if t[i] < 0xFF:
-            t[i] += 1
-            return bytes(t[: i + 1])
-    return b  # all 0xff — cannot truncate safely
+        nc = ord(t[i]) + 1
+        if 0xD800 <= nc <= 0xDFFF:
+            nc = 0xE000  # skip the surrogate gap (not encodable)
+        if nc <= 0x10FFFF:
+            return t[:i] + chr(nc)
+    return s  # all U+10FFFF — cannot truncate safely
+
 
 BLOB_STATS_CUTOFF = 512  # bytes; like the reference, omit stats for oversized
 # binary values (ColumnIndexBuilder/BinaryTruncator skip semantics) — a blob
@@ -158,18 +166,26 @@ BLOB_STATS_CUTOFF = 512  # bytes; like the reference, omit stats for oversized
 
 def _page_stats(ptype: str, vals, null_count: int) -> dict:
     if ptype in RAGGED_TYPES:
+        import pyarrow.compute as pc
+
         if len(vals) == 0:
             return {"min": None, "max": None, "ndv": 0, "null_count": null_count}
         if float(vals.lengths.mean()) > BLOB_STATS_CUTOFF:
             return {"min": None, "max": None, "ndv": -1, "null_count": null_count}
-        # unsigned-lexicographic min/max (parquet BINARY comparator)
-        lst = vals.to_pylist()
-        mn, mx = min(lst), max(lst)
-        _, uniq = dictionary.factorize_bytes(vals)
+        arr = vals.to_arrow(binary=True)
+        ndv = int(pc.count_distinct(arr).as_py())
+        if ptype == "binary":
+            # arbitrary bytes can't be stored losslessly in the string
+            # min/max manifest fields (lossy decode breaks bound soundness —
+            # ADVICE r1); omit stats, keep NDV. Pruning falls back to blooms.
+            return {"min": None, "max": None, "ndv": ndv, "null_count": null_count}
+        mm = pc.min_max(arr)
+        mn = mm["min"].as_py().decode("utf-8")
+        mx = mm["max"].as_py().decode("utf-8")
         return {
-            "min": _truncate_min(mn).decode("utf-8", "replace"),
-            "max": _truncate_max(mx).decode("utf-8", "replace"),
-            "ndv": len(uniq),
+            "min": _truncate_min_str(mn),
+            "max": _truncate_max_str(mx),
+            "ndv": ndv,
             "null_count": null_count,
         }
     if len(vals) == 0:

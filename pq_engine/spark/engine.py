@@ -159,11 +159,21 @@ BLOOM_MAX_VALUE_LEN = 64  # bloom only for lookup-sized values (reference:
 # blobs aren't bloom candidates; AdaptiveBlockSplitBloomFilter targets ids/keys)
 
 
+def _widen_u64(arr: "np.ndarray") -> "np.ndarray":
+    """Deterministically map any fixed-width numeric array to u64 keys.
+    32-bit types are WIDENED first (int32→int64, float32→float64 — exact);
+    viewing a 32-bit array as u64 directly would pair up adjacent values
+    (and crash on odd lengths). Mirrors the reference hashing each value
+    individually (XxHash.java hashInt/hashFloat)."""
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype.itemsize == 4:
+        arr = arr.astype(np.int64) if arr.dtype.kind in "iu" else arr.astype(np.float64)
+    return arr.view(np.uint64)
+
+
 def _bloom_keys(values, ptype: str):
     """u64 keys for bloom hashing. Any deterministic map works (key
     collisions only raise FPP, never cause false negatives)."""
-    import numpy as np
-
     if ptype in RAGGED_TYPES:
         from ..kernels.bloom import ragged_keys
 
@@ -172,13 +182,12 @@ def _bloom_keys(values, ptype: str):
         return ragged_keys(values)
     if ptype == "bool":
         return None
-    return np.ascontiguousarray(values).view(np.uint64)
+    return _widen_u64(values)
 
 
 def bloom_key_for_value(value, ptype: str):
-    """Driver-side key for a probe value (must match _bloom_keys)."""
-    import numpy as np
-
+    """Driver-side key for a probe value (must match _bloom_keys: narrow to
+    the column's physical dtype first, then widen identically)."""
     from ..kernels.bloom import ragged_keys
     from ..kernels.ragged import RaggedBytes
 
@@ -186,8 +195,9 @@ def bloom_key_for_value(value, ptype: str):
         v = value.encode() if isinstance(value, str) else bytes(value)
         return int(ragged_keys(RaggedBytes.from_pylist([v]))[0])
     dt = {"int32": np.int32, "int64": np.int64, "timestamp_us": np.int64,
+          "date32": np.int32, "timestamp_ntz_us": np.int64,
           "float32": np.float32, "float64": np.float64}[ptype]
-    return int(np.array([value], dtype=dt).view(np.uint64)[0])
+    return int(_widen_u64(np.array([value], dtype=dt))[0])
 
 
 def encode_table(
@@ -396,16 +406,24 @@ def prune_pages_by_stats(
     90-122, ColumnIndexFilter.calculateRowRanges): drop every (split, batch)
     whose `column` page stats prove no row in [lo, hi] can exist, BEFORE any
     page is decoded. Pages with omitted stats (min/max null) are kept —
-    stats may only prove absence, never presence."""
-    mn = F.col("min").cast("double") if numeric else F.col("min")
-    mx = F.col("max").cast("double") if numeric else F.col("max")
+    stats may only prove absence, never presence. Only DATA pages (page >= 0)
+    vote: index rows (bloom page = -1, chunk dict page = -2) carry NULL
+    stats and would otherwise keep every chunk alive."""
+    if numeric:
+        # exact compare for integer probes (double rounds above 2^53 and can
+        # wrongly prune); doubles only when the probe itself is fractional
+        probe_is_int = all(isinstance(v, int) for v in (lo, hi) if v is not None)
+        cast_t = "decimal(20,0)" if probe_is_int else "double"
+        mn, mx = F.col("min").cast(cast_t), F.col("max").cast(cast_t)
+    else:
+        mn, mx = F.col("min"), F.col("max")
     cond = F.lit(True)
     if lo is not None:
         cond = cond & (F.col("max").isNull() | (mx >= F.lit(lo)))
     if hi is not None:
         cond = cond & (F.col("min").isNull() | (mn <= F.lit(hi)))
     surviving = (
-        pages_df.filter(F.col("column") == column)
+        pages_df.filter((F.col("column") == column) & (F.col("page") >= 0))
         .filter(cond)
         .select("split_id", "batch_id")
         .distinct()

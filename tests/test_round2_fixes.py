@@ -1,0 +1,187 @@
+"""Regression tests for the round-1 VERDICT/ADVICE findings:
+
+* bloom keys for 32-bit ptypes (int32/float32) — previously viewed pairs of
+  values as one u64 key (crash on odd length, false negatives on even);
+* string stats truncation at codepoint boundaries — previously byte-truncated
+  mid-codepoint + errors='replace', which could make the stored bound unsound
+  and silently prune matching chunks;
+* binary stats omitted (lossy decode cannot give sound bounds);
+* stats pruning ignores index rows (bloom page=-1 rows used to keep every
+  chunk alive, silently disabling the pushdown);
+* integer-exact stats compare (double rounds above 2^53);
+* simhash banding honors the requested hamming radius (chunks=h+1);
+* LSH bucket caps bound the candidate self-join.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F, types as T
+
+from pq_engine.spark.engine import (
+    bloom_key_for_value,
+    _bloom_keys,
+    decode_table,
+    encode_table,
+    prune_pages_by_bloom,
+    prune_pages_by_stats,
+)
+
+
+# ------------------------------------------------------------- bloom 32-bit
+
+
+def test_bloom_keys_int32_odd_length():
+    vals = np.array([1, 2, 3], dtype=np.int32)  # odd length used to raise
+    keys = _bloom_keys(vals, "int32")
+    assert len(keys) == 3
+    for v in vals:
+        assert bloom_key_for_value(int(v), "int32") in keys
+
+
+def test_bloom_keys_float32_matches_probe():
+    vals = np.array([1.5, -2.25, 3.75, 0.0], dtype=np.float32)
+    keys = _bloom_keys(vals, "float32")
+    assert len(keys) == 4
+    for v in vals:
+        assert bloom_key_for_value(float(v), "float32") in keys
+    # a value NOT in the column maps elsewhere
+    assert bloom_key_for_value(9.125, "float32") not in keys
+
+
+def test_bloom_pushdown_int32_end_to_end(spark):
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(1, 1002)], "id long, k int"
+    ).coalesce(1)
+    pages = encode_table(df, page_rows=100, with_bloom=True)
+    pruned = prune_pages_by_bloom(pages, "k", 3)
+    out = decode_table(pruned, ["id", "k"]).filter(F.col("k") == 3)
+    assert out.count() == df.filter(F.col("k") == 3).count()
+
+
+# ------------------------------------------------------- stats truncation
+
+
+def test_string_stats_truncate_codepoint_sound():
+    from pq_engine.pages import encode_column
+    from pq_engine.kernels.ragged import RaggedBytes
+
+    # > 64-char strings with multibyte chars straddling the old byte cutoff
+    vals = ["ä" * 80, "ä" * 63 + "zzz", "a" * 100]
+    col = RaggedBytes.from_pylist([v.encode() for v in vals])
+    pages = encode_column(col, "string", codec="plain")
+    meta = pages[0][0]
+    assert meta["min"] <= min(vals)
+    assert meta["max"] >= max(vals)
+    assert "�" not in meta["min"] + meta["max"]
+
+
+def test_truncate_max_increments_codepoint():
+    from pq_engine.pages import _truncate_max_str, _truncate_min_str, STAT_TRUNC
+
+    s = "x" * 70
+    t = _truncate_max_str(s)
+    assert len(t) <= STAT_TRUNC and t > s
+    assert _truncate_min_str(s) <= s
+
+
+def test_binary_stats_omitted():
+    from pq_engine.pages import encode_column
+    from pq_engine.kernels.ragged import RaggedBytes
+
+    col = RaggedBytes.from_pylist([bytes([0xFF, 0xFE, i]) for i in range(50)])
+    meta = encode_column(col, "binary", codec="plain")[0][0]
+    assert meta["min"] is None and meta["max"] is None
+    assert meta["ndv"] == 50
+
+
+def test_stats_prune_keeps_boundary_rows(spark):
+    # rows exactly equal to the hi bound must survive pruning even when the
+    # page max was truncated (previously U+FFFD corruption could drop them)
+    long_hi = "m" * 80
+    rows = [("a" * 80,), (long_hi,), ("z" * 80,)]
+    df = spark.createDataFrame(rows, "s string").coalesce(1)
+    pages = encode_table(df, page_rows=1)
+    pruned = prune_pages_by_stats(pages, "s", lo=long_hi, hi=long_hi)
+    out = decode_table(pruned, ["s"]).filter(F.col("s") == long_hi)
+    assert out.count() == 1
+
+
+# --------------------------------------------- stats pruning vs index rows
+
+
+def test_stats_pruning_works_with_bloom_rows(spark):
+    df = spark.createDataFrame(
+        [(i, f"k{i // 100:03d}") for i in range(1000)], "id long, s string"
+    ).repartitionByRange(10, "s")
+    pages = encode_table(df, page_rows=100, with_bloom=True).cache()
+    pruned = prune_pages_by_stats(pages, "s", lo="k000", hi="k000")
+    # bloom rows (page = -1) must not resurrect chunks: only chunks whose
+    # data-page stats overlap survive
+    n_chunks = pruned.select("split_id", "batch_id").distinct().count()
+    total = pages.select("split_id", "batch_id").distinct().count()
+    assert n_chunks < total
+    out = decode_table(pruned, ["id", "s"]).filter(F.col("s") == "k000")
+    assert out.count() == 100
+    pages.unpersist()
+
+
+def test_stats_prune_integer_exact_above_2p53(spark):
+    big = (1 << 53) + 1  # rounds to 2^53 as double
+    df = spark.createDataFrame([(1, big)], "id long, v long").coalesce(1)
+    pages = encode_table(df, columns=["id", "v"])
+    pruned = prune_pages_by_stats(pages, "v", lo=big, hi=big, numeric=True)
+    out = decode_table(pruned, ["id", "v"])
+    assert out.count() == 1  # double cast would prune the only row
+
+
+# ----------------------------------------------------------- simhash radius
+
+
+def test_simhash_banding_matches_radius(spark):
+    from pq_engine.pipeline.dedup import pairs_from_simhash
+
+    # hamming-8 pair with the differing bits spread over ALL FOUR of the old
+    # 16-bit chunks (2 per chunk) — the r1 4-chunk banding missed this pair;
+    # the h+1-chunk scheme must find it by pigeonhole
+    def i64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    a = 0x0123456789ABCDEF
+    flip = 0
+    for bit in (1, 9, 17, 25, 33, 41, 49, 57):  # 2 bits in each 16-bit chunk
+        flip |= 1 << bit
+    sh = spark.createDataFrame([(1, i64(a)), (2, i64(a ^ flip))], "id long, simhash long")
+    pairs = pairs_from_simhash(sh, max_hamming=8).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 8
+    # hamming <= h is ALWAYS caught, wherever the bits land — several spreads
+    for bits in [(0, 8, 16, 24, 32, 40, 48, 56), (7, 15, 23, 31, 39, 47, 55, 63)]:
+        flip = 0
+        for bit in bits:
+            flip |= 1 << bit
+        sh2 = spark.createDataFrame(
+            [(1, i64(a)), (2, i64(a ^ flip))], "id long, simhash long"
+        )
+        assert pairs_from_simhash(sh2, max_hamming=8).count() == 1
+
+
+def test_simhash_chunk_widths_cover_64_bits():
+    for h in (1, 3, 8, 15):
+        n_chunks = h + 1
+        base, extra = divmod(64, n_chunks)
+        widths = [base + (1 if c < extra else 0) for c in range(n_chunks)]
+        assert sum(widths) == 64 and min(widths) >= 1
+
+
+# -------------------------------------------------------------- bucket cap
+
+
+def test_bucket_cap_drops_hot_buckets(spark):
+    from pq_engine.pipeline.dedup import minhash_lsh_pairs
+
+    # 40 identical docs = one hot bucket per band; capped at 10 → no pairs
+    rows = [Row(doc_id=i, text="identical boilerplate text " * 10) for i in range(40)]
+    df = spark.createDataFrame(rows)
+    capped = minhash_lsh_pairs(df, bucket_cap=10)
+    assert capped.count() == 0
+    uncapped = minhash_lsh_pairs(df, bucket_cap=None)
+    assert uncapped.count() == 40 * 39 // 2
