@@ -151,28 +151,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def rewrite_prune(spark, sf_dir):
-        from pq_engine.spark.engine import decode_table, encode_table
+        from pq_engine.spark.engine import decode_table, encode_table, table_ptypes
         from pq_engine.spark.rewrite import prune_columns
 
         df = _read(spark, sf_dir, "documents")
         pages = encode_table(df)
-        return decode_table(prune_columns(pages, ["doc_id", "lang"]), ["doc_id", "lang"])
+        return decode_table(
+            prune_columns(pages, ["doc_id", "lang"]),
+            ["doc_id", "lang"],
+            ptypes=table_ptypes(df, ["doc_id", "lang"]),
+        )
 
     def rewrite_mask_hash(spark, sf_dir):
-        from pq_engine.spark.engine import decode_table, encode_table
+        from pq_engine.spark.engine import decode_table, encode_table, table_ptypes
         from pq_engine.spark.rewrite import mask_hash
 
         df = _read(spark, sf_dir, "documents").select("doc_id", "text")
         pages = encode_table(df)
-        return decode_table(mask_hash(pages, "text"), ["doc_id", "text"])
+        return decode_table(
+            mask_hash(pages, "text"), ["doc_id", "text"], ptypes=table_ptypes(df)
+        )
 
     def pushdown_stats(spark, sf_dir):
-        from pq_engine.spark.engine import decode_table, encode_table, prune_pages_by_stats
+        from pq_engine.spark.engine import (
+            decode_table,
+            encode_table,
+            prune_pages_by_stats,
+            table_ptypes,
+        )
 
         df = _read(spark, sf_dir, "documents").select("doc_id", "lang")
         pages = encode_table(df, page_rows=64)  # many pages → real pruning
         pruned = prune_pages_by_stats(pages, "lang", lo="de", hi="en")
-        out = decode_table(pruned, ["doc_id", "lang"])
+        out = decode_table(pruned, ["doc_id", "lang"], ptypes=table_ptypes(df))
         # stats pruning is conservative; exact residual filter on top (the
         # reference's record-level filter after the column-index level)
         return out.filter((F.col("lang") >= "de") & (F.col("lang") <= "en"))
@@ -182,12 +193,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             decode_table,
             encode_table,
             prune_pages_by_bloom,
+            table_ptypes,
         )
 
         df = _read(spark, sf_dir, "documents").select("doc_id", "source")
         pages = encode_table(df, page_rows=64, with_bloom=True)
         pruned = prune_pages_by_bloom(pages, "source", "src3")
-        out = decode_table(pruned, ["doc_id", "source"])
+        out = decode_table(pruned, ["doc_id", "source"], ptypes=table_ptypes(df))
         # bloom can only disprove; exact residual filter on survivors
         return out.filter(F.col("source") == "src3")
 
@@ -196,24 +208,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             decode_table,
             encode_table,
             prune_pages_by_dictionary,
+            table_ptypes,
         )
 
         df = _read(spark, sf_dir, "events").select("event_id", "event_type")
         pages = encode_table(df, page_rows=512)
         pruned = prune_pages_by_dictionary(pages, "event_type", "signup")
-        out = decode_table(pruned, ["event_id", "event_type"])
+        out = decode_table(pruned, ["event_id", "event_type"], ptypes=table_ptypes(df))
         return out.filter(F.col("event_type") == "signup")
 
     def analytics_on_decoded(spark, sf_dir):
         """TPC-H-Q1-style aggregation over a decoded round-trip: proves the
         encoded tables compose with ordinary Spark SQL analytics."""
-        from pq_engine.spark.engine import decode_table, encode_table
+        from pq_engine.spark.engine import decode_table, encode_table, table_ptypes
 
         df = _read(spark, sf_dir, "lineitem").select(
             "l_returnflag", "l_linestatus", "l_quantity", "l_orderkey"
         )
         back = decode_table(
-            encode_table(df), ["l_returnflag", "l_linestatus", "l_quantity", "l_orderkey"]
+            encode_table(df),
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_orderkey"],
+            ptypes=table_ptypes(df),
         )
         return back.groupBy("l_returnflag", "l_linestatus").agg(
             F.count("*").alias("n_rows"),

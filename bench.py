@@ -166,7 +166,12 @@ def main() -> None:
         from pq_engine.spark.engine import decode_table
 
         pages = spark.read.parquet(f"{CACHE}/pages_out")
-        return decode_table(pages).count()
+        # ptypes passed explicitly: no metadata-discovery job before decode
+        wp_ptypes = {
+            "url": "string", "warc_ts": "timestamp_us", "html": "binary",
+            "text": "string", "lang": "string",
+        }
+        return decode_table(pages, ptypes=wp_ptypes).count()
 
     timed("decode_webpages", decode_job)
     timed("encode_lineitem", lambda: run_encode(spark, f"{SF_DIR}/lineitem.parquet"))

@@ -185,3 +185,41 @@ def test_bucket_cap_drops_hot_buckets(spark):
     assert capped.count() == 0
     uncapped = minhash_lsh_pairs(df, bucket_cap=None)
     assert uncapped.count() == 40 * 39 // 2
+
+
+# ------------------------------------------------- partitioned page sink
+
+
+def test_job_sink_partitioned_and_manifest(spark):
+    import os
+    import shutil
+    import tempfile
+
+    from pq_engine.datagen import webpages_df
+    from pq_engine.spark.engine import read_job_ptypes, run_encode_job
+
+    out = tempfile.mkdtemp(prefix="pq_sink_")
+    try:
+        df = webpages_df(spark, 2000, partitions=2, seed=11)
+        r = run_encode_job(spark, df, out)
+        # hive-partitioned by column → pruning scans only the probed column
+        subdirs = [d for d in os.listdir(r["pages_path"]) if d.startswith("column=")]
+        assert sorted(subdirs) == [
+            "column=html", "column=lang", "column=text", "column=url", "column=warc_ts",
+        ]
+        ptypes = read_job_ptypes(spark, out)
+        assert ptypes == {
+            "url": "string", "warc_ts": "timestamp_us", "html": "binary",
+            "text": "string", "lang": "string",
+        }
+        pages = spark.read.parquet(r["pages_path"])
+        # partition filter reaches the scan (no full-table read for one column)
+        plan = (
+            pages.filter(F.col("column") == "lang")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PartitionFilters: [isnotnull(column" in plan
+        back = decode_table(pages, ptypes=ptypes)
+        assert back.count() == 2000
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
