@@ -88,7 +88,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pq_engine.spark.engine import encode_table
 
         df = _read(spark, sf_dir, "documents").coalesce(1)
-        pages = encode_table(df, page_rows=1 << 22)
+        # data pages only: index rows (chunk dict -2, bloom -1) carry
+        # dictionary/filter metadata, not row counts
+        pages = encode_table(df, page_rows=1 << 22).filter(F.col("page") >= 0)
         return pages.groupBy(F.col("column").alias("col_name")).agg(
             F.sum("n_rows").alias("n_rows"),
             F.sum("null_count").alias("null_count"),

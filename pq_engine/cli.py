@@ -35,7 +35,8 @@ def _page_dicts(tbl, split, batch, column):
             pc.and_(pc.equal(tbl["split_id"], split), pc.equal(tbl["batch_id"], batch)),
             pc.equal(tbl["column"], column),
         ),
-        pc.greater_equal(tbl["page"], 0),  # skip bloom chunk-index rows
+        pc.greater_equal(tbl["page"], -2),  # keep chunk dict pages (-2);
+        # bloom rows (-1) are skipped inside decode_column
     )
     sub = tbl.filter(mask).sort_by("page")
     return [

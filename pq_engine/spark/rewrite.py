@@ -48,7 +48,10 @@ def mask_nullify(pages: DataFrame, column: str) -> DataFrame:
     def rewrite(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels import rle
 
-        out = pdf.copy()
+        # index rows (bloom -1, chunk dict -2) are dropped: a nullified
+        # column has no values to index
+        out = pdf[pdf["page"] >= 0].copy()
+        pdf = out
         blobs = []
         for r in pdf.itertuples():
             validity = np.zeros(int(r.n_rows), dtype=np.uint64)
@@ -125,9 +128,13 @@ def transcode_compression(pages: DataFrame, to: str | None) -> DataFrame:
 
     def rewrite(pdf: pd.DataFrame) -> pd.DataFrame:
         out = pdf.copy()
-        datas, encs, crcs = [], [], []
+        datas, encs, crcs, comps = [], [], [], []
         for r in pdf.itertuples():
-            if r.compression == to_label:
+            comps.append(r.compression if r.page == -1 else to_label)
+            if r.compression == to_label or r.page == -1:
+                # bloom index rows are raw filter bytes (no page framing) —
+                # always page-level copied; dict pages (-2) transcode like
+                # data pages (same [validity-flag][body] framing)
                 datas.append(bytes(r.data))
                 encs.append(int(r.encoded_bytes))
                 crcs.append(int(r.crc32))
@@ -150,7 +157,7 @@ def transcode_compression(pages: DataFrame, to: str | None) -> DataFrame:
         out["data"] = datas
         out["encoded_bytes"] = encs
         out["crc32"] = crcs
-        out["compression"] = to_label
+        out["compression"] = comps
         return out
 
     return pages.groupBy("split_id", "batch_id").applyInPandas(rewrite, PAGE_SCHEMA)

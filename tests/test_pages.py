@@ -52,7 +52,9 @@ def test_low_card_string_dict():
         [langs[i].encode() for i in RNG.integers(0, 4, size=30_000)]
     )
     out = _roundtrip(vals, "string")
-    assert all(m["codec"] == "dict" for m, _ in out)
+    # chunk-level dictionary: one dict page (page = -2) + dict data pages
+    assert out[0][0]["codec"] == "dictpage" and out[0][0]["page"] == -2
+    assert all(m["codec"] == "dict" for m, _ in out[1:])
     assert all(m["ndv"] <= 4 for m, _ in out)
 
 

@@ -223,3 +223,54 @@ def test_job_sink_partitioned_and_manifest(spark):
         assert back.count() == 2000
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------- chunk-level dictionary
+
+
+def test_chunk_dict_small_pages_no_overhead():
+    """VERDICT r1 #2: per-page dictionaries paid ~4x on small pages (lang
+    ratio 0.51 at 500-row pages vs 0.14 at 20k). With one dict page per
+    chunk the ratio must be page-size-independent and well under 0.2."""
+    from pq_engine.kernels.ragged import RaggedBytes
+    from pq_engine.pages import DICT_PAGE, decode_column, encode_column
+
+    rng = np.random.default_rng(7)
+    langs = ["en", "de", "fr", "zh", "ja", "ru"]
+    vals = RaggedBytes.from_pylist(
+        [langs[i].encode() for i in rng.integers(0, 6, size=20_000)]
+    )
+    out = encode_column(vals, "string", codec="dict", page_rows=500)
+    dict_pages = [m for m, _ in out if m["page"] == DICT_PAGE]
+    assert len(dict_pages) == 1 and dict_pages[0]["codec"] == "dictpage"
+    enc = sum(m["encoded_bytes"] for m, _ in out)
+    raw = sum(m["raw_bytes"] for m, _ in out)
+    assert enc / raw < 0.2
+    back, _ = decode_column(out)
+    assert back == vals
+
+
+def test_chunk_dict_numeric_roundtrip_with_nulls():
+    from pq_engine.pages import decode_column, encode_column
+
+    rng = np.random.default_rng(3)
+    validity = rng.random(5000) >= 0.2
+    vals = rng.integers(0, 50, size=int(validity.sum())).astype(np.int64)
+    out = encode_column(vals, "int64", validity=validity, codec="dict", page_rows=300)
+    back, back_validity = decode_column(out)
+    assert np.array_equal(back, vals)
+    assert np.array_equal(back_validity, validity)
+
+
+def test_chunk_dict_oversized_falls_back():
+    """Dict page > 1 MiB → whole chunk falls back (reference dict-size rail)."""
+    from pq_engine.kernels.ragged import RaggedBytes
+    from pq_engine.pages import decode_column, encode_column
+
+    vals = RaggedBytes.from_pylist(
+        [f"unique-value-{i:07d}-{'x' * 120}".encode() for i in range(10_000)]
+    )
+    out = encode_column(vals, "string", codec="dict", page_rows=2000)
+    assert all(m["codec"] != "dictpage" for m, _ in out)
+    back, _ = decode_column(out)
+    assert back == vals
