@@ -258,6 +258,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def rt_date(spark, sf_dir):
+        """DateType round-trip via the distinct date32 ptype (type fidelity
+        through decode, not just roundtrip's cast-back — VERDICT r1 wrong #4)."""
+        from pq_engine.spark.engine import decode_table, encode_table, table_ptypes
+
+        df = (
+            _read(spark, sf_dir, "orders")
+            .select("o_orderkey", F.to_date("o_orderdate").alias("od"))
+        )
+        back = decode_table(
+            encode_table(df), ["o_orderkey", "od"], ptypes=table_ptypes(df)
+        )
+        return back.select("o_orderkey", F.col("od").cast("string").alias("od_s"))
+
+    def rt_ts_ntz(spark, sf_dir):
+        """TIMESTAMP_NTZ round-trip via the distinct timestamp_ntz_us ptype."""
+        from pq_engine.spark.engine import decode_table, encode_table, table_ptypes
+
+        df = (
+            _read(spark, sf_dir, "events")
+            .select("event_id", F.col("ts").cast("timestamp_ntz").alias("tsn"))
+        )
+        back = decode_table(
+            encode_table(df), ["event_id", "tsn"], ptypes=table_ptypes(df)
+        )
+        return back.select("event_id", F.col("tsn").cast("string").alias("tsn_s"))
+
     def media_meta(spark, sf_dir):
         from pq_engine.pipeline.multimodal import media_metadata
 
@@ -285,6 +312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_bss_value": _rt("events", "value", "bss", ["event_id"]),
         "rt_dict_value": _rt("events", "value", "dict", ["event_id"]),
         "rt_auto_text": _rt("documents", "text", "auto", ["doc_id"]),
+        "rt_date_orderdate": rt_date,
+        "rt_ts_ntz": rt_ts_ntz,
         # --- manifest / stats (SURVEY §2.6) ---
         "manifest_stats": manifest_stats,
         "encode_summary": encode_summary,  # rows-only (sizes not SQL-expressible)
@@ -331,6 +360,8 @@ def oracle_sql() -> dict[str, str]:
         "rt_bss_value": "SELECT event_id, value FROM events",
         "rt_dict_value": "SELECT event_id, value FROM events",
         "rt_auto_text": "SELECT doc_id, text FROM documents",
+        "rt_date_orderdate": "SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS od_s FROM orders",
+        "rt_ts_ntz": "SELECT event_id, CAST(ts AS VARCHAR) AS tsn_s FROM events",
         "manifest_stats": """
             SELECT col_name, n_rows, null_count, ndv FROM (
               SELECT 'doc_id' AS col_name, COUNT(*)::BIGINT AS n_rows,

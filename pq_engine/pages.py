@@ -15,9 +15,9 @@ ColumnIndexBuilder stats) onto vectorized slices of an Arrow batch:
 * every page gets min/max/null_count/ndv + CRC32 manifest fields — the
   lineage record of the north rule (ColumnIndexBuilder.java:67-249 semantics,
   64-byte truncation per BinaryTruncator.java:36-104);
-* dictionaries are per-page (self-contained blobs) rather than per-chunk:
-  resume/decode then never needs cross-page state; for low-NDV columns the
-  per-page dictionary overhead is bounded by NDV·avg_len per 20k rows.
+* dictionaries are per-CHUNK (one dict page at ``page = -2`` shared by all
+  of the chunk's data pages), matching ColumnWriterBase.finalizeColumnChunk;
+  a dict page over 1 MiB falls the chunk back to its non-dict codec.
 * the PLAIN safety rail (FallbackValuesWriter.isCompressionSatisfying
   :81-92): any codec output >= the PLAIN encoding of the same values is
   discarded for PLAIN.
@@ -41,6 +41,8 @@ _NUMERIC = {
     "int32": np.int32,
     "int64": np.int64,
     "timestamp_us": np.int64,
+    "timestamp_ntz_us": np.int64,
+    "date32": np.int32,
     "float32": np.float32,
     "float64": np.float64,
 }

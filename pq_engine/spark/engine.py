@@ -87,12 +87,14 @@ def spark_type_to_ptype(dt: T.DataType) -> str:
         return "float32"
     if isinstance(dt, T.DoubleType):
         return "float64"
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+    if isinstance(dt, T.TimestampNTZType):
+        return "timestamp_ntz_us"  # distinct ptype: decode restores NTZ, not LTZ
+    if isinstance(dt, T.TimestampType):
         return "timestamp_us"
     if isinstance(dt, T.BooleanType):
         return "bool"
     if isinstance(dt, T.DateType):
-        return "int32"
+        return "date32"  # distinct from int32: decode restores DateType
     raise TypeError(f"unsupported Spark type for encoding: {dt}")
 
 
@@ -105,6 +107,8 @@ def ptype_to_spark_type(ptype: str) -> T.DataType:
         "float32": T.FloatType(),
         "float64": T.DoubleType(),
         "timestamp_us": T.TimestampType(),
+        "timestamp_ntz_us": T.TimestampNTZType(),
+        "date32": T.DateType(),
         "bool": T.BooleanType(),
     }[ptype]
 
@@ -122,10 +126,12 @@ def _arrow_to_values(arr: pa.Array, ptype: str):
         arr = arr.drop_null()
     if ptype in RAGGED_TYPES:
         return RaggedBytes.from_arrow(arr), validity
-    if ptype == "timestamp_us":
+    if ptype in ("timestamp_us", "timestamp_ntz_us"):
         ts = arr.cast(pa.timestamp("us"))
         vals = np.asarray(ts.cast(pa.int64()))
         return vals.astype(np.int64, copy=False), validity
+    if ptype == "date32":
+        return np.asarray(arr.cast(pa.int32())), validity
     if ptype == "bool":
         return np.asarray(arr), validity
     np_dtype = {"int32": np.int32, "int64": np.int64, "float32": np.float32, "float64": np.float64}[ptype]
@@ -135,8 +141,10 @@ def _arrow_to_values(arr: pa.Array, ptype: str):
 def _values_to_arrow(values, validity, ptype: str) -> pa.Array:
     if ptype in RAGGED_TYPES:
         dense = values.to_arrow(large=False, binary=(ptype == "binary"))
-    elif ptype == "timestamp_us":
+    elif ptype in ("timestamp_us", "timestamp_ntz_us"):
         dense = pa.array(values.astype("datetime64[us]"))
+    elif ptype == "date32":
+        dense = pa.array(values.astype(np.int32, copy=False)).cast(pa.date32())
     else:
         dense = pa.array(values)
     if validity is None:

@@ -129,7 +129,7 @@ def choose_codec(ptype: str, st: ColumnStats, page_compression: str | None = Non
     if ptype == "bool":
         return "rle"
     n = max(st.n, 1)
-    if ptype in ("int32", "int64", "timestamp_us"):
+    if ptype in ("int32", "int64", "timestamp_us", "timestamp_ntz_us", "date32"):
         plain = n * st.avg_len
         if st.dict_bytes_est < DICT_PAGE_SIZE_THRESHOLD and dict_encoded_size(
             n, st.ndv_est, st.dict_bytes_est

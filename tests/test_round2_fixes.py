@@ -274,3 +274,34 @@ def test_chunk_dict_oversized_falls_back():
     assert all(m["codec"] != "dictpage" for m, _ in out)
     back, _ = decode_column(out)
     assert back == vals
+
+
+# -------------------------------------------------- date32 / timestamp_ntz
+
+
+def test_date_and_ntz_type_fidelity(spark):
+    """decode_table must restore DateType/TimestampNTZType exactly —
+    r1 mapped DateType to int32 and decoded it back as IntegerType."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    rows = [
+        (1, datetime.date(2024, 1, 15), datetime.datetime(2024, 1, 15, 10, 30, 0, 123456)),
+        (2, datetime.date(1969, 12, 31), datetime.datetime(1969, 12, 31, 23, 59, 59)),
+        (3, None, None),
+    ]
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("d", T.DateType()),
+        T.StructField("t", T.TimestampNTZType()),
+    ])
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    from pq_engine.spark.engine import table_ptypes
+
+    back = decode_table(encode_table(df), ["id", "d", "t"], ptypes=table_ptypes(df))
+    assert back.schema["d"].dataType == T.DateType()
+    assert back.schema["t"].dataType == T.TimestampNTZType()
+    got = {r["id"]: (r["d"], r["t"]) for r in back.collect()}
+    for rid, d, t in rows:
+        assert got[rid] == (d, t)
