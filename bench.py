@@ -59,7 +59,7 @@ def run_encode(spark, in_path: str, out_path: str | None = None):
     from pq_engine.spark.engine import encode_table
 
     df = spark.read.parquet(in_path)
-    pages = encode_table(df, page_compression="zlib")
+    pages = encode_table(df, page_compression="zstd")
     if out_path:
         pages.write.mode("overwrite").parquet(out_path)
         pages = spark.read.parquet(out_path)
@@ -90,7 +90,7 @@ def encode_only_child(cores: int, rows: int) -> None:
 
     def job():
         df = webpages_df(spark, rows, partitions=64, seed=42)
-        return encode_table(df, page_compression="zlib").agg(
+        return encode_table(df, page_compression="zstd").agg(
             F.sum("raw_bytes").alias("raw"), F.sum("encoded_bytes").alias("enc")
         ).collect()[0]
 

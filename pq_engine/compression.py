@@ -1,0 +1,59 @@
+"""Page-body compression codecs — the CompressionCodecName analog
+(/root/reference/parquet-common/.../hadoop/metadata/CompressionCodecName.java:26-33:
+UNCOMPRESSED, SNAPPY, GZIP, LZO, BROTLI, LZ4, ZSTD, LZ4_RAW).
+
+``zlib`` (≈ the reference's GZIP deflate stream, level 6) goes through the
+stdlib and stays self-describing; the pyarrow-backed codecs (zstd/snappy/
+lz4/brotli — C++-side, 100s of MB/s per core) need the decompressed size, so
+their body is framed as ``u32 raw_len + compressed bytes``. ZSTD level 1 is
+the default scale choice: ~5x faster than zlib-6 at a similar ratio.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+_PA_CODECS = {"zstd": 1, "snappy": None, "lz4": None, "brotli": 1, "gzip": 6}
+
+CODECS = ("none", "zlib", *(_PA_CODECS))
+
+
+def available(name: str) -> bool:
+    if name in ("none", "zlib", None):
+        return True
+    if name not in _PA_CODECS:
+        return False
+    import pyarrow as pa
+
+    return pa.Codec.is_available(name)
+
+
+def _pa_codec(name: str):
+    import pyarrow as pa
+
+    level = _PA_CODECS[name]
+    return pa.Codec(name, compression_level=level) if level is not None else pa.Codec(name)
+
+
+def compress(body: bytes, compression: str | None) -> bytes:
+    if compression in (None, "none"):
+        return body
+    if compression == "zlib":
+        return zlib.compress(body, 6)  # gzip-default level: size parity with
+        # the reference's GZIP codec
+    if compression in _PA_CODECS:
+        out = bytes(_pa_codec(compression).compress(body))
+        return len(body).to_bytes(4, "little") + out
+    raise ValueError(f"unknown page compression {compression!r}")
+
+
+def decompress(body, compression: str | None):
+    if compression in (None, "none"):
+        return body
+    if compression == "zlib":
+        return zlib.decompress(bytes(body))
+    if compression in _PA_CODECS:
+        body = bytes(body)
+        raw_len = int.from_bytes(body[:4], "little")
+        return bytes(_pa_codec(compression).decompress(body[4:], raw_len))
+    raise ValueError(f"unknown page compression {compression!r}")

@@ -63,16 +63,23 @@ def encode_plain_bytes(col: RaggedBytes) -> bytes:
 
 
 def decode_plain_bytes(buf, count: int) -> RaggedBytes:
-    """Parse u32-length-prefixed records. Record boundaries are data-dependent,
-    so a scalar scan over *records* (not bytes) computes offsets; the byte
-    gather is vectorized."""
+    """Parse u32-length-prefixed records. Record boundaries are data-dependent
+    (a true chain: offset[i+1] = offset[i] + 4 + len@offset[i]), so the offset
+    walk is a scalar scan over *records* — kept deliberately: a pointer-
+    doubling vectorization needs a jump table over every BYTE position
+    (O(page_bytes·log n) DRAM traffic ≈ 120+ MB per 1 MiB page), which loses
+    badly to a ~0.2 µs/record struct scan on a memory-bandwidth-bound host.
+    The byte gather itself is vectorized."""
+    import struct
+
     raw = np.frombuffer(buf, dtype=np.uint8)
     starts = np.zeros(count, dtype=np.int64)
     lens = np.zeros(count, dtype=np.int64)
     pos = 0
-    u32 = raw.view()  # scalar reads below
+    data = raw.tobytes() if not isinstance(buf, (bytes, bytearray)) else bytes(buf)
+    unpack = struct.unpack_from
     for i in range(count):
-        ln = int.from_bytes(raw[pos : pos + 4].tobytes(), "little")
+        ln = unpack("<I", data, pos)[0]
         starts[i] = pos + 4
         lens[i] = ln
         pos += 4 + ln

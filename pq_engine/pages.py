@@ -29,6 +29,7 @@ import zlib
 
 import numpy as np
 
+from . import compression as pagecomp
 from .kernels import bytestream, delta, deltastrings, dictionary, fsst, plain, rle
 from .kernels.ragged import RaggedBytes
 from .stats import DICT_PAGE_SIZE_THRESHOLD, choose_codec, numeric_stats, ragged_stats
@@ -281,10 +282,7 @@ def encode_column(
 
     out = []
     if chunk_uniques is not None and len(bounds) > 1:
-        body = dict_body
-        if page_compression == "zlib":
-            body = zlib.compress(body, 6)
-        blob = bytes([0]) + body
+        blob = bytes([0]) + pagecomp.compress(dict_body, page_compression)
         out.append(
             (
                 {
@@ -334,9 +332,7 @@ def encode_column(
         header = bytearray([1 if pv is not None else 0])
         if pv is not None:
             header += rle.encode_hybrid_length_prefixed(pv.astype(np.uint64), 1)
-        if page_compression == "zlib":
-            body = zlib.compress(body, 6)  # gzip-default level: size parity
-            # with the reference's GZIP codec (CompressionCodecName.java)
+        body = pagecomp.compress(body, page_compression)
         blob = bytes(header) + body
 
         meta = {
@@ -406,9 +402,7 @@ def decode_column(pages: list[tuple[dict, bytes]], ptype: str | None = None):
         if meta["codec"] == "dictpage":
             if zlib.crc32(blob) & 0xFFFFFFFF != meta["crc32"]:
                 raise IOError("dictionary page CRC mismatch")
-            body = memoryview(blob)[1:]
-            if meta.get("compression", "none") == "zlib":
-                body = zlib.decompress(bytes(body))
+            body = pagecomp.decompress(memoryview(blob)[1:], meta.get("compression", "none"))
             dict_vals = decode_dict_chunk_page(body, meta["ptype"])
         elif meta["codec"] == "bloom" or meta["page"] < 0:
             continue  # index rows carry no values
@@ -435,9 +429,7 @@ def decode_column(pages: list[tuple[dict, bytes]], ptype: str | None = None):
             any_nulls = True
         else:
             validity = np.ones(n_rows, dtype=bool)
-        body = memoryview(blob)[pos:]
-        if meta.get("compression", "none") == "zlib":
-            body = zlib.decompress(bytes(body))
+        body = pagecomp.decompress(memoryview(blob)[pos:], meta.get("compression", "none"))
         count = int(validity.sum())
         if meta["codec"] == "dict":
             if dict_vals is None:

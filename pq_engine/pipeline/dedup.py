@@ -28,11 +28,24 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ------------------------------------------------------------------ shingles + minhash
 
 
+_P1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX = np.uint64(0xFF51AFD7ED558CCD)
+
+
+def _finalize(h: np.ndarray) -> np.ndarray:
+    h = h.copy()
+    h ^= h >> np.uint64(33)
+    h *= _MIX
+    h ^= h >> np.uint64(33)
+    return h
+
+
 def _shingle_hashes(texts: pd.Series, k: int = 5) -> list[np.ndarray]:
     """Per doc: sorted unique 64-bit hashes of the k-char shingles. Vectorized
-    per document (sliding-window byte matrix)."""
+    per document (sliding-window byte matrix). Used by the exact-Jaccard
+    verifier, where candidate sets are small; the batch-vectorized variant
+    below serves the signature builders."""
     out = []
-    P1 = np.uint64(0x9E3779B97F4A7C15)
     for s in texts:
         if not s:
             out.append(np.zeros(0, dtype=np.uint64))
@@ -43,12 +56,60 @@ def _shingle_hashes(texts: pd.Series, k: int = 5) -> list[np.ndarray]:
         n = len(b) - k + 1
         h = np.zeros(n, dtype=np.uint64)
         for j in range(k):
-            h = h * P1 + b[j : j + n]
-        h ^= h >> np.uint64(33)
-        h *= np.uint64(0xFF51AFD7ED558CCD)
-        h ^= h >> np.uint64(33)
-        out.append(np.unique(h))
+            h = h * _P1 + b[j : j + n]
+        out.append(np.unique(_finalize(h)))
     return out
+
+
+def _shingle_hashes_flat(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Batch-vectorized shingle hashing: k gather passes over the CONCATENATED
+    utf-8 bytes of every doc in the batch (no per-doc Python in the hash
+    path). Returns (window hashes uint64[W], per-doc window offsets
+    int64[n+1]); hashes are multiset (not deduped) — identical min/vote
+    results where the consumer's reduction is dedup-invariant."""
+    encoded = [
+        (b if len(b) >= k else b.ljust(k, b"\x00")) if b else b""
+        for b in (s.encode("utf-8") if s else b"" for s in texts)
+    ]
+    n = len(encoded)
+    lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=n)
+    data = (
+        np.frombuffer(b"".join(encoded), dtype=np.uint8)
+        if n
+        else np.zeros(0, np.uint8)
+    )
+    doc_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=doc_starts[1:])
+    w = np.maximum(lens - k + 1, 0)  # empty docs → 0 windows
+    w_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(w, out=w_off[1:])
+    W = int(w_off[-1])
+    if W == 0:
+        return np.zeros(0, np.uint64), w_off
+    if n and len(data) / n >= 256:
+        # long docs: per-doc slices stay L1/L2-resident, measured ~10x faster
+        # than streaming the whole batch through DRAM on this host
+        parts = []
+        for i in range(n):
+            b = data[doc_starts[i] : doc_starts[i + 1]]
+            wi = int(w[i])
+            if wi == 0:
+                continue
+            h = np.zeros(wi, dtype=np.uint64)
+            for j in range(k):
+                h = h * _P1 + b[j : j + wi]
+            parts.append(h)
+        return _finalize(np.concatenate(parts)), w_off
+    # short docs: hash EVERY byte position with pure slice arithmetic (the
+    # per-doc Python overhead dominates below ~256 B/doc — measured 4x), then
+    # one gather selects windows that don't cross a doc boundary
+    N = len(data)
+    m = N - k + 1
+    h_all = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        h_all = h_all * _P1 + data[j : j + m]
+    pos = np.repeat(doc_starts[:-1] - w_off[:-1], w) + np.arange(W, dtype=np.int64)
+    return _finalize(h_all[pos]), w_off
 
 
 _MINHASH_A = None
@@ -72,13 +133,20 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n_hashes: int = 64
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
         a, b = _minhash_params(n_hashes)
-        res = []
-        for sh in _shingle_hashes(texts, shingle_k):
-            if len(sh) == 0:
-                res.append(np.zeros(n_hashes, dtype=np.int64).tolist())
-                continue
-            m = (sh[:, None] * a[None, :] + b[None, :]).min(axis=0)
-            res.append(m.view(np.int64).tolist())
+        hashes, w_off = _shingle_hashes_flat(texts, shingle_k)
+        n = len(texts)
+        sig = np.zeros((n, n_hashes), dtype=np.uint64)
+        widths = np.diff(w_off)
+        ne = widths > 0
+        starts_ne = w_off[:-1][ne]
+        if starts_ne.size:
+            # per hash function: one multiply-add over ALL windows + one
+            # segment-min (reduceat over nonempty segments — duplicates
+            # don't change a min, so no per-doc dedup needed)
+            for f in range(n_hashes):
+                y = hashes * a[f] + b[f]
+                sig[ne, f] = np.minimum.reduceat(y, starts_ne)
+        res = [row.view(np.int64).tolist() for row in sig]
         return pd.Series(res)
 
     return df.withColumn("sig", sig_udf(F.col(text_col)))
@@ -158,16 +226,27 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     @F.pandas_udf(T.LongType())
     def sim_udf(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.uint64)
-        bits = np.arange(64, dtype=np.uint64)
-        for i, sh in enumerate(_shingle_hashes(texts)):
-            if len(sh) == 0:
-                continue
-            bitmat = (sh[:, None] >> bits[None, :]) & np.uint64(1)
-            votes = bitmat.sum(axis=0) * 2 >= len(sh)
-            out[i] = np.bitwise_or.reduce(
-                (votes.astype(np.uint64) << bits)
-            )
+        n = len(texts)
+        out = np.zeros(n, dtype=np.uint64)
+        hashes, w_off = _shingle_hashes_flat(texts)
+        W = len(hashes)
+        if W:
+            # simhash votes use SET semantics: dedup (doc, hash) pairs with
+            # one lexsort over the whole batch, then 64 per-bit bincount
+            # segment sums — no per-doc Python
+            doc = np.repeat(np.arange(n, dtype=np.int64), np.diff(w_off))
+            order = np.lexsort((hashes, doc))
+            h_s, d_s = hashes[order], doc[order]
+            uniq = np.ones(W, dtype=bool)
+            uniq[1:] = (h_s[1:] != h_s[:-1]) | (d_s[1:] != d_s[:-1])
+            hu, du = h_s[uniq], d_s[uniq]
+            per_doc = np.bincount(du, minlength=n)
+            for bit in range(64):
+                bitvals = ((hu >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+                votes = np.bincount(du, weights=bitvals, minlength=n)
+                out |= ((votes * 2 >= per_doc) & (per_doc > 0)).astype(
+                    np.uint64
+                ) << np.uint64(bit)
         return pd.Series(out.view(np.int64))
 
     return df.withColumn("simhash", sim_udf(F.col(text_col)))

@@ -534,9 +534,9 @@ def prune_pages_by_dictionary(pages_df: DataFrame, column: str, value) -> DataFr
             return pd.DataFrame([key])  # non-dict pages → cannot disprove
         r = dict_rows.iloc[0]
         blob = bytes(r["data"])
-        body = blob[1:]  # dict pages have no validity stream
-        if r["compression"] == "zlib":
-            body = _z.decompress(body)
+        from ..compression import decompress as _pd
+
+        body = _pd(blob[1:], r["compression"])  # dict pages have no validity stream
         uniques = decode_dict_chunk_page(body, r["ptype"])
         if r["ptype"] in _RT:
             if probe in set(uniques.to_pylist()):

@@ -146,10 +146,9 @@ def transcode_compression(pages: DataFrame, to: str | None) -> DataFrame:
                 vlen = int.from_bytes(blob[1:5], "little")
                 pos = 5 + vlen
             head, body = blob[:pos], blob[pos:]
-            if r.compression == "zlib":
-                body = zlib.decompress(body)
-            if to_label == "zlib":
-                body = zlib.compress(body, 6)
+            from ..compression import compress as _pc, decompress as _pdc
+
+            body = _pc(_pdc(body, r.compression), to_label)
             nb = head + body
             datas.append(nb)
             encs.append(len(nb))

@@ -305,3 +305,38 @@ def test_date_and_ntz_type_fidelity(spark):
     got = {r["id"]: (r["d"], r["t"]) for r in back.collect()}
     for rid, d, t in rows:
         assert got[rid] == (d, t)
+
+
+# -------------------------------------------------------- page compression
+
+
+@pytest.mark.parametrize("comp", ["zstd", "snappy", "lz4", "zlib", None])
+def test_page_compression_roundtrip(comp):
+    from pq_engine.kernels.ragged import RaggedBytes
+    from pq_engine.pages import decode_column, encode_column
+
+    rng = np.random.default_rng(5)
+    texts = [f"document body {i} " * int(rng.integers(1, 30)) for i in range(4000)]
+    col = RaggedBytes.from_pylist([t.encode() for t in texts])
+    out = encode_column(col, "string", codec="auto", page_compression=comp, page_rows=1000)
+    back, _ = decode_column(out)
+    assert back == col
+    if comp is not None:
+        raw = sum(m["raw_bytes"] for m, _ in out)
+        enc = sum(m["encoded_bytes"] for m, _ in out)
+        assert enc < 0.7 * raw
+
+
+def test_transcode_zlib_to_zstd(spark):
+    from pq_engine.spark.engine import table_ptypes
+    from pq_engine.spark.rewrite import transcode_compression
+
+    df = spark.createDataFrame(
+        [(i, f"value {i % 40} padding padding padding") for i in range(3000)],
+        "id long, s string",
+    ).coalesce(1)
+    pages = encode_table(df, page_compression="zlib")
+    re_pages = transcode_compression(pages, "zstd")
+    back = decode_table(re_pages, ["id", "s"], ptypes=table_ptypes(df))
+    assert back.count() == 3000
+    assert back.exceptAll(df).count() == 0
