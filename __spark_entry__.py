@@ -184,7 +184,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         df = _read(spark, sf_dir, "documents").select("doc_id", "lang")
         pages = encode_table(df, page_rows=64)  # many pages → real pruning
-        pruned = prune_pages_by_stats(pages, "lang", lo="de", hi="en")
+        # page-level RowRanges pruning (ColumnIndexFilter semantics): drops
+        # individual pages and slices decoded rows to the surviving ranges
+        pruned = prune_pages_by_stats(pages, "lang", lo="de", hi="en", level="page")
         out = decode_table(pruned, ["doc_id", "lang"], ptypes=table_ptypes(df))
         # stats pruning is conservative; exact residual filter on top (the
         # reference's record-level filter after the column-index level)

@@ -289,6 +289,7 @@ def encode_column(
                     "page": DICT_PAGE,
                     "codec": "dictpage",
                     "ptype": ptype,
+                    "first_row": -1,
                     "n_rows": len(chunk_uniques),
                     "null_count": 0,
                     "raw_bytes": 0,
@@ -339,6 +340,8 @@ def encode_column(
             "page": pi,
             "codec": page_codec,
             "ptype": ptype,
+            "first_row": r0,  # offset-index analog (OffsetIndexBuilder
+            # firstRowIndex) — enables page-level RowRanges pruning
             "n_rows": r1 - r0,
             "raw_bytes": plain_sz,
             "encoded_bytes": len(blob),

@@ -39,6 +39,7 @@ PAGE_SCHEMA = T.StructType(
         T.StructField("page", T.IntegerType(), False),
         T.StructField("codec", T.StringType(), False),
         T.StructField("ptype", T.StringType(), False),
+        T.StructField("first_row", T.LongType(), False),
         T.StructField("n_rows", T.LongType(), False),
         T.StructField("null_count", T.LongType(), False),
         T.StructField("raw_bytes", T.LongType(), False),
@@ -60,6 +61,7 @@ _PAGE_ARROW = pa.schema(
         ("page", pa.int32()),
         ("codec", pa.string()),
         ("ptype", pa.string()),
+        ("first_row", pa.int64()),
         ("n_rows", pa.int64()),
         ("null_count", pa.int64()),
         ("raw_bytes", pa.int64()),
@@ -239,7 +241,8 @@ def encode_table(
             else:
                 split = task_split
             rows = {k: [] for k in (
-                "split_id", "batch_id", "column", "page", "codec", "ptype", "n_rows",
+                "split_id", "batch_id", "column", "page", "codec", "ptype",
+                "first_row", "n_rows",
                 "null_count", "raw_bytes", "encoded_bytes", "crc32", "compression",
                 "min", "max", "ndv", "data",
             )}
@@ -252,7 +255,12 @@ def encode_table(
                     if keys is not None and len(keys):
                         from ..kernels.bloom import BlockSplitBloomFilter, optimal_num_bytes
 
-                        bf = BlockSplitBloomFilter(optimal_num_bytes(len(keys), 0.01))
+                        # adaptive sizing: size to OBSERVED ndv, not row count
+                        # (AdaptiveBlockSplitBloomFilter.java:40-100 semantics —
+                        # exact ndv is one np.unique here instead of the
+                        # reference's candidate ladder)
+                        ndv = len(np.unique(keys))
+                        bf = BlockSplitBloomFilter(optimal_num_bytes(ndv, 0.01))
                         bf.insert_u64(keys)
                         blob = bf.serialize()
                         rows["split_id"].append(split)
@@ -261,6 +269,7 @@ def encode_table(
                         rows["page"].append(-1)  # chunk-index row, not a data page
                         rows["codec"].append("bloom")
                         rows["ptype"].append(ptype)
+                        rows["first_row"].append(-1)
                         rows["n_rows"].append(len(keys))
                         rows["null_count"].append(0)
                         rows["raw_bytes"].append(0)
@@ -286,6 +295,7 @@ def encode_table(
                     rows["page"].append(meta["page"])
                     rows["codec"].append(meta["codec"])
                     rows["ptype"].append(meta["ptype"])
+                    rows["first_row"].append(meta["first_row"])
                     rows["n_rows"].append(meta["n_rows"])
                     rows["null_count"].append(meta["null_count"])
                     rows["raw_bytes"].append(meta["raw_bytes"])
@@ -395,6 +405,28 @@ def decode_table(
         import pyarrow.compute as pc
 
         tune_allocator()
+        # row-range rows (page = -3, one per surviving page range, emitted by
+        # page-level pruning): rows kept = AND over probe columns of the
+        # union of that column's ranges — ColumnIndexFilter.calculateRowRanges
+        # semantics (/root/reference/parquet-hadoop/.../ColumnIndexFilter.java:58-77)
+        rr = tbl.filter(pc.equal(tbl["codec"], "rowranges"))
+        range_groups = {}
+        for i in range(rr.num_rows):
+            fr = rr["first_row"][i].as_py()
+            range_groups.setdefault(rr["column"][i].as_py(), []).append(
+                (fr, fr + rr["n_rows"][i].as_py())
+            )
+
+        def keep_mask(row_idx):
+            keep = np.ones(len(row_idx), dtype=bool)
+            for ranges in range_groups.values():
+                ranges.sort()
+                los = np.array([r[0] for r in ranges], dtype=np.int64)
+                his = np.array([r[1] for r in ranges], dtype=np.int64)
+                j = np.searchsorted(los, row_idx, side="right") - 1
+                keep &= (j >= 0) & (row_idx < his[np.maximum(j, 0)])
+            return keep
+
         arrays = []
         for name in cols:
             # page >= -2 keeps the chunk dictionary page (-2); bloom index
@@ -418,6 +450,16 @@ def decode_table(
             ]
             values, validity = decode_column(pages, ptypes[name])
             arr = _values_to_arrow(values, validity, ptypes[name])
+            if range_groups:
+                # global row index of each decoded row, from the offset index
+                data = sub.filter(pc.greater_equal(sub["page"], 0))
+                frs = np.asarray(data["first_row"])
+                nrs = np.asarray(data["n_rows"])
+                row_idx = (
+                    np.repeat(frs - (np.cumsum(nrs) - nrs), nrs)
+                    + np.arange(int(nrs.sum()), dtype=np.int64)
+                )
+                arr = arr.filter(pa.array(keep_mask(row_idx)))
             arrays.append(arr.cast(arrow_schema.field(name).type))
         return pa.table(arrays, schema=arrow_schema)
 
@@ -433,6 +475,7 @@ def prune_pages_by_stats(
     lo=None,
     hi=None,
     numeric: bool = False,
+    level: str = "chunk",
 ) -> DataFrame:
     """Predicate pushdown on the page table — the engine-side analog of the
     reference's statistics/column-index filter stack (RowGroupFilter.java:
@@ -455,13 +498,67 @@ def prune_pages_by_stats(
         cond = cond & (F.col("max").isNull() | (mx >= F.lit(lo)))
     if hi is not None:
         cond = cond & (F.col("min").isNull() | (mn <= F.lit(hi)))
-    surviving = (
-        pages_df.filter((F.col("column") == column) & (F.col("page") >= 0))
-        .filter(cond)
-        .select("split_id", "batch_id")
-        .distinct()
+    probe = pages_df.filter((F.col("column") == column) & (F.col("page") >= 0))
+    if level == "chunk":
+        surviving = probe.filter(cond).select("split_id", "batch_id").distinct()
+        return pages_df.join(surviving, ["split_id", "batch_id"], "left_semi")
+
+    # level == "page": RowRanges pruning (ColumnIndexFilter.calculateRowRanges
+    # + OffsetIndex firstRowIndex semantics). Surviving row ranges of the
+    # probe column become page = -3 "rowranges" marker rows; OTHER columns
+    # keep only pages overlapping a surviving range, and decode_table slices
+    # each decoded column to the range union. Stacked prunes on DIFFERENT
+    # columns intersect (decode ANDs per-column unions); re-pruning the SAME
+    # column unions conservatively — exactness comes from the residual filter.
+    surv = probe.filter(cond).select(
+        "split_id", "batch_id", "ptype", "first_row", "n_rows"
     )
-    return pages_df.join(surviving, ["split_id", "batch_id"], "left_semi")
+    rmeta = surv.groupBy("split_id", "batch_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("first_row").alias("lo"),
+                (F.col("first_row") + F.col("n_rows")).alias("hi"),
+            )
+        ).alias("__ranges"),
+        F.count("*").alias("__n_surv"),
+    ).join(
+        probe.groupBy("split_id", "batch_id").agg(F.count("*").alias("__n_all")),
+        ["split_id", "batch_id"],
+    )
+    joined = pages_df.join(rmeta, ["split_id", "batch_id"], "inner")
+    overlap = F.exists(
+        "__ranges",
+        lambda r: (F.col("first_row") < r["hi"])
+        & ((F.col("first_row") + F.col("n_rows")) > r["lo"]),
+    )
+    kept = joined.filter((F.col("page") < 0) | overlap).drop(
+        "__ranges", "__n_surv", "__n_all"
+    )
+    # marker rows only for partially-surviving chunks (fully-surviving chunks
+    # need no decode-side slicing)
+    partial = rmeta.filter(F.col("__n_surv") < F.col("__n_all")).select(
+        "split_id", "batch_id"
+    )
+    ranges_rows = surv.join(partial, ["split_id", "batch_id"], "left_semi").select(
+        "split_id",
+        "batch_id",
+        F.lit(column).alias("column"),
+        F.lit(-3).cast("int").alias("page"),
+        F.lit("rowranges").alias("codec"),
+        F.col("ptype"),
+        F.col("first_row"),
+        F.col("n_rows"),
+        F.lit(0).cast("long").alias("null_count"),
+        F.lit(0).cast("long").alias("raw_bytes"),
+        F.lit(0).cast("long").alias("encoded_bytes"),
+        F.lit(0).cast("long").alias("crc32"),
+        F.lit("none").alias("compression"),
+        F.lit(None).cast("string").alias("min"),
+        F.lit(None).cast("string").alias("max"),
+        F.lit(-1).cast("long").alias("ndv"),
+        F.lit(b"").alias("data"),
+    )
+    return kept.unionByName(ranges_rows)
 
 
 def prune_pages_by_bloom(pages_df: DataFrame, column: str, value) -> DataFrame:

@@ -105,6 +105,7 @@ def mask_hash(pages: DataFrame, column: str) -> DataFrame:
                     "split_id": base["split_id"], "batch_id": base["batch_id"],
                     "column": base["column"], "page": meta["page"],
                     "codec": meta["codec"], "ptype": "string",
+                    "first_row": meta["first_row"],
                     "n_rows": meta["n_rows"], "null_count": meta["null_count"],
                     "raw_bytes": meta["raw_bytes"], "encoded_bytes": meta["encoded_bytes"],
                     "crc32": meta["crc32"], "compression": meta["compression"],
@@ -130,11 +131,13 @@ def transcode_compression(pages: DataFrame, to: str | None) -> DataFrame:
         out = pdf.copy()
         datas, encs, crcs, comps = [], [], [], []
         for r in pdf.itertuples():
-            comps.append(r.compression if r.page == -1 else to_label)
-            if r.compression == to_label or r.page == -1:
-                # bloom index rows are raw filter bytes (no page framing) —
-                # always page-level copied; dict pages (-2) transcode like
-                # data pages (same [validity-flag][body] framing)
+            raw_copy = r.page == -1 or r.codec == "rowranges"
+            comps.append(r.compression if raw_copy else to_label)
+            if r.compression == to_label or raw_copy:
+                # bloom index rows are raw filter bytes and rowranges markers
+                # are empty (no page framing) — always page-level copied;
+                # dict pages (-2) transcode like data pages (same
+                # [validity-flag][body] framing)
                 datas.append(bytes(r.data))
                 encs.append(int(r.encoded_bytes))
                 crcs.append(int(r.crc32))

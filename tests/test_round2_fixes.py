@@ -340,3 +340,73 @@ def test_transcode_zlib_to_zstd(spark):
     back = decode_table(re_pages, ["id", "s"], ptypes=table_ptypes(df))
     assert back.count() == 3000
     assert back.exceptAll(df).count() == 0
+
+
+def test_adaptive_bloom_sized_by_ndv(spark):
+    # 10k rows but only 5 distinct values → minimum-size filter, not 16 KiB
+    df = spark.createDataFrame(
+        [(i, f"k{i % 5}") for i in range(10_000)], "id long, s string"
+    ).coalesce(1)
+    pages = encode_table(df, with_bloom=True)
+    bloom = pages.filter((F.col("column") == "s") & (F.col("page") == -1)).collect()
+    assert len(bloom) == 1
+    assert bloom[0]["encoded_bytes"] <= 64  # ndv=5 → 32-byte minimum block
+    # and it still answers membership correctly
+    pruned = prune_pages_by_bloom(pages, "s", "k3")
+    assert pruned.count() > 0
+    assert prune_pages_by_bloom(pages, "s", "absent").count() == 0
+
+
+# --------------------------------------------------- page-level row ranges
+
+
+def test_page_level_pruning_drops_pages_not_chunks(spark):
+    from pq_engine.spark.engine import table_ptypes
+
+    # one chunk, 10 pages of 100 rows, sorted key → page stats disjoint
+    df = spark.createDataFrame(
+        [(i, f"k{i // 100:03d}") for i in range(1000)], "id long, s string"
+    ).coalesce(1)
+    pages = encode_table(df, page_rows=100).cache()
+    pruned = prune_pages_by_stats(pages, "s", lo="k003", hi="k004", level="page").cache()
+    # strictly fewer DATA pages survive than exist (the chunk itself survives)
+    total_pages = pages.filter(F.col("page") >= 0).count()
+    kept_pages = pruned.filter(F.col("page") >= 0).count()
+    assert kept_pages < total_pages
+    # the probe column keeps only its 2 overlapping pages (+ id pages overlap)
+    probe_kept = pruned.filter((F.col("column") == "s") & (F.col("page") >= 0)).count()
+    assert probe_kept == 2
+    # rowranges marker rows present
+    assert pruned.filter(F.col("codec") == "rowranges").count() == 2
+    # decode slices rows exactly to the surviving ranges
+    out = decode_table(pruned, ["id", "s"], ptypes=table_ptypes(df))
+    got = sorted(r["id"] for r in out.collect())
+    assert got == list(range(300, 500))
+    pages.unpersist()
+    pruned.unpersist()
+
+
+def test_page_level_pruning_misaligned_columns(spark):
+    """Columns page at different row boundaries (byte-capped text vs fixed
+    ids) — decode must still row-align via first_row."""
+    from pq_engine.spark.engine import table_ptypes
+
+    rows = [(i, "x" * 2000 if i % 3 == 0 else "y") for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, s string").coalesce(1)
+    # small byte cap → text pages cut at varying row counts
+    pages = encode_table(df, page_rows=200, page_bytes=50_000)
+    pruned = prune_pages_by_stats(pages, "id", lo=100, hi=250, numeric=True, level="page")
+    out = decode_table(pruned, ["id", "s"], ptypes=table_ptypes(df))
+    back = {r["id"]: r["s"] for r in out.collect()}
+    for i in range(100, 251):
+        assert back[i] == ("x" * 2000 if i % 3 == 0 else "y")
+    # conservative: everything kept matches no more than the page spans
+    assert set(back) >= set(range(100, 251))
+
+
+def test_page_level_pruning_fully_surviving_chunk_no_markers(spark):
+    df = spark.createDataFrame([(i, "same") for i in range(500)], "id long, s string").coalesce(1)
+    pages = encode_table(df, page_rows=100)
+    pruned = prune_pages_by_stats(pages, "s", lo="same", hi="same", level="page")
+    assert pruned.filter(F.col("codec") == "rowranges").count() == 0
+    assert pruned.filter(F.col("page") >= 0).count() == pages.filter(F.col("page") >= 0).count()
