@@ -287,6 +287,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return back.select("event_id", F.col("tsn").cast("string").alias("tsn_s"))
 
+    def rt_list(spark, sf_dir):
+        """LIST<float> round-trip via Dremel rep/def levels (nested shredding/
+        assembly, MessageColumnIO semantics), exploded for the value-hash."""
+        from pq_engine.spark.engine import decode_table, encode_table, table_ptypes
+
+        df = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        back = decode_table(
+            encode_table(df), ["vec_id", "embedding"], ptypes=table_ptypes(df)
+        )
+        return back.select(
+            "vec_id", F.posexplode("embedding").alias("pos", "val")
+        ).select("vec_id", "pos", F.col("val").cast("double").alias("val"))
+
     def media_meta(spark, sf_dir):
         from pq_engine.pipeline.multimodal import media_metadata
 
@@ -316,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_auto_text": _rt("documents", "text", "auto", ["doc_id"]),
         "rt_date_orderdate": rt_date,
         "rt_ts_ntz": rt_ts_ntz,
+        "rt_list_embedding": rt_list,
         # --- manifest / stats (SURVEY §2.6) ---
         "manifest_stats": manifest_stats,
         "encode_summary": encode_summary,  # rows-only (sizes not SQL-expressible)
@@ -364,6 +378,12 @@ def oracle_sql() -> dict[str, str]:
         "rt_auto_text": "SELECT doc_id, text FROM documents",
         "rt_date_orderdate": "SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS od_s FROM orders",
         "rt_ts_ntz": "SELECT event_id, CAST(ts AS VARCHAR) AS tsn_s FROM events",
+        "rt_list_embedding": """
+            SELECT vec_id,
+                   unnest(generate_series(1, len(embedding))) - 1 AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        """,
         "manifest_stats": """
             SELECT col_name, n_rows, null_count, ndv FROM (
               SELECT 'doc_id' AS col_name, COUNT(*)::BIGINT AS n_rows,

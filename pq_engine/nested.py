@@ -1,0 +1,239 @@
+"""LIST<primitive> columns via Dremel repetition/definition levels.
+
+Reference semantics: record shredding MessageColumnIO.java:177-421 and
+assembly RecordReaderImplementation.java:45-153
+(/root/reference/parquet-column/.../io/). For a single nesting level
+(`optional list of optional elements`, the standard parquet 3-level list)
+the level alphabet is:
+
+  def 0: list is NULL          (one level entry, no value)
+  def 1: list is EMPTY         (one level entry, no value)
+  def 2: element is NULL       (one level entry, no value)
+  def 3: element present       (one level entry, one value)
+  rep 0: first entry of a record; rep 1: subsequent elements
+
+Arrow's list layout (offsets + validity + child) already carries the same
+information, so levels are DERIVED vectorized from offsets/validity at encode
+and inverted at decode — no per-record Python. The level streams are stored
+uncompressed before the (optionally compressed) value body, the V2 data-page
+framing (DataPageV2.java:26-52).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+from . import compression as pagecomp
+from .kernels import rle
+
+
+class ListColumn:
+    """A decoded LIST column: ``offsets`` (int64[n+1], null/empty lists span
+    zero), ``list_validity`` (bool[n] or None), and the flattened child in
+    kernel form (``child_values`` = NON-NULL elements only, ``child_validity``
+    bool[total elements] or None)."""
+
+    __slots__ = ("offsets", "list_validity", "child_values", "child_validity")
+
+    def __init__(self, offsets, list_validity, child_values, child_validity):
+        self.offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+        self.list_validity = list_validity
+        self.child_values = child_values
+        self.child_validity = child_validity
+
+    def __len__(self) -> int:
+        return len(self.offsets) - 1
+
+    @property
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+
+def child_ptype(ptype: str) -> str:
+    assert ptype.startswith("list<") and ptype.endswith(">")
+    return ptype[5:-1]
+
+
+def build_levels(lens: np.ndarray, list_validity, child_validity):
+    """(rep, def) uint64 level streams from list lengths + validities —
+    all repeat/scatter, no per-record loop."""
+    n = len(lens)
+    entries = np.maximum(lens, 1)  # null/empty lists still emit ONE entry
+    e_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(entries, out=e_off[1:])
+    E = int(e_off[-1])
+    rep = np.ones(E, dtype=np.uint64)
+    rep[e_off[:-1]] = 0
+    d = np.full(E, 3, dtype=np.uint64)
+    empty_rows = lens == 0
+    if empty_rows.any():
+        d[e_off[:-1][empty_rows]] = 1
+    if list_validity is not None:
+        null_rows = ~np.asarray(list_validity, dtype=bool)
+        d[e_off[:-1][null_rows]] = 0
+    if child_validity is not None:
+        # positions of element entries in the level stream: rows with len>0
+        # occupy their natural element slots
+        elem_pos = np.repeat(e_off[:-1] - np.concatenate(([0], np.cumsum(lens)[:-1])), lens) + np.arange(
+            int(lens.sum()), dtype=np.int64
+        )
+        d[elem_pos[~np.asarray(child_validity, dtype=bool)]] = 2
+    return rep, d
+
+
+def levels_to_structure(rep: np.ndarray, d: np.ndarray):
+    """Invert build_levels: (lens, list_validity|None, child_validity|None)."""
+    starts = np.flatnonzero(rep == 0)
+    n = len(starts)
+    e_off = np.append(starts, len(rep))
+    entries = np.diff(e_off)
+    first_def = d[starts]
+    lens = entries.copy()
+    lens[(entries == 1) & (first_def < 2)] = 0
+    list_validity = None
+    if (first_def == 0).any():
+        list_validity = ~((entries == 1) & (first_def == 0))
+    elem_def = d[d >= 2]  # element entries in order
+    child_validity = None
+    if (elem_def == 2).any():
+        child_validity = elem_def == 3
+    return lens, list_validity, child_validity
+
+
+def encode_list_column(
+    col: ListColumn,
+    ptype: str,
+    codec: str = "auto",
+    page_rows: int = 20_480,
+    page_compression: str | None = None,
+) -> list[tuple[dict, bytes]]:
+    """Page-slice and encode a LIST column. Blob layout per page:
+    [flag=2][u32 rep_len][rep RLE w2][u32 def_len][def RLE w2][value body],
+    levels uncompressed (V2 framing), value body compressed."""
+    from .pages import _encode_values, _plain_size
+    from .stats import choose_codec, numeric_stats, ragged_stats
+
+    cp = child_ptype(ptype)
+    n = len(col)
+    if codec == "auto":
+        from .pages import RAGGED_TYPES
+
+        if cp in RAGGED_TYPES:
+            st = ragged_stats(col.child_values)
+        elif cp == "bool":
+            st = None
+        else:
+            st = numeric_stats(col.child_values)
+        codec = choose_codec(cp, st, page_compression) if st is not None else "rle"
+    if codec == "dict":
+        codec = "delta" if cp not in ("float32", "float64") else "plain"
+        # (chunk-dict for list children is future work; delta/plain are safe)
+
+    lens = col.lengths
+    # value index (non-null element count) at each element position
+    if col.child_validity is not None:
+        vcum = np.zeros(len(col.child_validity) + 1, dtype=np.int64)
+        np.cumsum(col.child_validity, out=vcum[1:])
+    out = []
+    for pi, r0 in enumerate(range(0, max(n, 1), page_rows)):
+        r1 = min(r0 + page_rows, n)
+        if r1 <= r0:
+            break
+        plens = lens[r0:r1]
+        lv = None if col.list_validity is None else col.list_validity[r0:r1]
+        e0, e1 = int(col.offsets[r0]), int(col.offsets[r1])
+        cv = None if col.child_validity is None else col.child_validity[e0:e1]
+        if col.child_validity is None:
+            v0, v1 = e0, e1
+        else:
+            v0, v1 = int(vcum[e0]), int(vcum[e1])
+        vals = _slice_child(col.child_values, cp, v0, v1)
+        rep, dfl = build_levels(plens, lv, cv)
+        rep_b = rle.encode_hybrid_length_prefixed(rep, 2)
+        def_b = rle.encode_hybrid_length_prefixed(dfl, 2)
+        body = pagecomp.compress(_encode_values(codec, cp, vals), page_compression)
+        blob = (
+            bytes([2])
+            + len(rep).to_bytes(4, "little")
+            + rep_b
+            + def_b
+            + body
+        )
+        meta = {
+            "page": pi,
+            "codec": codec,
+            "ptype": ptype,
+            "first_row": r0,
+            "n_rows": r1 - r0,
+            "null_count": int((~lv).sum()) if lv is not None else 0,
+            "raw_bytes": _plain_size(cp, vals) + 4 * (r1 - r0),
+            "encoded_bytes": len(blob),
+            "crc32": zlib.crc32(blob) & 0xFFFFFFFF,
+            "compression": page_compression or "none",
+            "min": None,
+            "max": None,
+            "ndv": -1,
+            **{},
+        }
+        out.append((meta, blob))
+    return out
+
+
+def _slice_child(values, cp: str, v0: int, v1: int):
+    from .kernels.ragged import RaggedBytes
+    from .pages import RAGGED_TYPES
+
+    if cp in RAGGED_TYPES:
+        return RaggedBytes(
+            values.offsets[v0 : v1 + 1] - values.offsets[v0],
+            values.data[values.offsets[v0] : values.offsets[v1]],
+        )
+    return values[v0:v1]
+
+
+def decode_list_pages(pages: list[tuple[dict, bytes]], ptype: str) -> ListColumn:
+    from .pages import _decode_values
+
+    cp = child_ptype(ptype)
+    lens_parts, lv_parts, cv_parts, val_parts = [], [], [], []
+    any_null_list = any_null_elem = False
+    for meta, blob in pages:
+        if zlib.crc32(blob) & 0xFFFFFFFF != meta["crc32"]:
+            raise IOError(f"list page {meta['page']} CRC mismatch")
+        assert blob[0] == 2, "not a list page"
+        n_entries = int.from_bytes(blob[1:5], "little")
+        mv = memoryview(blob)[5:]
+        rep, used1 = rle.decode_hybrid_length_prefixed(mv, 2, n_entries)
+        dfl, used2 = rle.decode_hybrid_length_prefixed(mv[used1:], 2, n_entries)
+        body = pagecomp.decompress(mv[used1 + used2 :], meta.get("compression", "none"))
+        lens, lv, cv = levels_to_structure(rep, dfl)
+        n_vals = int((dfl == 3).sum())
+        vals = _decode_values(meta["codec"], cp, body, n_vals)
+        lens_parts.append(lens)
+        lv_parts.append(
+            lv if lv is not None else np.ones(meta["n_rows"], dtype=bool)
+        )
+        any_null_list |= lv is not None
+        n_elems = int(lens.sum())
+        cv_parts.append(cv if cv is not None else np.ones(n_elems, dtype=bool))
+        any_null_elem |= cv is not None
+        val_parts.append(vals)
+    lens = np.concatenate(lens_parts) if lens_parts else np.zeros(0, np.int64)
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    from .pages import RAGGED_TYPES, _concat_ragged
+
+    if cp in RAGGED_TYPES:
+        child_values = _concat_ragged(val_parts)
+    else:
+        child_values = (
+            np.concatenate(val_parts) if val_parts else np.zeros(0)
+        )
+    return ListColumn(
+        offsets,
+        np.concatenate(lv_parts) if any_null_list else None,
+        child_values,
+        np.concatenate(cv_parts) if any_null_elem else None,
+    )

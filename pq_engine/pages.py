@@ -251,6 +251,14 @@ def encode_column(
     only, in order. ``validity``: bool array over all rows (None = no nulls).
     Returns [(manifest_row, blob)] per page.
     """
+    if ptype.startswith("list<"):
+        from .nested import encode_list_column
+
+        # list validity travels inside the ListColumn (Dremel def level 0)
+        return encode_list_column(
+            values, ptype, codec=codec, page_rows=page_rows,
+            page_compression=page_compression,
+        )
     n_rows = len(validity) if validity is not None else len(values)
     # choose codec once per batch from sampled stats (not per page)
     if codec == "auto":
@@ -393,6 +401,12 @@ def decode_column(pages: list[tuple[dict, bytes]], ptype: str | None = None):
     across pages in page order. ``ptype`` disambiguates the empty-input case."""
     if not pages:
         ptype = ptype or "int64"
+        if ptype.startswith("list<"):
+            from .nested import ListColumn, child_ptype
+
+            cp = child_ptype(ptype)
+            empty_child, _ = decode_column([], cp)
+            return ListColumn(np.zeros(1, np.int64), None, empty_child, None), None
         if ptype in RAGGED_TYPES:
             return RaggedBytes(np.zeros(1, np.int64), np.zeros(0, np.uint8)), None
         if ptype == "bool":
@@ -414,6 +428,10 @@ def decode_column(pages: list[tuple[dict, bytes]], ptype: str | None = None):
     pages = data_pages
     if not pages:
         return decode_column([], ptype)
+    if pages[0][0]["ptype"].startswith("list<"):
+        from .nested import decode_list_pages
+
+        return decode_list_pages(pages, pages[0][0]["ptype"]), None
     vals_parts = []
     valid_parts = []
     any_nulls = False

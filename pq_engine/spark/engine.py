@@ -77,6 +77,8 @@ _PAGE_ARROW = pa.schema(
 
 
 def spark_type_to_ptype(dt: T.DataType) -> str:
+    if isinstance(dt, T.ArrayType):
+        return f"list<{spark_type_to_ptype(dt.elementType)}>"
     if isinstance(dt, T.StringType):
         return "string"
     if isinstance(dt, T.BinaryType):
@@ -101,6 +103,8 @@ def spark_type_to_ptype(dt: T.DataType) -> str:
 
 
 def ptype_to_spark_type(ptype: str) -> T.DataType:
+    if ptype.startswith("list<"):
+        return T.ArrayType(ptype_to_spark_type(ptype[5:-1]))
     return {
         "string": T.StringType(),
         "binary": T.BinaryType(),
@@ -122,6 +126,19 @@ def _arrow_to_values(arr: pa.Array, ptype: str):
     """Split an Arrow array into (non-null values in kernel form, validity|None)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if ptype.startswith("list<"):
+        import pyarrow.compute as pc
+
+        from ..nested import ListColumn, child_ptype
+
+        cp = child_ptype(ptype)
+        lv = np.asarray(arr.is_valid()) if arr.null_count else None
+        lens = np.asarray(pc.list_value_length(arr).fill_null(0)).astype(np.int64)
+        offsets = np.zeros(len(arr) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        child = pc.list_flatten(arr)  # valid lists' elements, element nulls kept
+        cvals, cvalid = _arrow_to_values(child, cp)
+        return ListColumn(offsets, lv, cvals, cvalid), None
     validity = None
     if arr.null_count:
         validity = np.asarray(arr.is_valid())
@@ -141,6 +158,17 @@ def _arrow_to_values(arr: pa.Array, ptype: str):
 
 
 def _values_to_arrow(values, validity, ptype: str) -> pa.Array:
+    if ptype.startswith("list<"):
+        from ..nested import child_ptype
+
+        cp = child_ptype(ptype)
+        child_arr = _values_to_arrow(values.child_values, values.child_validity, cp)
+        offsets = pa.array(values.offsets.astype(np.int32), pa.int32())
+        if values.list_validity is None:
+            return pa.ListArray.from_arrays(offsets, child_arr)
+        return pa.ListArray.from_arrays(
+            offsets, child_arr, mask=pa.array(~values.list_validity)
+        )
     if ptype in RAGGED_TYPES:
         dense = values.to_arrow(large=False, binary=(ptype == "binary"))
     elif ptype in ("timestamp_us", "timestamp_ntz_us"):
@@ -184,14 +212,14 @@ def _widen_u64(arr: "np.ndarray") -> "np.ndarray":
 def _bloom_keys(values, ptype: str):
     """u64 keys for bloom hashing. Any deterministic map works (key
     collisions only raise FPP, never cause false negatives)."""
+    if ptype.startswith("list<") or ptype == "bool":
+        return None
     if ptype in RAGGED_TYPES:
         from ..kernels.bloom import ragged_keys
 
         if len(values) == 0 or float(values.lengths.mean()) > BLOOM_MAX_VALUE_LEN:
             return None
         return ragged_keys(values)
-    if ptype == "bool":
-        return None
     return _widen_u64(values)
 
 
