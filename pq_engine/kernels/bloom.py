@@ -107,6 +107,32 @@ class BlockSplitBloomFilter:
         return f
 
 
+def widen_u64(arr: np.ndarray) -> np.ndarray:
+    """Deterministically map any fixed-width numeric array to u64 keys.
+    32-bit types are WIDENED first (int32→int64, float32→float64 — exact);
+    viewing a 32-bit array as u64 directly would pair adjacent values (and
+    crash on odd lengths). Mirrors the reference hashing each value
+    individually (XxHash.java hashInt/hashFloat)."""
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype.itemsize == 4:
+        arr = arr.astype(np.int64) if arr.dtype.kind in "iu" else arr.astype(np.float64)
+    return arr.view(np.uint64)
+
+
+def key_for_value(value, ptype: str) -> int:
+    """Driver/CLI-side probe key (must match the encode path: narrow to the
+    column's physical dtype first, then widen identically)."""
+    from .ragged import RaggedBytes
+
+    if ptype in ("string", "binary"):
+        v = value.encode() if isinstance(value, str) else bytes(value)
+        return int(ragged_keys(RaggedBytes.from_pylist([v]))[0])
+    dt = {"int32": np.int32, "int64": np.int64, "timestamp_us": np.int64,
+          "date32": np.int32, "timestamp_ntz_us": np.int64,
+          "float32": np.float32, "float64": np.float64}[ptype]
+    return int(widen_u64(np.array([value], dtype=dt))[0])
+
+
 def ragged_keys(col) -> np.ndarray:
     """Stable u64 keys for variable-length values (pre-hash before bloom,
     mirroring hashBytes): FNV-1a over bytes, vectorized per position pass."""

@@ -197,18 +197,6 @@ BLOOM_MAX_VALUE_LEN = 64  # bloom only for lookup-sized values (reference:
 # blobs aren't bloom candidates; AdaptiveBlockSplitBloomFilter targets ids/keys)
 
 
-def _widen_u64(arr: "np.ndarray") -> "np.ndarray":
-    """Deterministically map any fixed-width numeric array to u64 keys.
-    32-bit types are WIDENED first (int32→int64, float32→float64 — exact);
-    viewing a 32-bit array as u64 directly would pair up adjacent values
-    (and crash on odd lengths). Mirrors the reference hashing each value
-    individually (XxHash.java hashInt/hashFloat)."""
-    arr = np.ascontiguousarray(arr)
-    if arr.dtype.itemsize == 4:
-        arr = arr.astype(np.int64) if arr.dtype.kind in "iu" else arr.astype(np.float64)
-    return arr.view(np.uint64)
-
-
 def _bloom_keys(values, ptype: str):
     """u64 keys for bloom hashing. Any deterministic map works (key
     collisions only raise FPP, never cause false negatives)."""
@@ -220,22 +208,17 @@ def _bloom_keys(values, ptype: str):
         if len(values) == 0 or float(values.lengths.mean()) > BLOOM_MAX_VALUE_LEN:
             return None
         return ragged_keys(values)
-    return _widen_u64(values)
+    from ..kernels.bloom import widen_u64
+
+    return widen_u64(values)
 
 
 def bloom_key_for_value(value, ptype: str):
     """Driver-side key for a probe value (must match _bloom_keys: narrow to
     the column's physical dtype first, then widen identically)."""
-    from ..kernels.bloom import ragged_keys
-    from ..kernels.ragged import RaggedBytes
+    from ..kernels.bloom import key_for_value
 
-    if ptype in RAGGED_TYPES:
-        v = value.encode() if isinstance(value, str) else bytes(value)
-        return int(ragged_keys(RaggedBytes.from_pylist([v]))[0])
-    dt = {"int32": np.int32, "int64": np.int64, "timestamp_us": np.int64,
-          "date32": np.int32, "timestamp_ntz_us": np.int64,
-          "float32": np.float32, "float64": np.float64}[ptype]
-    return int(_widen_u64(np.array([value], dtype=dt))[0])
+    return key_for_value(value, ptype)
 
 
 def encode_table(
