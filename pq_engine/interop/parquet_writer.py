@@ -40,6 +40,19 @@ ENC_RLE_DICT = 8
 ENC_BSS = 9
 PAGE_DATA = 0
 PAGE_DICT = 2
+# CompressionCodecName.java:26-33 / parquet-format CompressionCodec enum
+CODEC_ENUM = {None: 0, "none": 0, "snappy": 1, "gzip": 2, "zstd": 6}
+
+
+def _compress_body(body: bytes, compression: str | None) -> bytes:
+    if compression in (None, "none"):
+        return body
+    import pyarrow as pa
+
+    # pyarrow's codecs emit exactly the stream formats parquet expects
+    # (raw snappy / gzip member / zstd frame) — same codecs its own parquet
+    # writer uses
+    return bytes(pa.Codec(compression).compress(body))
 
 
 def _encode_values(ptype: str, codec: str, vals):
@@ -93,7 +106,8 @@ def _parquet_dba(col: RaggedBytes) -> bytes:
     return delta.encode_delta(prefixes.astype(np.int32)) + _parquet_dlba(suffixes)
 
 
-def _page_header(page_type: int, n_values: int, enc: int, size: int) -> bytes:
+def _page_header(page_type: int, n_values: int, enc: int, raw_size: int,
+                 comp_size: int | None = None) -> bytes:
     inner = StructWriter().i32(1, n_values).i32(2, enc)
     if page_type == PAGE_DATA:
         inner.i32(3, ENC_RLE).i32(4, ENC_RLE)  # def/rep level encodings
@@ -103,16 +117,19 @@ def _page_header(page_type: int, n_values: int, enc: int, size: int) -> bytes:
     return (
         StructWriter()
         .i32(1, page_type)
-        .i32(2, size)
-        .i32(3, size)  # uncompressed == compressed (no page codec)
+        .i32(2, raw_size)
+        .i32(3, comp_size if comp_size is not None else raw_size)
         .struct(field, inner)
         .finish()
     )
 
 
-def write_parquet(path: str, columns: list[dict], n_rows: int) -> None:
+def write_parquet(path: str, columns: list[dict], n_rows: int,
+                  compression: str | None = None) -> None:
     """columns: [{name, ptype, codec, values (np array | RaggedBytes),
-    validity (bool array | None)}]. Single row group."""
+    validity (bool array | None)}]. Single row group. ``compression``
+    applies the parquet page codec (snappy/gzip/zstd) to every page body,
+    exactly as CompressionCodecName selects in the reference."""
     out = bytearray(MAGIC)
     chunks = []
     for col in columns:
@@ -134,8 +151,11 @@ def write_parquet(path: str, columns: list[dict], n_rows: int) -> None:
         if dict_info is not None:
             dict_bytes, n_uniques = dict_info
             dict_off = len(out)
-            out += _page_header(PAGE_DICT, n_uniques, ENC_PLAIN, len(dict_bytes))
-            out += dict_bytes
+            comp_dict = _compress_body(dict_bytes, compression)
+            out += _page_header(
+                PAGE_DICT, n_uniques, ENC_PLAIN, len(dict_bytes), len(comp_dict)
+            )
+            out += comp_dict
             encodings.append(ENC_PLAIN)
 
         # V1 data page: [def levels (u32-prefixed RLE)] + values
@@ -147,18 +167,20 @@ def write_parquet(path: str, columns: list[dict], n_rows: int) -> None:
             levels = b""
         page_body = levels + body
         data_off = len(out)
-        out += _page_header(PAGE_DATA, n_rows, enc, len(page_body))
-        out += page_body
+        comp_body = _compress_body(page_body, compression)
+        out += _page_header(PAGE_DATA, n_rows, enc, len(page_body), len(comp_body))
+        out += comp_body
         encodings.append(enc)
 
+        raw_total = len(page_body) + (len(dict_bytes) if dict_info else 0)
         meta = (
             StructWriter()
             .i32(1, TYPE[ptype])
             .list_i32(2, sorted(set(encodings)))
             .list_string(3, [name])
-            .i32(4, 0)  # UNCOMPRESSED
+            .i32(4, CODEC_ENUM[compression])
             .i64(5, n_rows)
-            .i64(6, len(out) - chunk_start)
+            .i64(6, raw_total)
             .i64(7, len(out) - chunk_start)
             .i64(9, data_off)
         )

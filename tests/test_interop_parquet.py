@@ -172,3 +172,38 @@ def test_fsst_not_in_format(tmp_path):
             [{"name": "v", "ptype": "string", "codec": "fsst", "values": vals}],
             1,
         )
+
+
+@pytest.mark.parametrize("compression", ["snappy", "gzip", "zstd"])
+def test_compressed_file_decodes_in_pyarrow_and_duckdb(tmp_path, compression):
+    """In-file page compression codecs (CompressionCodecName analog): both
+    independent readers must decode our compressed pages bit-identically."""
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pq_engine.interop.parquet_writer import write_parquet
+    from pq_engine.kernels.ragged import RaggedBytes
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    ints = rng.integers(-10**9, 10**9, size=n).astype(np.int64)
+    langs = ["en", "de", "fr", "zh"]
+    texts = RaggedBytes.from_pylist(
+        [f"value {langs[i % 4]} {i}".encode() for i in range(n)]
+    )
+    path = str(tmp_path / f"c_{compression}.parquet")
+    write_parquet(
+        path,
+        [
+            {"name": "v", "ptype": "int64", "codec": "delta", "values": ints},
+            {"name": "t", "ptype": "string", "codec": "dict", "values": texts},
+        ],
+        n,
+        compression=compression,
+    )
+    t = pq.read_table(path)
+    assert t["v"].to_pylist() == ints.tolist()
+    assert t["t"].to_pylist() == [b.decode() for b in texts.to_pylist()]
+    rows = duckdb.sql(f"SELECT count(*), sum(v) FROM read_parquet('{path}')").fetchone()
+    assert rows[0] == n and rows[1] == int(ints.sum())
