@@ -177,10 +177,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     hot buckets capped (``bucket_cap``, see _cap_buckets) so a web-scale
     boilerplate cluster can't explode the candidate join."""
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, n_hashes, shingle_k).select(id_col, "sig")
+    sigs = minhash_signatures(df, text_col, n_hashes, shingle_k).select(
+        F.col(id_col).alias("id"), "sig"
+    )
+    # the banded frame is SLIM — (id, band, bucket) only. Carrying the
+    # n_hashes*8-byte signature through explode(bands) + self-join multiplies
+    # shuffle volume ~100x; signatures are re-joined per deduped candidate id
+    # instead (two cheap equi-joins on id at candidate-set size).
     banded = sigs.select(
-        F.col(id_col).alias("id"),
-        "sig",
+        "id",
         F.explode(
             F.array(*[
                 F.struct(
@@ -190,20 +195,20 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
     banded = _cap_buckets(banded, ["band", "bucket"], bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.join(
+        sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(
+        sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b"
     )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -211,7 +216,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         lambda acc, v: acc + v,
     ).cast("double") / F.lit(n_hashes)
     return (
-        cand.withColumn("sim_est", F.round(est, 6))
+        pairs.withColumn("sim_est", F.round(est, 6))
         .filter(F.col("sim_est") >= threshold)
         .select("id_a", "id_b", "sim_est")
     )
