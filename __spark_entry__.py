@@ -300,6 +300,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", F.posexplode("embedding").alias("pos", "val")
         ).select("vec_id", "pos", F.col("val").cast("double").alias("val"))
 
+    def rt_struct(spark, sf_dir):
+        """STRUCT round-trip via record shredding (MessageColumnIO group
+        semantics): struct shredded to dotted-path leaves + __defined level,
+        reassembled on decode, output flattened for the value-hash."""
+        from pq_engine.spark.engine import table_ptypes
+        from pq_engine.spark.shred import decode_shredded, encode_shredded, shred
+
+        df = _read(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_orderstatus").alias("st"),
+                F.col("o_totalprice").alias("tp"),
+            ).alias("s"),
+        )
+        flat, _ = shred(df)
+        pages, spec = encode_shredded(df)
+        back = decode_shredded(pages, spec, table_ptypes(flat))
+        return back.select(
+            "o_orderkey",
+            F.col("s.st").alias("st"),
+            F.col("s.tp").alias("tp"),
+        )
+
+    def rt_map(spark, sf_dir):
+        """MAP round-trip via the parquet 3-level map group (key_value lists
+        over the Dremel LIST encoder), exploded for the value-hash."""
+        from pq_engine.spark.engine import table_ptypes
+        from pq_engine.spark.shred import decode_shredded, encode_shredded, shred
+
+        df = _read(spark, sf_dir, "documents").select(
+            "doc_id", F.create_map(F.col("lang"), F.col("n_chars")).alias("m")
+        )
+        flat, _ = shred(df)
+        pages, spec = encode_shredded(df)
+        back = decode_shredded(pages, spec, table_ptypes(flat))
+        return back.select("doc_id", F.explode("m").alias("mk", "mv"))
+
     def media_meta(spark, sf_dir):
         from pq_engine.pipeline.multimodal import media_metadata
 
@@ -330,6 +367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_date_orderdate": rt_date,
         "rt_ts_ntz": rt_ts_ntz,
         "rt_list_embedding": rt_list,
+        "rt_struct_order": rt_struct,
+        "rt_map_langlen": rt_map,
         # --- manifest / stats (SURVEY §2.6) ---
         "manifest_stats": manifest_stats,
         "encode_summary": encode_summary,  # rows-only (sizes not SQL-expressible)
@@ -384,6 +423,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(unnest(embedding) AS DOUBLE) AS val
             FROM embeddings
         """,
+        "rt_struct_order": "SELECT o_orderkey, o_orderstatus AS st, o_totalprice AS tp FROM orders",
+        "rt_map_langlen": "SELECT doc_id, lang AS mk, n_chars AS mv FROM documents",
         "manifest_stats": """
             SELECT col_name, n_rows, null_count, ndv FROM (
               SELECT 'doc_id' AS col_name, COUNT(*)::BIGINT AS n_rows,

@@ -128,8 +128,11 @@ def encode_list_column(
             st = numeric_stats(col.child_values)
         codec = choose_codec(cp, st, page_compression) if st is not None else "rle"
     if codec == "dict":
-        codec = "delta" if cp not in ("float32", "float64") else "plain"
-        # (chunk-dict for list children is future work; delta/plain are safe)
+        # chunk-dict for list children is future work; fall to the type's
+        # non-dict codec (same table as the dict-size rail)
+        from .pages import _dict_fallback_codec
+
+        codec = _dict_fallback_codec(cp, page_compression)
 
     lens = col.lengths
     # value index (non-null element count) at each element position

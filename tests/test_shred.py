@@ -1,0 +1,79 @@
+"""STRUCT/MAP shredding round-trips (MessageColumnIO group-shredding analog)."""
+
+import pytest
+from pyspark.sql import Row, functions as F, types as T
+
+from pq_engine.spark.engine import table_ptypes
+from pq_engine.spark.shred import assemble, decode_shredded, encode_shredded, shred
+
+
+def _roundtrip(df):
+    flat, spec = shred(df)
+    ptypes = table_ptypes(flat)
+    pages, spec2 = encode_shredded(df)
+    return decode_shredded(pages, spec2, ptypes)
+
+
+def test_struct_roundtrip_with_null_struct(spark):
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("s", T.StructType([
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+        ])),
+    ])
+    rows = [
+        (1, (10, "x")),
+        (2, None),             # NULL struct — distinct from...
+        (3, (None, None)),     # ...struct of NULLs
+        (4, (40, None)),
+    ]
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    back = _roundtrip(df)
+    assert back.schema["s"].dataType == schema["s"].dataType
+    got = {r["id"]: r["s"] for r in back.collect()}
+    assert got[1] == Row(a=10, b="x")
+    assert got[2] is None
+    assert got[3] == Row(a=None, b=None)
+    assert got[4] == Row(a=40, b=None)
+
+
+def test_map_roundtrip_null_and_empty(spark):
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+    ])
+    rows = [(1, {"a": 1, "b": 2}), (2, {}), (3, None), (4, {"z": None})]
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    back = _roundtrip(df)
+    assert back.schema["m"].dataType == schema["m"].dataType
+    got = {r["id"]: r["m"] for r in back.collect()}
+    assert got[1] == {"a": 1, "b": 2}
+    assert got[2] == {}
+    assert got[3] is None
+    assert got[4] == {"z": None}
+
+
+def test_mixed_struct_map_plain(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 2, f"n{i}"), {f"k{i % 3}": float(i)}) for i in range(500)],
+        "id long, s struct<a:long,b:string>, m map<string,double>",
+    ).coalesce(1)
+    back = _roundtrip(df)
+    assert back.count() == 500
+
+    def canon(d):
+        return d.select(
+            "id", "s", F.explode(F.col("m")).alias("mk", "mv")
+        )
+
+    assert canon(back).exceptAll(canon(df)).count() == 0
+    assert canon(df).exceptAll(canon(back)).count() == 0
+
+
+def test_deeper_nesting_rejected(spark):
+    df = spark.createDataFrame(
+        [(1, ((2,),))], "id long, s struct<inner:struct<x:long>>"
+    )
+    with pytest.raises(TypeError):
+        shred(df)
