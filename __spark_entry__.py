@@ -337,6 +337,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         back = decode_shredded(pages, spec, table_ptypes(flat))
         return back.select("doc_id", F.explode("m").alias("mk", "mv"))
 
+    def rt_decimal(spark, sf_dir):
+        """DECIMAL(10,2) round-trip via the unscaled-int64 physical mapping
+        (LogicalTypeAnnotation.DecimalLogicalTypeAnnotation analog)."""
+        from pq_engine.spark.engine import decode_table, encode_table, table_ptypes
+
+        df = _read(spark, sf_dir, "documents").select(
+            "doc_id", F.col("n_chars").cast("decimal(10,2)").alias("dv")
+        )
+        back = decode_table(
+            encode_table(df), ["doc_id", "dv"], ptypes=table_ptypes(df)
+        )
+        return back.select("doc_id", F.col("dv").cast("string").alias("dv_s"))
+
     def media_meta(spark, sf_dir):
         from pq_engine.pipeline.multimodal import media_metadata
 
@@ -369,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_list_embedding": rt_list,
         "rt_struct_order": rt_struct,
         "rt_map_langlen": rt_map,
+        "rt_decimal_nchars": rt_decimal,
         # --- manifest / stats (SURVEY §2.6) ---
         "manifest_stats": manifest_stats,
         "encode_summary": encode_summary,  # rows-only (sizes not SQL-expressible)
@@ -425,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rt_struct_order": "SELECT o_orderkey, o_orderstatus AS st, o_totalprice AS tp FROM orders",
         "rt_map_langlen": "SELECT doc_id, lang AS mk, n_chars AS mv FROM documents",
+        "rt_decimal_nchars": "SELECT doc_id, CAST(CAST(n_chars AS DECIMAL(10,2)) AS VARCHAR) AS dv_s FROM documents",
         "manifest_stats": """
             SELECT col_name, n_rows, null_count, ndv FROM (
               SELECT 'doc_id' AS col_name, COUNT(*)::BIGINT AS n_rows,

@@ -127,6 +127,8 @@ def key_for_value(value, ptype: str) -> int:
     if ptype in ("string", "binary"):
         v = value.encode() if isinstance(value, str) else bytes(value)
         return int(ragged_keys(RaggedBytes.from_pylist([v]))[0])
+    if ptype.startswith("decimal64["):
+        ptype = "int64"  # probe with the UNSCALED int
     dt = {"int32": np.int32, "int64": np.int64, "timestamp_us": np.int64,
           "date32": np.int32, "timestamp_ntz_us": np.int64,
           "float32": np.float32, "float64": np.float64}[ptype]

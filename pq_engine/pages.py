@@ -50,10 +50,19 @@ _NUMERIC = {
 RAGGED_TYPES = ("string", "binary")
 
 
+def kernel_ptype(ptype: str) -> str:
+    """Physical kernel type of a logical ptype: DECIMAL(p<=18,s) is stored as
+    its unscaled int64 (the reference's int32/int64 decimal physical mapping,
+    LogicalTypeAnnotation.DecimalLogicalTypeAnnotation); everything else is
+    its own kernel type."""
+    return "int64" if ptype.startswith("decimal64[") else ptype
+
+
 # ------------------------------------------------------------------ codecs
 
 
 def _encode_values(codec: str, ptype: str, vals) -> bytes:
+    ptype = kernel_ptype(ptype)
     if ptype == "bool":
         if codec == "rle":
             return rle.encode_bool_rle(vals)
@@ -78,6 +87,7 @@ def _encode_values(codec: str, ptype: str, vals) -> bytes:
 
 
 def _decode_values(codec: str, ptype: str, buf, count: int):
+    ptype = kernel_ptype(ptype)
     if ptype == "bool":
         if codec == "rle":
             return rle.decode_bool_rle(buf, count)
@@ -123,6 +133,7 @@ def encode_dict_chunk_page(uniques, ptype: str) -> bytes:
 
 
 def decode_dict_chunk_page(buf, ptype: str):
+    ptype = kernel_ptype(ptype)
     nuniq = int.from_bytes(bytes(buf[:4]), "little")
     if ptype in RAGGED_TYPES:
         return dictionary.decode_dict_page_bytes(memoryview(buf)[4:], nuniq)
@@ -174,6 +185,7 @@ BLOB_STATS_CUTOFF = 512  # bytes; like the reference, omit stats for oversized
 
 
 def _page_stats(ptype: str, vals, null_count: int) -> dict:
+    ptype = kernel_ptype(ptype)  # decimal stats are the UNSCALED int bounds
     if ptype in RAGGED_TYPES:
         import pyarrow.compute as pc
 
@@ -229,6 +241,7 @@ def _page_stats(ptype: str, vals, null_count: int) -> dict:
 
 
 def _plain_size(ptype: str, vals) -> int:
+    ptype = kernel_ptype(ptype)
     if ptype in RAGGED_TYPES:
         return int(vals.lengths.sum()) + 4 * len(vals)
     if ptype == "bool":
@@ -260,21 +273,22 @@ def encode_column(
             page_compression=page_compression,
         )
     n_rows = len(validity) if validity is not None else len(values)
+    kp = kernel_ptype(ptype)
     # choose codec once per batch from sampled stats (not per page)
     if codec == "auto":
-        st = ragged_stats(values) if ptype in RAGGED_TYPES else (
-            numeric_stats(values) if ptype != "bool" else None
+        st = ragged_stats(values) if kp in RAGGED_TYPES else (
+            numeric_stats(values) if kp != "bool" else None
         )
-        codec = choose_codec(ptype, st, page_compression) if st is not None else "rle"
+        codec = choose_codec(kp, st, page_compression) if st is not None else "rle"
 
     # chunk-level dictionary: ONE factorize + ONE dict page shared by every
     # data page of this column chunk (ColumnWriterBase.finalizeColumnChunk
     # semantics) — per-page dictionaries paid ~4x on small pages (VERDICT r1)
     chunk_codes = chunk_uniques = None
     if codec == "dict":
-        if ptype == "bool":
+        if kp == "bool":
             codec = "rle"
-        elif ptype in RAGGED_TYPES:
+        elif kp in RAGGED_TYPES:
             chunk_codes, chunk_uniques = dictionary.factorize_bytes(values)
         else:
             chunk_codes, chunk_uniques = dictionary.factorize_numeric(values)
@@ -282,7 +296,7 @@ def encode_column(
             dict_body = encode_dict_chunk_page(chunk_uniques, ptype)
             if len(dict_body) - 4 > DICT_PAGE_SIZE_THRESHOLD:
                 # dict-size fallback (ParquetProperties.java:51, 1 MiB)
-                codec = _dict_fallback_codec(ptype, page_compression)
+                codec = _dict_fallback_codec(kp, page_compression)
                 chunk_codes = chunk_uniques = None
 
     # page row boundaries over ALL rows (nulls occupy rows but not values)
@@ -333,8 +347,8 @@ def encode_column(
         else:
             body = _encode_values(codec, ptype, vals)
         page_codec = codec
-        plain_sz = _plain_size(ptype, vals)
-        if codec not in ("plain", "dict") and len(body) >= plain_sz and ptype != "bool":
+        plain_sz = _plain_size(kp, vals)
+        if codec not in ("plain", "dict") and len(body) >= plain_sz and kp != "bool":
             body = _encode_values("plain", ptype, vals)
             page_codec = "plain"
 
@@ -400,7 +414,7 @@ def decode_column(pages: list[tuple[dict, bytes]], ptype: str | None = None):
     """Inverse of encode_column: returns (values, validity|None) concatenated
     across pages in page order. ``ptype`` disambiguates the empty-input case."""
     if not pages:
-        ptype = ptype or "int64"
+        ptype = kernel_ptype(ptype or "int64")
         if ptype.startswith("list<"):
             from .nested import ListColumn, child_ptype
 

@@ -99,12 +99,21 @@ def spark_type_to_ptype(dt: T.DataType) -> str:
         return "bool"
     if isinstance(dt, T.DateType):
         return "date32"  # distinct from int32: decode restores DateType
+    if isinstance(dt, T.DecimalType):
+        if dt.precision <= 18:
+            # unscaled int64 physical mapping (LogicalTypeAnnotation
+            # DecimalLogicalTypeAnnotation; int32/int64-backed decimals)
+            return f"decimal64[{dt.precision},{dt.scale}]"
+        raise TypeError(f"decimal precision > 18 unsupported: {dt}")
     raise TypeError(f"unsupported Spark type for encoding: {dt}")
 
 
 def ptype_to_spark_type(ptype: str) -> T.DataType:
     if ptype.startswith("list<"):
         return T.ArrayType(ptype_to_spark_type(ptype[5:-1]))
+    if ptype.startswith("decimal64["):
+        p, sc = map(int, ptype[10:-1].split(","))
+        return T.DecimalType(p, sc)
     return {
         "string": T.StringType(),
         "binary": T.BinaryType(),
@@ -151,6 +160,12 @@ def _arrow_to_values(arr: pa.Array, ptype: str):
         return vals.astype(np.int64, copy=False), validity
     if ptype == "date32":
         return np.asarray(arr.cast(pa.int32())), validity
+    if ptype.startswith("decimal64["):
+        # decimal128 storage IS the unscaled int128 LE; precision <= 18 fits
+        # the low word (sign carried by two's complement)
+        words = np.frombuffer(arr.buffers()[1], dtype="<u8").reshape(-1, 2)
+        lo = words[arr.offset : arr.offset + len(arr), 0]
+        return lo.view(np.int64).astype(np.int64), validity
     if ptype == "bool":
         return np.asarray(arr), validity
     np_dtype = {"int32": np.int32, "int64": np.int64, "float32": np.float32, "float64": np.float64}[ptype]
@@ -175,6 +190,15 @@ def _values_to_arrow(values, validity, ptype: str) -> pa.Array:
         dense = pa.array(values.astype("datetime64[us]"))
     elif ptype == "date32":
         dense = pa.array(values.astype(np.int32, copy=False)).cast(pa.date32())
+    elif ptype.startswith("decimal64["):
+        p, sc = map(int, ptype[10:-1].split(","))
+        v = values.astype(np.int64)
+        words = np.zeros((len(v), 2), dtype=np.uint64)
+        words[:, 0] = v.view(np.uint64)
+        words[:, 1] = np.where(v < 0, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64(0))
+        dense = pa.Array.from_buffers(
+            pa.decimal128(p, sc), len(v), [None, pa.py_buffer(words.tobytes())]
+        )
     else:
         dense = pa.array(values)
     if validity is None:
@@ -224,7 +248,7 @@ def bloom_key_for_value(value, ptype: str):
 def encode_table(
     df: DataFrame,
     columns: list[str] | None = None,
-    codec: str = "auto",
+    codec: str | dict[str, str] = "auto",
     page_rows: int = PAGE_ROWS,
     page_bytes: int = PAGE_BYTES,
     page_compression: str | None = None,
@@ -237,9 +261,17 @@ def encode_table(
     caller set up (use :func:`repartition_for_encode` for skew control).
     ``split_col``: optional int column carrying a stable split id (used by the
     resumable job so ids survive the resume anti-join's reshuffle); when
-    absent the task partition id is used."""
+    absent the task partition id is used.
+
+    ``codec``: one codec name for every column, or a per-column override map
+    {column: codec} with "auto" for unlisted columns — the reference's
+    per-column writer configuration (ParquetProperties.Builder
+    withDictionary(path, bool) / encoding overrides)."""
     cols = columns or [f.name for f in df.schema.fields if f.name != split_col]
     ptypes = {f.name: spark_type_to_ptype(f.dataType) for f in df.schema.fields if f.name in cols}
+    codec_of = (
+        (lambda c: codec.get(c, "auto")) if isinstance(codec, dict) else (lambda c: codec)
+    )
 
     def encode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         tune_allocator()
@@ -295,7 +327,7 @@ def encode_table(
                     values,
                     ptype,
                     validity=validity,
-                    codec=codec,
+                    codec=codec_of(name),
                     page_rows=page_rows,
                     page_bytes=page_bytes,
                     page_compression=page_compression,

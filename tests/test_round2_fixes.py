@@ -410,3 +410,48 @@ def test_page_level_pruning_fully_surviving_chunk_no_markers(spark):
     pruned = prune_pages_by_stats(pages, "s", lo="same", hi="same", level="page")
     assert pruned.filter(F.col("codec") == "rowranges").count() == 0
     assert pruned.filter(F.col("page") >= 0).count() == pages.filter(F.col("page") >= 0).count()
+
+
+def test_per_column_codec_overrides(spark):
+    """Per-column writer configuration (ParquetProperties.Builder analog)."""
+    from pq_engine.spark.engine import table_ptypes
+
+    df = spark.createDataFrame(
+        [(i, f"text value {i}", f"k{i % 4}") for i in range(2000)],
+        "id long, t string, k string",
+    ).coalesce(1)
+    pages = encode_table(df, codec={"t": "fsst", "k": "dict"}).cache()
+    codecs = {
+        r["column"]: r["codec"]
+        for r in pages.filter(F.col("page") == 0).select("column", "codec").collect()
+    }
+    assert codecs["t"] == "fsst" and codecs["k"] == "dict"
+    back = decode_table(pages, ["id", "t", "k"], ptypes=table_ptypes(df))
+    assert back.exceptAll(df).count() == 0
+    pages.unpersist()
+
+
+def test_decimal_roundtrip(spark):
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from pq_engine.spark.engine import table_ptypes
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("d", T.DecimalType(12, 2)),
+    ])
+    rows = [
+        (1, Decimal("12345.67")),
+        (2, Decimal("-0.01")),
+        (3, None),
+        (4, Decimal("9999999999.99")),
+        (5, Decimal("0.00")),
+    ]
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    back = decode_table(encode_table(df), ["id", "d"], ptypes=table_ptypes(df))
+    assert back.schema["d"].dataType == T.DecimalType(12, 2)
+    got = {r["id"]: r["d"] for r in back.collect()}
+    for rid, d in rows:
+        assert got[rid] == d
