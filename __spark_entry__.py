@@ -362,6 +362,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("media_meta.kind").alias("kind"),
         )
 
+    def media_features(spark, sf_dir):
+        """mapInPandas feature-extraction plumbing over binary media (decode
+        stubbed with the deterministic fake — rows-only check)."""
+        from pq_engine.pipeline.multimodal import extract_features
+
+        df = _read(spark, sf_dir, "documents").withColumn(
+            "blob", F.encode(F.col("text"), "utf-8")
+        )
+        out = extract_features(df, "blob", feature_dim=16, deterministic_fake=True)
+        return out.select(
+            "doc_id",
+            F.size("features").alias("dim"),
+            F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 3).alias("fsum"),
+        )
+
+    def frame_plan(spark, sf_dir):
+        """Video frame-sampling plan (explode shape, no decode) — offsets are
+        pure arithmetic, so this one IS oracle-able."""
+        from pq_engine.pipeline.multimodal import frame_sample_plan
+
+        df = _read(spark, sf_dir, "documents").withColumn(
+            "blob", F.encode(F.col("text"), "utf-8")
+        )
+        return frame_sample_plan(df, "blob", every_n=10).select(
+            "doc_id", "frame_idx", "frame_offset"
+        )
+
     return {
         # --- codec round-trips (bit-identity per encoding, SURVEY §2.1) ---
         "rt_dict_lang": _rt("documents", "lang", "dict", ["doc_id"]),
@@ -405,6 +432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": minhash_pairs,  # rows-only (LSH banding)
         "simhash_pairs": simhash_pairs,  # rows-only (LSH banding)
         "media_metadata": media_meta,
+        "media_features": media_features,  # rows-only (stubbed decode, fake features)
+        "frame_plan": frame_plan,
     }
 
 
@@ -524,6 +553,16 @@ def oracle_sql() -> dict[str, str]:
         "media_metadata": """
             SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
                    'unknown' AS kind
+            FROM documents
+        """,
+        "frame_plan": """
+            SELECT doc_id,
+                   unnest(generate_series(
+                       0, greatest(CAST(floor(octet_length(encode(text)) / 4096.0) AS INT), 1) - 1, 10
+                   )) AS frame_idx,
+                   unnest(generate_series(
+                       0, greatest(CAST(floor(octet_length(encode(text)) / 4096.0) AS INT), 1) - 1, 10
+                   )) * 4096 AS frame_offset
             FROM documents
         """,
     }
