@@ -129,11 +129,19 @@ def write_parquet(path: str, columns: list[dict], n_rows: int,
     """columns: [{name, ptype, codec, values (np array | RaggedBytes),
     validity (bool array | None)}]. Single row group. ``compression``
     applies the parquet page codec (snappy/gzip/zstd) to every page body,
-    exactly as CompressionCodecName selects in the reference."""
+    exactly as CompressionCodecName selects in the reference.
+
+    ``ptype`` may be ``list<child>`` with ``values`` a nested.ListColumn —
+    written as the standard 3-level LIST group (optional group (LIST) /
+    repeated group list / optional element) with true rep/def level streams,
+    proving the Dremel levels of nested.py against independent readers."""
     out = bytearray(MAGIC)
     chunks = []
     for col in columns:
         name, ptype, codec = col["name"], col["ptype"], col["codec"]
+        if ptype.startswith("list<"):
+            chunks.append(_write_list_chunk(out, col, n_rows, compression))
+            continue
         vals, validity = col["values"], col.get("validity")
         chunk_start = len(out)
         dict_off = None
@@ -195,6 +203,18 @@ def write_parquet(path: str, columns: list[dict], n_rows: int,
     )  # repetition REQUIRED(0) is ignored on root but duckdb wants it present
     schema = [root]
     for col in columns:
+        if col["ptype"].startswith("list<"):
+            cp = col["ptype"][5:-1]
+            # optional group name (LIST) / repeated group list / optional element
+            schema.append(
+                StructWriter().i32(3, 1).string(4, col["name"]).i32(5, 1).i32(6, 3)
+            )
+            schema.append(StructWriter().i32(3, 2).string(4, "list").i32(5, 1))
+            el = StructWriter().i32(1, TYPE[cp]).i32(3, 1).string(4, "element")
+            if cp == "string":
+                el.i32(6, 0)  # ConvertedType UTF8
+            schema.append(el)
+            continue
         se = StructWriter().i32(1, TYPE[col["ptype"]])
         se.i32(3, 1 if col.get("validity") is not None else 0)
         se.string(4, col["name"])
@@ -221,3 +241,58 @@ def write_parquet(path: str, columns: list[dict], n_rows: int,
     out += MAGIC
     with open(path, "wb") as f:
         f.write(out)
+
+
+def _list_page_header(n_values: int, enc: int, raw_size: int, comp_size: int) -> bytes:
+    inner = (
+        StructWriter().i32(1, n_values).i32(2, enc).i32(3, ENC_RLE).i32(4, ENC_RLE)
+    )
+    return (
+        StructWriter()
+        .i32(1, PAGE_DATA)
+        .i32(2, raw_size)
+        .i32(3, comp_size)
+        .struct(5, inner)
+        .finish()
+    )
+
+
+def _write_list_chunk(out: bytearray, col: dict, n_rows: int,
+                      compression: str | None):
+    """One column chunk for a 3-level LIST: V1 data page =
+    [rep RLE u32-prefixed][def RLE u32-prefixed][PLAIN child values].
+    Levels from nested.build_levels — max_rep 1, max_def 3 (null list /
+    empty list / null element / present)."""
+    from ..nested import build_levels
+
+    name = col["name"]
+    cp = col["ptype"][5:-1]
+    lc = col["values"]  # nested.ListColumn
+    rep, dfl = build_levels(lc.lengths, lc.list_validity, lc.child_validity)
+    rep_b = rle.encode_hybrid_length_prefixed(rep, 1)
+    def_b = rle.encode_hybrid_length_prefixed(dfl, 2)
+    if cp in ("string", "binary"):
+        body = plain.encode_plain_bytes(lc.child_values)
+    elif cp == "bool":
+        body = plain.encode_plain_bool(lc.child_values)
+    else:
+        body = plain.encode_plain_numeric(lc.child_values)
+    page_body = rep_b + def_b + body
+    comp_body = _compress_body(page_body, compression)
+    chunk_start = len(out)
+    data_off = len(out)
+    out += _list_page_header(len(rep), ENC_PLAIN, len(page_body), len(comp_body))
+    out += comp_body
+    meta = (
+        StructWriter()
+        .i32(1, TYPE[cp])
+        .list_i32(2, sorted({ENC_RLE, ENC_PLAIN}))
+        .list_string(3, [name, "list", "element"])
+        .i32(4, CODEC_ENUM[compression])
+        .i64(5, len(rep))
+        .i64(6, len(page_body))
+        .i64(7, len(out) - chunk_start)
+        .i64(9, data_off)
+    )
+    cc = StructWriter().i64(2, chunk_start).struct(3, meta)
+    return (cc, len(out) - chunk_start)
