@@ -251,6 +251,15 @@ def encode_fsst_tokens(col: RaggedBytes, table: SymbolTable):
     nz = lens > 0
     frontier = col.offsets[:-1][nz]
     fends = col.offsets[1:][nz]
+    if 0 < len(frontier) < 1024:
+        # few long strings: the wave frontier is too small to amortize a
+        # NumPy call per round (measured 90 s on 200x64 KiB blobs) — match
+        # every position in ONE vectorized call and parse over the result
+        code, mlen = _match_at(padded, rem8, table, np.arange(n, dtype=np.int64))
+        positions = _parse(mlen, frontier, fends, n)
+        codes = code[positions]
+        string_id = np.searchsorted(col.offsets, positions, side="right") - 1
+        return positions, codes, string_id
     pos_waves, code_waves = [], []
     while len(frontier):
         c, m = _match_at(padded, rem8, table, frontier)

@@ -27,7 +27,10 @@ def test_oracle_keys_subset_of_queries():
     os_ = set(entrymod.oracle_sql())
     assert os_ <= qs
     # every non-oracle query is a documented approximate/rows-only op
-    assert qs - os_ == {"ann_lsh_top10", "encode_summary", "minhash_pairs", "simhash_pairs"}
+    assert qs - os_ == {
+        "ann_lsh_top10", "encode_summary", "minhash_pairs", "simhash_pairs",
+        "media_features",
+    }
 
 
 @pytest.mark.parametrize(
