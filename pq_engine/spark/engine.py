@@ -245,6 +245,94 @@ def bloom_key_for_value(value, ptype: str):
     return key_for_value(value, ptype)
 
 
+def _encode_arrow_batch(
+    batch: pa.RecordBatch,
+    cols: list[str],
+    ptypes: dict[str, str],
+    codec_of,
+    split: int,
+    bi: int,
+    page_rows: int,
+    page_bytes: int,
+    page_compression: str | None,
+    with_bloom: bool,
+) -> pa.RecordBatch:
+    """Encode one Arrow batch into page-table rows — the worker-side core
+    shared by encode_table (JVM-fed batches) and encode_parquet_files
+    (worker-side parquet reads)."""
+    rows = {k: [] for k in (
+        "split_id", "batch_id", "column", "page", "codec", "ptype",
+        "first_row", "n_rows",
+        "null_count", "raw_bytes", "encoded_bytes", "crc32", "compression",
+        "min", "max", "ndv", "data",
+    )}
+    for name in cols:
+        ptype = ptypes[name]
+        arr = batch.column(batch.schema.get_field_index(name))
+        values, validity = _arrow_to_values(arr, ptype)
+        if with_bloom:
+            keys = _bloom_keys(values, ptype)
+            if keys is not None and len(keys):
+                from ..kernels.bloom import BlockSplitBloomFilter, optimal_num_bytes
+
+                # adaptive sizing: size to OBSERVED ndv, not row count
+                # (AdaptiveBlockSplitBloomFilter.java:40-100 semantics —
+                # exact ndv is one np.unique here instead of the
+                # reference's candidate ladder)
+                ndv = len(np.unique(keys))
+                bf = BlockSplitBloomFilter(optimal_num_bytes(ndv, 0.01))
+                bf.insert_u64(keys)
+                blob = bf.serialize()
+                rows["split_id"].append(split)
+                rows["batch_id"].append(bi)
+                rows["column"].append(name)
+                rows["page"].append(-1)  # chunk-index row, not a data page
+                rows["codec"].append("bloom")
+                rows["ptype"].append(ptype)
+                rows["first_row"].append(-1)
+                rows["n_rows"].append(len(keys))
+                rows["null_count"].append(0)
+                rows["raw_bytes"].append(0)
+                rows["encoded_bytes"].append(len(blob))
+                rows["crc32"].append(0)
+                rows["compression"].append("none")
+                rows["min"].append(None)
+                rows["max"].append(None)
+                rows["ndv"].append(-1)
+                rows["data"].append(blob)
+        for meta, blob in encode_column(
+            values,
+            ptype,
+            validity=validity,
+            codec=codec_of(name),
+            page_rows=page_rows,
+            page_bytes=page_bytes,
+            page_compression=page_compression,
+        ):
+            rows["split_id"].append(split)
+            rows["batch_id"].append(bi)
+            rows["column"].append(name)
+            rows["page"].append(meta["page"])
+            rows["codec"].append(meta["codec"])
+            rows["ptype"].append(meta["ptype"])
+            rows["first_row"].append(meta["first_row"])
+            rows["n_rows"].append(meta["n_rows"])
+            rows["null_count"].append(meta["null_count"])
+            rows["raw_bytes"].append(meta["raw_bytes"])
+            rows["encoded_bytes"].append(meta["encoded_bytes"])
+            rows["crc32"].append(meta["crc32"])
+            rows["compression"].append(meta["compression"])
+            rows["min"].append(meta["min"])
+            rows["max"].append(meta["max"])
+            rows["ndv"].append(meta["ndv"])
+            rows["data"].append(blob)
+    return pa.RecordBatch.from_pydict(rows, schema=_PAGE_ARROW)
+
+
+def _codec_of(codec):
+    return (lambda c: codec.get(c, "auto")) if isinstance(codec, dict) else (lambda c: codec)
+
+
 def encode_table(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -269,9 +357,7 @@ def encode_table(
     withDictionary(path, bool) / encoding overrides)."""
     cols = columns or [f.name for f in df.schema.fields if f.name != split_col]
     ptypes = {f.name: spark_type_to_ptype(f.dataType) for f in df.schema.fields if f.name in cols}
-    codec_of = (
-        (lambda c: codec.get(c, "auto")) if isinstance(codec, dict) else (lambda c: codec)
-    )
+    codec_of = _codec_of(codec)
 
     def encode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         tune_allocator()
@@ -283,75 +369,113 @@ def encode_table(
                 split = int(batch.column(batch.schema.get_field_index(split_col))[0].as_py())
             else:
                 split = task_split
-            rows = {k: [] for k in (
-                "split_id", "batch_id", "column", "page", "codec", "ptype",
-                "first_row", "n_rows",
-                "null_count", "raw_bytes", "encoded_bytes", "crc32", "compression",
-                "min", "max", "ndv", "data",
-            )}
-            for name in cols:
-                ptype = ptypes[name]
-                arr = batch.column(batch.schema.get_field_index(name))
-                values, validity = _arrow_to_values(arr, ptype)
-                if with_bloom:
-                    keys = _bloom_keys(values, ptype)
-                    if keys is not None and len(keys):
-                        from ..kernels.bloom import BlockSplitBloomFilter, optimal_num_bytes
-
-                        # adaptive sizing: size to OBSERVED ndv, not row count
-                        # (AdaptiveBlockSplitBloomFilter.java:40-100 semantics —
-                        # exact ndv is one np.unique here instead of the
-                        # reference's candidate ladder)
-                        ndv = len(np.unique(keys))
-                        bf = BlockSplitBloomFilter(optimal_num_bytes(ndv, 0.01))
-                        bf.insert_u64(keys)
-                        blob = bf.serialize()
-                        rows["split_id"].append(split)
-                        rows["batch_id"].append(bi)
-                        rows["column"].append(name)
-                        rows["page"].append(-1)  # chunk-index row, not a data page
-                        rows["codec"].append("bloom")
-                        rows["ptype"].append(ptype)
-                        rows["first_row"].append(-1)
-                        rows["n_rows"].append(len(keys))
-                        rows["null_count"].append(0)
-                        rows["raw_bytes"].append(0)
-                        rows["encoded_bytes"].append(len(blob))
-                        rows["crc32"].append(0)
-                        rows["compression"].append("none")
-                        rows["min"].append(None)
-                        rows["max"].append(None)
-                        rows["ndv"].append(-1)
-                        rows["data"].append(blob)
-                for meta, blob in encode_column(
-                    values,
-                    ptype,
-                    validity=validity,
-                    codec=codec_of(name),
-                    page_rows=page_rows,
-                    page_bytes=page_bytes,
-                    page_compression=page_compression,
-                ):
-                    rows["split_id"].append(split)
-                    rows["batch_id"].append(bi)
-                    rows["column"].append(name)
-                    rows["page"].append(meta["page"])
-                    rows["codec"].append(meta["codec"])
-                    rows["ptype"].append(meta["ptype"])
-                    rows["first_row"].append(meta["first_row"])
-                    rows["n_rows"].append(meta["n_rows"])
-                    rows["null_count"].append(meta["null_count"])
-                    rows["raw_bytes"].append(meta["raw_bytes"])
-                    rows["encoded_bytes"].append(meta["encoded_bytes"])
-                    rows["crc32"].append(meta["crc32"])
-                    rows["compression"].append(meta["compression"])
-                    rows["min"].append(meta["min"])
-                    rows["max"].append(meta["max"])
-                    rows["ndv"].append(meta["ndv"])
-                    rows["data"].append(blob)
-            yield pa.RecordBatch.from_pydict(rows, schema=_PAGE_ARROW)
+            yield _encode_arrow_batch(
+                batch, cols, ptypes, codec_of, split, bi,
+                page_rows, page_bytes, page_compression, with_bloom,
+            )
 
     return df.mapInArrow(encode_batches, PAGE_SCHEMA)
+
+
+def arrow_type_to_ptype(t: pa.DataType) -> str:
+    """Arrow-schema → ptype map for worker-side parquet reads (no Spark
+    schema in the loop)."""
+    import pyarrow.types as pt
+
+    if pt.is_large_string(t) or pt.is_string(t):
+        return "string"
+    if pt.is_large_binary(t) or pt.is_binary(t):
+        return "binary"
+    if pt.is_int32(t):
+        return "int32"
+    if pt.is_int64(t):
+        return "int64"
+    if pt.is_float32(t):
+        return "float32"
+    if pt.is_float64(t):
+        return "float64"
+    if pt.is_timestamp(t):
+        return "timestamp_us" if t.tz is not None else "timestamp_ntz_us"
+    if pt.is_date32(t):
+        return "date32"
+    if pt.is_boolean(t):
+        return "bool"
+    if pt.is_decimal(t):
+        if t.precision <= 18:
+            return f"decimal64[{t.precision},{t.scale}]"
+        raise TypeError(f"decimal precision > 18 unsupported: {t}")
+    if pt.is_list(t) or pt.is_large_list(t):
+        return f"list<{arrow_type_to_ptype(t.value_type)}>"
+    raise TypeError(f"unsupported arrow type for encoding: {t}")
+
+
+def encode_parquet_files(
+    spark: SparkSession,
+    input_path: str,
+    columns: list[str] | None = None,
+    codec: str | dict[str, str] = "auto",
+    page_rows: int = PAGE_ROWS,
+    page_bytes: int = PAGE_BYTES,
+    page_compression: str | None = None,
+    with_bloom: bool = False,
+    batch_rows: int = 65_536,
+) -> DataFrame:
+    """Encode parquet files with WORKER-SIDE reads: the driver distributes
+    only (split_id, path) rows; each task opens its own files with pyarrow's
+    C++ reader and encodes the batches in place. This is the
+    ParquetInputFormat split model (one split per file; row-group granularity
+    within), and it skips the JVM→Python Arrow transport entirely — on this
+    host that transport costs more than the encode itself (BENCH/BASELINE.md
+    §2). At cluster scale it is also the natural shape: every executor reads
+    its own splits from object storage.
+
+    Timestamps are read as their parquet logical type (isAdjustedToUTC →
+    timestamp_us, else timestamp_ntz_us)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    if _os.path.isdir(input_path):
+        files = sorted(_glob.glob(_os.path.join(input_path, "*.parquet")))
+    else:
+        files = [input_path]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_path}")
+    schema = pq.read_schema(files[0])
+    cols = columns or [n for n in schema.names]
+    ptypes = {n: arrow_type_to_ptype(schema.field(n).type) for n in cols}
+    codec_of = _codec_of(codec)
+
+    # splits at ROW-GROUP granularity (ParquetInputFormat: splits ≈ row
+    # groups) — one footer read per file on the driver, metadata-sized
+    splits = []
+    for f in files:
+        for rg in range(pq.ParquetFile(f).metadata.num_row_groups):
+            splits.append((len(splits), f, rg))
+    paths_df = spark.createDataFrame(
+        splits, "split_id int, path string, rg int"
+    ).repartition(len(splits), "split_id")
+
+    def encode_files(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tune_allocator()
+        import pyarrow.parquet as _pq
+
+        for b in it:
+            for row in range(b.num_rows):
+                split = int(b.column(0)[row].as_py())
+                path = b.column(1)[row].as_py()
+                rg = int(b.column(2)[row].as_py())
+                pf = _pq.ParquetFile(path)
+                for bi, batch in enumerate(
+                    pf.iter_batches(batch_size=batch_rows, columns=cols, row_groups=[rg])
+                ):
+                    yield _encode_arrow_batch(
+                        batch, cols, ptypes, codec_of, split, bi,
+                        page_rows, page_bytes, page_compression, with_bloom,
+                    )
+
+    return paths_df.mapInArrow(encode_files, PAGE_SCHEMA)
 
 
 def repartition_for_encode(

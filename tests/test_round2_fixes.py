@@ -455,3 +455,22 @@ def test_decimal_roundtrip(spark):
     got = {r["id"]: r["d"] for r in back.collect()}
     for rid, d in rows:
         assert got[rid] == d
+
+
+# ------------------------------------------------- worker-side parquet read
+
+
+def test_encode_parquet_files_matches_encode_table(spark):
+    from pq_engine.spark.engine import encode_parquet_files, table_ptypes
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    pages = encode_parquet_files(spark, src)
+    df = spark.read.parquet(src)
+    back = decode_table(
+        pages, ["doc_id", "text", "lang", "source", "n_chars"],
+        ptypes=table_ptypes(df),
+    )
+    assert back.count() == df.count()
+    assert back.exceptAll(df).count() == 0
+    # splits = files, batch-granular chunks
+    assert pages.select("split_id").distinct().count() >= 1
