@@ -419,6 +419,7 @@ def encode_parquet_files(
     page_compression: str | None = None,
     with_bloom: bool = False,
     batch_rows: int = 65_536,
+    exclude_splits: set[int] | None = None,
 ) -> DataFrame:
     """Encode parquet files with WORKER-SIDE reads: the driver distributes
     only (split_id, path) rows; each task opens its own files with pyarrow's
@@ -450,9 +451,14 @@ def encode_parquet_files(
     # splits at ROW-GROUP granularity (ParquetInputFormat: splits ≈ row
     # groups) — one footer read per file on the driver, metadata-sized
     splits = []
+    sid = 0
     for f in files:
         for rg in range(pq.ParquetFile(f).metadata.num_row_groups):
-            splits.append((len(splits), f, rg))
+            if not exclude_splits or sid not in exclude_splits:
+                splits.append((sid, f, rg))
+            sid += 1
+    if not splits:
+        return spark.createDataFrame([], PAGE_SCHEMA)
     paths_df = spark.createDataFrame(
         splits, "split_id int, path string, rg int"
     ).repartition(len(splits), "split_id")
@@ -894,6 +900,21 @@ def run_encode_job(
         page_compression=page_compression,
         split_col="__split",
     )
+    cols = columns or [f.name for f in df.schema.fields if f.name != "__split"]
+    schema_rows = [(c, spark_type_to_ptype(df.schema[c].dataType)) for c in cols]
+    return _finish_encode_job(spark, pages_df, out_dir, schema_rows, sink_partitions)
+
+
+def _finish_encode_job(
+    spark: SparkSession,
+    pages_df: DataFrame,
+    out_dir: str,
+    schema_rows: list[tuple[str, str]],
+    sink_partitions: int | None,
+) -> dict:
+    pages_path = os.path.join(out_dir, "pages")
+    lineage_path = os.path.join(out_dir, "lineage")
+    schema_path = os.path.join(out_dir, "schema")
     n_sink = sink_partitions or spark.sparkContext.defaultParallelism
     (
         pages_df.repartition(n_sink, "column", "split_id")
@@ -905,8 +926,6 @@ def run_encode_job(
 
     # (column → ptype) manifest: decode_table(ptypes=read_job_ptypes(...))
     # never needs a metadata job over the page table
-    cols = columns or [f.name for f in df.schema.fields if f.name != "__split"]
-    schema_rows = [(c, spark_type_to_ptype(df.schema[c].dataType)) for c in cols]
     spark.createDataFrame(schema_rows, "column string, ptype string").coalesce(
         1
     ).write.mode("overwrite").parquet(schema_path)
@@ -927,6 +946,52 @@ def run_encode_job(
         "lineage_path": lineage_path,
         "schema_path": schema_path,
     }
+
+
+def run_encode_files_job(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    columns: list[str] | None = None,
+    codec: str | dict[str, str] = "auto",
+    page_compression: str | None = None,
+    with_bloom: bool = False,
+    sink_partitions: int | None = None,
+) -> dict:
+    """The worker-read variant of :func:`run_encode_job`: encodes parquet
+    files via :func:`encode_parquet_files` (splits = row groups, no
+    JVM→Python transport) with the same lineage checkpoint + idempotent
+    resume — split ids are (file, row-group) ordinals, stable across runs,
+    so completed splits are simply excluded from the driver's split list."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    lineage_path = os.path.join(out_dir, "lineage")
+    done: set[int] = set()
+    try:
+        done = {
+            r["split_id"]
+            for r in spark.read.parquet(lineage_path).select("split_id").collect()
+        }
+    except Exception:
+        pass
+    pages_df = encode_parquet_files(
+        spark,
+        input_path,
+        columns=columns,
+        codec=codec,
+        page_compression=page_compression,
+        with_bloom=with_bloom,
+        exclude_splits=done,
+    )
+    first = sorted(_glob.glob(os.path.join(input_path, "*.parquet"))) if os.path.isdir(
+        input_path
+    ) else [input_path]
+    schema = _pq.read_schema(first[0])
+    cols = columns or list(schema.names)
+    schema_rows = [(c, arrow_type_to_ptype(schema.field(c).type)) for c in cols]
+    return _finish_encode_job(spark, pages_df, out_dir, schema_rows, sink_partitions)
 
 
 def read_job_ptypes(spark: SparkSession, out_dir: str) -> dict[str, str]:

@@ -474,3 +474,33 @@ def test_encode_parquet_files_matches_encode_table(spark):
     assert back.exceptAll(df).count() == 0
     # splits = files, batch-granular chunks
     assert pages.select("split_id").distinct().count() >= 1
+
+
+def test_run_encode_files_job_resume(spark, tmp_path):
+    import pyarrow.parquet as pq_
+    import pyarrow as pa_
+
+    from pq_engine.spark.engine import read_job_ptypes, run_encode_files_job
+
+    src = str(tmp_path / "src")
+    import os
+
+    os.makedirs(src)
+    # two files = two splits
+    for i in range(2):
+        t = pa_.table({"id": list(range(i * 100, i * 100 + 100)),
+                       "s": [f"v{j % 9}" for j in range(100)]})
+        pq_.write_table(t, f"{src}/part-{i}.parquet")
+    out = str(tmp_path / "job")
+    r1 = run_encode_files_job(spark, src, out)
+    assert r1["pages"] > 0
+    # resume: nothing left to do, no duplicate pages
+    r2 = run_encode_files_job(spark, src, out)
+    pages = spark.read.parquet(r2["pages_path"])
+    dup = (
+        pages.groupBy("split_id", "batch_id", "column", "page")
+        .count().filter("count > 1").count()
+    )
+    assert dup == 0
+    back = decode_table(pages, ["id", "s"], ptypes=read_job_ptypes(spark, out))
+    assert back.count() == 200

@@ -23,23 +23,35 @@ def main() -> None:
     ap.add_argument("--salt-key", default=None)
     ap.add_argument("--salt-buckets", type=int, default=1)
     ap.add_argument("--page-compression", default=None)
+    ap.add_argument(
+        "--worker-reads", action="store_true",
+        help="worker-side parquet reads (splits = row groups, no JVM->Python "
+             "transport) — the fast path when the input needs no reshuffle; "
+             "use the default JVM-fed path when salting/repartitioning",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
-    from pq_engine.spark.engine import run_encode_job
+    from pq_engine.spark.engine import run_encode_files_job, run_encode_job
 
     spark = SparkSession.builder.appName("pq_encode").getOrCreate()
-    df = spark.read.parquet(args.input)
-    summary = run_encode_job(
-        spark,
-        df,
-        args.output,
-        num_partitions=args.partitions,
-        key=args.salt_key,
-        salt_buckets=args.salt_buckets,
-        page_compression=args.page_compression,
-    )
+    if args.worker_reads:
+        summary = run_encode_files_job(
+            spark, args.input, args.output,
+            page_compression=args.page_compression,
+        )
+    else:
+        df = spark.read.parquet(args.input)
+        summary = run_encode_job(
+            spark,
+            df,
+            args.output,
+            num_partitions=args.partitions,
+            key=args.salt_key,
+            salt_buckets=args.salt_buckets,
+            page_compression=args.page_compression,
+        )
     print(json.dumps(summary))
     spark.stop()
 
