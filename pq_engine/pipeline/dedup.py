@@ -180,6 +180,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     sigs = minhash_signatures(df, text_col, n_hashes, shingle_k).select(
         F.col(id_col).alias("id"), "sig"
     )
+    # the signature frame is used three times (banding + both sides of the
+    # candidate re-join); persist so the shingle/UDF pass runs once — at
+    # corpus scale this is the standard materialize-signatures stage
+    # (~n_hashes*8 B per doc, MEMORY_AND_DISK, evicted under pressure)
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     # the banded frame is SLIM — (id, band, bucket) only. Carrying the
     # n_hashes*8-byte signature through explode(bands) + self-join multiplies
     # shuffle volume ~100x; signatures are re-joined per deduped candidate id

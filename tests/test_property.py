@@ -68,3 +68,47 @@ def test_page_roundtrip_strings_auto(vals):
     out = pages.encode_column(col, "string", codec="auto", page_rows=48)
     got, _ = pages.decode_column(out, ptype="string")
     assert got == col
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(st.none(), st.integers(-2**62, 2**62)), max_size=6
+            ),
+        ),
+        max_size=60,
+    ),
+    st.integers(1, 3).map(lambda k: 10 * k),
+)
+@settings(max_examples=40, deadline=None)
+def test_list_levels_roundtrip_property(rows, page_rows):
+    """Any mix of null lists / empty lists / null elements round-trips
+    through the Dremel level streams at any page size."""
+    import numpy as np
+
+    from pq_engine.nested import ListColumn, decode_list_pages, encode_list_column
+
+    lens = np.array([len(r) if r is not None else 0 for r in rows], dtype=np.int64)
+    offsets = np.zeros(len(rows) + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    lv = np.array([r is not None for r in rows]) if any(r is None for r in rows) else None
+    elems = [e for r in rows if r is not None for e in r]
+    cv = (
+        np.array([e is not None for e in elems])
+        if any(e is None for e in elems)
+        else None
+    )
+    child = np.array([e for e in elems if e is not None], dtype=np.int64)
+    col = ListColumn(offsets, lv, child, cv)
+    pages = encode_list_column(col, "list<int64>", page_rows=page_rows)
+    back = decode_list_pages(pages, "list<int64>")
+    assert np.array_equal(back.offsets, col.offsets)
+    assert (back.list_validity is None and lv is None) or np.array_equal(
+        back.list_validity, lv
+    )
+    assert (back.child_validity is None and cv is None) or np.array_equal(
+        back.child_validity, cv
+    )
+    assert np.array_equal(back.child_values, child)
