@@ -40,6 +40,7 @@ ENC_RLE_DICT = 8
 ENC_BSS = 9
 PAGE_DATA = 0
 PAGE_DICT = 2
+PAGE_DATA_V2 = 3
 # CompressionCodecName.java:26-33 / parquet-format CompressionCodec enum
 CODEC_ENUM = {None: 0, "none": 0, "snappy": 1, "gzip": 2, "zstd": 6}
 
@@ -125,7 +126,8 @@ def _page_header(page_type: int, n_values: int, enc: int, raw_size: int,
 
 
 def write_parquet(path: str, columns: list[dict], n_rows: int,
-                  compression: str | None = None) -> None:
+                  compression: str | None = None,
+                  page_version: int = 1) -> None:
     """columns: [{name, ptype, codec, values (np array | RaggedBytes),
     validity (bool array | None)}]. Single row group. ``compression``
     applies the parquet page codec (snappy/gzip/zstd) to every page body,
@@ -134,7 +136,11 @@ def write_parquet(path: str, columns: list[dict], n_rows: int,
     ``ptype`` may be ``list<child>`` with ``values`` a nested.ListColumn —
     written as the standard 3-level LIST group (optional group (LIST) /
     repeated group list / optional element) with true rep/def level streams,
-    proving the Dremel levels of nested.py against independent readers."""
+    proving the Dremel levels of nested.py against independent readers.
+
+    ``page_version=2`` writes DataPageV2 (DataPageV2.java:26-52 semantics):
+    def levels stored UNCOMPRESSED outside the compressed value region, with
+    explicit num_nulls/num_rows and level byte lengths in the header."""
     out = bytearray(MAGIC)
     chunks = []
     for col in columns:
@@ -166,21 +172,42 @@ def write_parquet(path: str, columns: list[dict], n_rows: int,
             out += comp_dict
             encodings.append(ENC_PLAIN)
 
-        # V1 data page: [def levels (u32-prefixed RLE)] + values
-        if validity is not None:
-            levels = rle.encode_hybrid_length_prefixed(
-                np.asarray(validity).astype(np.uint64), 1
-            )
-        else:
-            levels = b""
-        page_body = levels + body
         data_off = len(out)
-        comp_body = _compress_body(page_body, compression)
-        out += _page_header(PAGE_DATA, n_rows, enc, len(page_body), len(comp_body))
-        out += comp_body
+        if page_version == 2:
+            # V2: def levels raw RLE (no length prefix), uncompressed,
+            # before the (optionally compressed) values
+            if validity is not None:
+                v = np.asarray(validity)
+                dlv = rle.encode_hybrid(v.astype(np.uint64), 1)
+                n_nulls = int((~v).sum())
+            else:
+                dlv = b""
+                n_nulls = 0
+            comp_vals = _compress_body(body, compression)
+            out += _page_header_v2(
+                n_rows, n_nulls, enc, len(dlv), len(body), len(comp_vals),
+                compression not in (None, "none"),
+            )
+            out += dlv
+            out += comp_vals
+        else:
+            # V1 data page: [def levels (u32-prefixed RLE)] + values,
+            # compressed together
+            if validity is not None:
+                levels = rle.encode_hybrid_length_prefixed(
+                    np.asarray(validity).astype(np.uint64), 1
+                )
+            else:
+                levels = b""
+            page_body = levels + body
+            comp_body = _compress_body(page_body, compression)
+            out += _page_header(PAGE_DATA, n_rows, enc, len(page_body), len(comp_body))
+            out += comp_body
         encodings.append(enc)
 
-        raw_total = len(page_body) + (len(dict_bytes) if dict_info else 0)
+        raw_total = (
+            (len(dlv) + len(body)) if page_version == 2 else len(page_body)
+        ) + (len(dict_bytes) if dict_info else 0)
         meta = (
             StructWriter()
             .i32(1, TYPE[ptype])
@@ -296,3 +323,30 @@ def _write_list_chunk(out: bytearray, col: dict, n_rows: int,
     )
     cc = StructWriter().i64(2, chunk_start).struct(3, meta)
     return (cc, len(out) - chunk_start)
+
+
+def _page_header_v2(n_values: int, n_nulls: int, enc: int, def_len: int,
+                    raw_vals: int, comp_vals: int, is_compressed: bool) -> bytes:
+    """PageHeader with DataHeaderV2 (parquet-format: num_values, num_nulls,
+    num_rows, encoding, definition_levels_byte_length,
+    repetition_levels_byte_length, is_compressed)."""
+    inner = (
+        StructWriter()
+        .i32(1, n_values)
+        .i32(2, n_nulls)
+        .i32(3, n_values)  # num_rows == num_values for flat columns
+        .i32(4, enc)
+        .i32(5, def_len)
+        .i32(6, 0)  # no rep levels (flat)
+        .boolean(7, is_compressed)
+    )
+    raw_size = def_len + raw_vals
+    comp_size = def_len + comp_vals
+    return (
+        StructWriter()
+        .i32(1, PAGE_DATA_V2)
+        .i32(2, raw_size)
+        .i32(3, comp_size)
+        .struct(8, inner)
+        .finish()
+    )

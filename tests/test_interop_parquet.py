@@ -270,3 +270,44 @@ def test_list_string_column_compressed(tmp_path):
     assert got == expected
     n = duckdb.sql(f"SELECT sum(len(s)) FROM read_parquet('{path}')").fetchone()[0]
     assert n == int(lens.sum())
+
+
+@pytest.mark.parametrize("compression", [None, "zstd"])
+def test_data_page_v2_decodes_in_pyarrow_and_duckdb(tmp_path, compression):
+    """DataPageV2: uncompressed def levels outside the compressed value
+    region, explicit num_nulls (DataPageV2.java semantics)."""
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pq_engine.interop.parquet_writer import write_parquet
+    from pq_engine.kernels.ragged import RaggedBytes
+
+    n = 3000
+    rng = np.random.default_rng(6)
+    validity = rng.random(n) >= 0.2
+    ints = rng.integers(-10**6, 10**6, size=int(validity.sum())).astype(np.int64)
+    texts = RaggedBytes.from_pylist([f"s{i % 13}".encode() for i in range(n)])
+    path = str(tmp_path / f"v2_{compression}.parquet")
+    write_parquet(
+        path,
+        [
+            {"name": "v", "ptype": "int64", "codec": "delta", "values": ints,
+             "validity": validity},
+            {"name": "t", "ptype": "string", "codec": "dict", "values": texts},
+        ],
+        n,
+        compression=compression,
+        page_version=2,
+    )
+    t = pq.read_table(path)
+    expected, k = [], 0
+    for ok in validity:
+        expected.append(int(ints[k]) if ok else None)
+        k += ok
+    assert t["v"].to_pylist() == expected
+    assert t["t"].to_pylist() == [b.decode() for b in texts.to_pylist()]
+    got = duckdb.sql(
+        f"SELECT count(v), count(*) FROM read_parquet('{path}')"
+    ).fetchone()
+    assert got == (int(validity.sum()), n)
