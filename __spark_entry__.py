@@ -140,6 +140,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf_dir, "embeddings"), _QUERY_VEC, k=10, n_planes=8, probes=8
         )
 
+    def ann_ivf10(spark, sf_dir):
+        return similarity.ann_ivf_topk(
+            _read(spark, sf_dir, "embeddings"), _QUERY_VEC, k=10,
+            n_clusters=16, nprobe=8,
+        )
+
     def minhash_pairs(spark, sf_dir):
         return dedup.minhash_lsh_pairs(
             _read(spark, sf_dir, "documents"), threshold=0.3
@@ -429,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_md5": fp_md5,
         "ann_top10": ann10,
         "ann_lsh_top10": ann_lsh10,  # rows-only (approximate by design)
+        "ann_ivf_top10": ann_ivf10,  # rows-only (IVF scale path, approximate)
         "minhash_pairs": minhash_pairs,  # rows-only (LSH banding)
         "simhash_pairs": simhash_pairs,  # rows-only (LSH banding)
         "media_metadata": media_meta,

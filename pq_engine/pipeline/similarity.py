@@ -102,3 +102,65 @@ def embedding_cosine_neardup(df: DataFrame, threshold: float = 0.95,
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), "cos")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ------------------------------------------------------------------ IVF
+
+
+def train_ivf_centroids(df: DataFrame, n_clusters: int = 16, sample_rows: int = 4096,
+                        iters: int = 8, emb_col: str = "embedding",
+                        seed: int = 11) -> np.ndarray:
+    """Deterministic k-means on a driver-side sample (the IVF training step:
+    sample → Lloyd iterations → centroid table). At corpus scale the sample
+    is a bounded `limit` read; the centroid table is tiny and broadcast."""
+    rows = df.select(emb_col).limit(sample_rows).collect()
+    mat = np.asarray([r[0] for r in rows], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)]
+    for _ in range(iters):
+        sims = mat @ cent.T                       # cosine on normalized rows
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               emb_col: str = "embedding") -> DataFrame:
+    """Adds ``ivf_cluster`` — nearest centroid by cosine, vectorized per
+    Arrow batch (one matmul). The cluster id is the IVF partition key: at
+    corpus scale the table is written partitioned by it, so a query reads
+    only its probed clusters."""
+    cent = centroids  # captured (broadcast with the task closure, ~KBs)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_udf(embs: pd.Series) -> pd.Series:
+        mat = np.asarray(embs.tolist(), dtype=np.float64)
+        if mat.ndim != 2 or not len(mat):
+            return pd.Series(np.zeros(len(embs), dtype=np.int32))
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mat @ cent.T, axis=1).astype(np.int32))
+
+    return df.withColumn("ivf_cluster", assign_udf(F.col(emb_col)))
+
+
+def ann_ivf_topk(df: DataFrame, query: list[float], k: int = 10,
+                 emb_col: str = "embedding", id_col: str = "vec_id",
+                 n_clusters: int = 16, nprobe: int = 4,
+                 centroids: np.ndarray | None = None, seed: int = 11) -> DataFrame:
+    """IVF ANN: train (or reuse) centroids, restrict the exact cosine scan to
+    the query's ``nprobe`` nearest clusters — the inverted-file scale path
+    (scan cost ~ nprobe/n_clusters of the corpus instead of all of it)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(df, n_clusters, emb_col=emb_col, seed=seed)
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(centroids @ q))[:nprobe].tolist()
+    cand = ivf_assign(df, centroids, emb_col).filter(
+        F.col("ivf_cluster").isin([int(c) for c in probe])
+    )
+    return ann_bruteforce_topk(cand, query, k, emb_col, id_col)

@@ -28,8 +28,8 @@ def test_oracle_keys_subset_of_queries():
     assert os_ <= qs
     # every non-oracle query is a documented approximate/rows-only op
     assert qs - os_ == {
-        "ann_lsh_top10", "encode_summary", "minhash_pairs", "simhash_pairs",
-        "media_features",
+        "ann_lsh_top10", "ann_ivf_top10", "encode_summary", "minhash_pairs",
+        "simhash_pairs", "media_features",
     }
 
 
