@@ -71,9 +71,60 @@ def test_mixed_struct_map_plain(spark):
     assert canon(df).exceptAll(canon(back)).count() == 0
 
 
-def test_deeper_nesting_rejected(spark):
+def test_map_inside_struct_rejected(spark):
     df = spark.createDataFrame(
-        [(1, ((2,),))], "id long, s struct<inner:struct<x:long>>"
+        [(1, ({"a": 2},))], "id long, s struct<m:map<string,long>>"
     )
     with pytest.raises(TypeError):
         shred(df)
+
+
+def test_nested_struct_in_struct(spark):
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("s", T.StructType([
+            T.StructField("a", T.LongType()),
+            T.StructField("inner", T.StructType([
+                T.StructField("x", T.StringType()),
+                T.StructField("y", T.DoubleType()),
+            ])),
+        ])),
+    ])
+    rows = [
+        (1, (10, ("hi", 1.5))),
+        (2, (20, None)),          # NULL inner struct
+        (3, None),                # NULL outer struct
+        (4, (None, ("z", None))),
+    ]
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    back = _roundtrip(df)
+    assert back.schema["s"].dataType == schema["s"].dataType
+    got = {r["id"]: r["s"] for r in back.collect()}
+    assert got[1] == Row(a=10, inner=Row(x="hi", y=1.5))
+    assert got[2] == Row(a=20, inner=None)
+    assert got[3] is None
+    assert got[4] == Row(a=None, inner=Row(x="z", y=None))
+
+
+def test_list_of_struct(spark):
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("ev", T.ArrayType(T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]))),
+    ])
+    rows = [
+        (1, [("a", 1), ("b", 2)]),
+        (2, []),
+        (3, None),
+        (4, [None, ("c", None)]),   # NULL element vs struct-of-NULLs
+    ]
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    back = _roundtrip(df)
+    assert back.schema["ev"].dataType == schema["ev"].dataType
+    got = {r["id"]: r["ev"] for r in back.collect()}
+    assert got[1] == [Row(k="a", n=1), Row(k="b", n=2)]
+    assert got[2] == []
+    assert got[3] is None
+    assert got[4] == [None, Row(k="c", n=None)]
