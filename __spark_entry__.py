@@ -356,6 +356,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return back.select("doc_id", F.col("dv").cast("string").alias("dv_s"))
 
+    def rt_list_struct(spark, sf_dir):
+        """LIST<STRUCT> round-trip: lineitems nested per order (the classic
+        denormalized-document shape), shredded to synchronized list leaves +
+        an element-definition list, exploded back for the value-hash."""
+        from pq_engine.spark.engine import table_ptypes
+        from pq_engine.spark.shred import decode_shredded, encode_shredded, shred
+
+        df = (
+            _read(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("l_linenumber").alias("ln"),
+                            F.col("l_quantity").alias("qty"),
+                        )
+                    )
+                ).alias("items")
+            )
+        )
+        flat, _ = shred(df)
+        pages, spec = encode_shredded(df)
+        back = decode_shredded(pages, spec, table_ptypes(flat))
+        return back.select(
+            "l_orderkey", F.explode("items").alias("it")
+        ).select("l_orderkey", F.col("it.ln").alias("ln"), F.col("it.qty").alias("qty"))
+
     def media_meta(spark, sf_dir):
         from pq_engine.pipeline.multimodal import media_metadata
 
@@ -416,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_struct_order": rt_struct,
         "rt_map_langlen": rt_map,
         "rt_decimal_nchars": rt_decimal,
+        "rt_list_struct_items": rt_list_struct,
         # --- manifest / stats (SURVEY §2.6) ---
         "manifest_stats": manifest_stats,
         "encode_summary": encode_summary,  # rows-only (sizes not SQL-expressible)
@@ -476,6 +505,7 @@ def oracle_sql() -> dict[str, str]:
         "rt_struct_order": "SELECT o_orderkey, o_orderstatus AS st, o_totalprice AS tp FROM orders",
         "rt_map_langlen": "SELECT doc_id, lang AS mk, n_chars AS mv FROM documents",
         "rt_decimal_nchars": "SELECT doc_id, CAST(CAST(n_chars AS DECIMAL(10,2)) AS VARCHAR) AS dv_s FROM documents",
+        "rt_list_struct_items": "SELECT l_orderkey, l_linenumber AS ln, l_quantity AS qty FROM lineitem",
         "manifest_stats": """
             SELECT col_name, n_rows, null_count, ndv FROM (
               SELECT 'doc_id' AS col_name, COUNT(*)::BIGINT AS n_rows,
