@@ -384,6 +384,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "l_orderkey", F.explode("items").alias("it")
         ).select("l_orderkey", F.col("it.ln").alias("ln"), F.col("it.qty").alias("qty"))
 
+    def rt_encrypted(spark, sf_dir):
+        """AES-GCM modular page encryption round-trip (parquet-hadoop crypto
+        analog): encode → encrypt text pages with a column key → decrypt →
+        decode, bit-identical to the plain column."""
+        from pq_engine.spark.crypto import decrypt_pages, encrypt_pages
+        from pq_engine.spark.engine import decode_table, encode_table, table_ptypes
+
+        key = bytes(range(16))
+        df = _read(spark, sf_dir, "documents").select("doc_id", "text")
+        enc = encrypt_pages(encode_table(df), {"text": key})
+        return decode_table(
+            decrypt_pages(enc, {"text": key}), ["doc_id", "text"],
+            ptypes=table_ptypes(df),
+        )
+
     def media_meta(spark, sf_dir):
         from pq_engine.pipeline.multimodal import media_metadata
 
@@ -423,7 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "frame_idx", "frame_offset"
         )
 
-    return {
+    out = {
         # --- codec round-trips (bit-identity per encoding, SURVEY §2.1) ---
         "rt_dict_lang": _rt("documents", "lang", "dict", ["doc_id"]),
         "rt_dict_source": _rt("documents", "source", "dict", ["doc_id"]),
@@ -471,12 +486,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": media_features,  # rows-only (stubbed decode, fake features)
         "frame_plan": frame_plan,
     }
+    from pq_engine.spark import crypto as _crypto
+
+    if _crypto.available():  # AES backend gated behind import-try
+        out["rt_encrypted_text"] = rt_encrypted
+    return out
 
 
 # ------------------------------------------------------------------ oracles
 
 
 def oracle_sql() -> dict[str, str]:
+    from pq_engine.spark import crypto as _crypto
+
     qvec = "[" + ", ".join(str(x) for x in _QUERY_VEC) + "]"
     tok = "regexp_split_to_array(trim(text), '\\s+')"
     n_tokens = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({tok}) END"
@@ -506,6 +528,7 @@ def oracle_sql() -> dict[str, str]:
         "rt_map_langlen": "SELECT doc_id, lang AS mk, n_chars AS mv FROM documents",
         "rt_decimal_nchars": "SELECT doc_id, CAST(CAST(n_chars AS DECIMAL(10,2)) AS VARCHAR) AS dv_s FROM documents",
         "rt_list_struct_items": "SELECT l_orderkey, l_linenumber AS ln, l_quantity AS qty FROM lineitem",
+
         "manifest_stats": """
             SELECT col_name, n_rows, null_count, ndv FROM (
               SELECT 'doc_id' AS col_name, COUNT(*)::BIGINT AS n_rows,
@@ -592,6 +615,11 @@ def oracle_sql() -> dict[str, str]:
                    'unknown' AS kind
             FROM documents
         """,
+        **(
+            {"rt_encrypted_text": "SELECT doc_id, text FROM documents"}
+            if _crypto.available()
+            else {}
+        ),
         "frame_plan": """
             SELECT doc_id,
                    unnest(generate_series(
