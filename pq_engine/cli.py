@@ -328,6 +328,14 @@ def cmd_mask(tbl, args):
         pages = _page_dicts(tbl, split, batch, args.column)
         if not pages:
             continue
+        data_pages = [p for p in pages if p[0]["page"] >= 0]
+        if args.mode == "hash" and data_pages and data_pages[0][0]["ptype"] not in (
+            "string", "binary"
+        ):
+            sys.exit(
+                f"mask --mode hash requires a string/binary column; "
+                f"{args.column!r} is {data_pages[0][0]['ptype']} (use --mode nullify)"
+            )
         values, validity = decode_column(pages)
         if args.mode == "nullify":
             import zlib as _z
@@ -373,9 +381,9 @@ def cmd_trans_compression(tbl, args):
         if r["compression"] == to_label or r["page"] == -1 or r["codec"] == "rowranges":
             continue
         blob = bytes(r["data"])
-        pos = 1
-        if blob[0] == 1:
-            pos = 5 + int.from_bytes(blob[1:5], "little")
+        from .pages import split_page_blob
+
+        pos = split_page_blob(blob)  # handles flat, validity AND list layouts
         body = _pc_(_pd_(blob[pos:], r["compression"]), to_label)
         nb = blob[:pos] + body
         r.update(

@@ -262,6 +262,25 @@ def encode_fsst_tokens(col: RaggedBytes, table: SymbolTable):
         return positions, codes, string_id
     pos_waves, code_waves = [], []
     while len(frontier):
+        if len(frontier) < 256 and int((fends - frontier).max()) > 256:
+            # the frontier has shrunk to a few LONG stragglers (e.g. blobs in
+            # a mixed batch): per-round overhead would dominate — match every
+            # remaining position of those strings in one call and parse over
+            # a scattered step table instead of continuing the waves
+            spans = fends - frontier
+            total = int(spans.sum())
+            P = np.repeat(frontier - np.concatenate(([0], np.cumsum(spans)[:-1])), spans) + np.arange(
+                total, dtype=np.int64
+            )
+            c, m = _match_at(padded, rem8, table, P)
+            step = np.ones(n, dtype=np.int64)
+            step[P] = m
+            code_full = np.full(n, -1, dtype=np.int64)
+            code_full[P] = c
+            positions = _parse(step, frontier, fends, n)
+            pos_waves.append(positions)
+            code_waves.append(code_full[positions])
+            break
         c, m = _match_at(padded, rem8, table, frontier)
         pos_waves.append(frontier)
         code_waves.append(c)

@@ -410,6 +410,26 @@ def _slice_values(values, ptype, v0, v1):
     return values[v0:v1]
 
 
+def split_page_blob(blob: bytes) -> int:
+    """Offset where the (optionally compressed) value body starts, for all
+    three blob layouts: [0][body], [1][u32 vlen][validity][body], and the
+    LIST layout [2][u32 n_entries][u32-prefixed rep RLE][u32-prefixed def
+    RLE][body] (levels are stored uncompressed — V2 framing). Rewrites that
+    re-compress bodies (transcode) MUST split here, not at byte 1."""
+    flag = blob[0]
+    if flag == 0:
+        return 1
+    if flag == 1:
+        return 5 + int.from_bytes(blob[1:5], "little")
+    if flag == 2:
+        pos = 5
+        rep_len = int.from_bytes(blob[pos : pos + 4], "little")
+        pos += 4 + rep_len
+        def_len = int.from_bytes(blob[pos : pos + 4], "little")
+        return pos + 4 + def_len
+    raise ValueError(f"unknown page blob flag {flag}")
+
+
 def decode_column(pages: list[tuple[dict, bytes]], ptype: str | None = None):
     """Inverse of encode_column: returns (values, validity|None) concatenated
     across pages in page order. ``ptype`` disambiguates the empty-input case."""

@@ -795,7 +795,12 @@ def prune_pages_by_dictionary(pages_df: DataFrame, column: str, value) -> DataFr
 
         import numpy as np
 
-        from ..pages import RAGGED_TYPES as _RT, _NUMERIC as _NUM, decode_dict_chunk_page
+        from ..pages import (
+            RAGGED_TYPES as _RT,
+            _NUMERIC as _NUM,
+            decode_dict_chunk_page,
+            kernel_ptype as _kp,
+        )
 
         key = {"split_id": int(pdf.iloc[0]["split_id"]), "batch_id": int(pdf.iloc[0]["batch_id"])}
         data = pdf[pdf["page"] >= 0]
@@ -812,7 +817,8 @@ def prune_pages_by_dictionary(pages_df: DataFrame, column: str, value) -> DataFr
             if probe in set(uniques.to_pylist()):
                 return pd.DataFrame([key])
         else:
-            dt = _NUM[r["ptype"]]
+            # decimal columns compare on the UNSCALED int (kernel type)
+            dt = _NUM[_kp(r["ptype"])]
             if (uniques == dt(probe)).any():
                 return pd.DataFrame([key])
         return pd.DataFrame(columns=["split_id", "batch_id"])

@@ -143,14 +143,11 @@ def transcode_compression(pages: DataFrame, to: str | None) -> DataFrame:
                 crcs.append(int(r.crc32))
                 continue
             blob = bytes(r.data)
-            has_validity = blob[0] == 1
-            pos = 1
-            if has_validity:
-                vlen = int.from_bytes(blob[1:5], "little")
-                pos = 5 + vlen
-            head, body = blob[:pos], blob[pos:]
             from ..compression import compress as _pc, decompress as _pdc
+            from ..pages import split_page_blob
 
+            pos = split_page_blob(blob)  # handles flat, validity AND list layouts
+            head, body = blob[:pos], blob[pos:]
             body = _pc(_pdc(body, r.compression), to_label)
             nb = head + body
             datas.append(nb)

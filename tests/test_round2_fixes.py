@@ -504,3 +504,66 @@ def test_run_encode_files_job_resume(spark, tmp_path):
     assert dup == 0
     back = decode_table(pages, ["id", "s"], ptypes=read_job_ptypes(spark, out))
     assert back.count() == 200
+
+
+# ------------------------------------------------- self-review regressions
+
+
+def test_transcode_list_pages(spark):
+    """Review finding: transcode treated LIST blobs (flag 2, raw levels before
+    the compressed body) like flat blobs and corrupted/crashed them."""
+    from pyspark.sql import types as T
+
+    from pq_engine.spark.engine import table_ptypes
+    from pq_engine.spark.rewrite import transcode_compression
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.ArrayType(T.LongType())),
+    ])
+    rows = [(i, list(range(i % 5))) for i in range(2000)]
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    pages = encode_table(df, page_compression="zlib")
+    re_pages = transcode_compression(pages, "zstd")
+    back = decode_table(re_pages, ["id", "v"], ptypes=table_ptypes(df))
+    got = {r["id"]: r["v"] for r in back.collect()}
+    assert all(got[i] == list(range(i % 5)) for i in range(2000))
+
+
+def test_dict_pushdown_decimal_column(spark):
+    """Review finding: dictionary pruning raised KeyError on decimal ptypes."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from pq_engine.spark.engine import prune_pages_by_dictionary, table_ptypes
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("dv", T.DecimalType(10, 2)),
+    ])
+    rows = [(i, Decimal(f"{i % 5}.25")) for i in range(2000)]
+    df = spark.createDataFrame(rows, schema).repartitionByRange(4, "id")
+    pages = encode_table(df)
+    # probe with the UNSCALED int of 3.25 → 325
+    pruned = prune_pages_by_dictionary(pages, "dv", 325)
+    back = decode_table(pruned, ["id", "dv"], ptypes=table_ptypes(df))
+    assert back.filter(F.col("dv") == 3.25).count() == 400
+
+
+def test_fsst_mixed_short_and_blob_batch_fast():
+    """Review finding: >=1024 short strings + a few 64KiB blobs re-entered the
+    tiny-frontier wave pathology (~90s); the in-loop dense tail must keep it
+    seconds."""
+    import time
+
+    from pq_engine.kernels import fsst
+    from pq_engine.kernels.ragged import RaggedBytes
+
+    short = [f"short string number {i}".encode() for i in range(2000)]
+    blobs = [bytes([i % 256]) * 65536 for i in range(50)]
+    col = RaggedBytes.from_pylist(short + blobs)
+    t0 = time.time()
+    blob = fsst.encode_fsst_auto(col)
+    assert time.time() - t0 < 30  # was ~90s on smaller input before the fix
+    assert fsst.decode_fsst(blob) == col
