@@ -146,6 +146,14 @@ def write_parquet(path: str, columns: list[dict], n_rows: int,
     for col in columns:
         name, ptype, codec = col["name"], col["ptype"], col["codec"]
         if ptype.startswith("list<"):
+            if codec not in ("plain", "auto", None):
+                # list child values are PLAIN in this writer; silently
+                # ignoring a requested codec would hand back a different
+                # encoding than asked for (ADVICE r2)
+                raise ValueError(
+                    f"list column {name!r}: codec {codec!r} unsupported by the "
+                    "interop writer (child values are PLAIN); pass 'plain'"
+                )
             chunks.append(_write_list_chunk(out, col, n_rows, compression))
             continue
         vals, validity = col["values"], col.get("validity")

@@ -53,9 +53,20 @@ RAGGED_TYPES = ("string", "binary")
 def kernel_ptype(ptype: str) -> str:
     """Physical kernel type of a logical ptype: DECIMAL(p<=18,s) is stored as
     its unscaled int64 (the reference's int32/int64 decimal physical mapping,
-    LogicalTypeAnnotation.DecimalLogicalTypeAnnotation); everything else is
-    its own kernel type."""
-    return "int64" if ptype.startswith("decimal64[") else ptype
+    LogicalTypeAnnotation.DecimalLogicalTypeAnnotation); the wide logical
+    types — DECIMAL(p>18), UUID, FLOAT16, legacy INT96 — ride the
+    FIXED_LEN_BYTE_ARRAY physical type (PrimitiveType.java:48-69,
+    LogicalTypeAnnotation.java:547/1068/1104) as ``fixed[k]``; everything
+    else is its own kernel type."""
+    if ptype.startswith("decimal64["):
+        return "int64"
+    if ptype.startswith(("decimal_flba[", "fixed[")) or ptype in (
+        "uuid", "float16", "int96_ts"
+    ):
+        from .kernels.fixedlen import fixed_width
+
+        return f"fixed[{fixed_width(ptype)}]"
+    return ptype
 
 
 # ------------------------------------------------------------------ codecs
@@ -83,7 +94,25 @@ def _encode_values(codec: str, ptype: str, vals) -> bytes:
             return deltastrings.encode_delta_byte_array(vals)
         if codec == "fsst":
             return fsst.encode_fsst_auto(vals)
+    if ptype.startswith("fixed["):
+        from .kernels import fixedlen
+
+        if codec == "plain":
+            return fixedlen.encode_plain_fixed(vals)
+        if codec == "bss":
+            return fixedlen.encode_bss_fixed(vals)
+        if codec == "dba":  # FLBA supports DELTA_BYTE_ARRAY in the spec
+            return deltastrings.encode_delta_byte_array(_fixed_to_ragged(vals))
     raise ValueError(f"codec {codec!r} unsupported for ptype {ptype!r}")
+
+
+def _fixed_to_ragged(vals: np.ndarray) -> RaggedBytes:
+    n, k = vals.shape
+    return RaggedBytes(np.arange(n + 1, dtype=np.int64) * k, vals.reshape(-1))
+
+
+def _ragged_to_fixed(col: RaggedBytes, k: int) -> np.ndarray:
+    return col.data.reshape(-1, k)
 
 
 def _decode_values(codec: str, ptype: str, buf, count: int):
@@ -109,6 +138,16 @@ def _decode_values(codec: str, ptype: str, buf, count: int):
             return deltastrings.decode_delta_byte_array(buf, count)
         if codec == "fsst":
             return fsst.decode_fsst(buf)
+    if ptype.startswith("fixed["):
+        from .kernels import fixedlen
+
+        k = int(ptype[6:-1])
+        if codec == "plain":
+            return fixedlen.decode_plain_fixed(buf, k, count)
+        if codec == "bss":
+            return fixedlen.decode_bss_fixed(buf, k, count)
+        if codec == "dba":
+            return _ragged_to_fixed(deltastrings.decode_delta_byte_array(buf, count), k)
     raise ValueError(f"codec {codec!r} unsupported for ptype {ptype!r}")
 
 
@@ -123,13 +162,16 @@ DICT_PAGE = -2  # manifest `page` value of the chunk dictionary page
 def encode_dict_chunk_page(uniques, ptype: str) -> bytes:
     """Body of the chunk dictionary page: u32 count + PLAIN uniques
     (DictionaryPage semantics: toDictPageAndClose → PLAIN values)."""
-    if ptype in RAGGED_TYPES:
+    kp = kernel_ptype(ptype)
+    if kp in RAGGED_TYPES:
         dpage = dictionary.encode_dict_page_bytes(uniques)
-        n = len(uniques)
+    elif kp.startswith("fixed["):
+        from .kernels.fixedlen import encode_plain_fixed
+
+        dpage = encode_plain_fixed(uniques)
     else:
         dpage = dictionary.encode_dict_page_numeric(uniques)
-        n = len(uniques)
-    return n.to_bytes(4, "little") + dpage
+    return len(uniques).to_bytes(4, "little") + dpage
 
 
 def decode_dict_chunk_page(buf, ptype: str):
@@ -137,6 +179,10 @@ def decode_dict_chunk_page(buf, ptype: str):
     nuniq = int.from_bytes(bytes(buf[:4]), "little")
     if ptype in RAGGED_TYPES:
         return dictionary.decode_dict_page_bytes(memoryview(buf)[4:], nuniq)
+    if ptype.startswith("fixed["):
+        from .kernels.fixedlen import decode_plain_fixed
+
+        return decode_plain_fixed(memoryview(buf)[4:], int(ptype[6:-1]), nuniq)
     return dictionary.decode_dict_page_numeric(memoryview(buf)[4:], _NUMERIC[ptype], nuniq)
 
 
@@ -147,6 +193,8 @@ def _dict_fallback_codec(ptype: str, page_compression: str | None) -> str:
     if ptype in RAGGED_TYPES:
         return "dlba"
     if ptype in ("float32", "float64"):
+        return "bss" if page_compression else "plain"
+    if ptype.startswith("fixed["):
         return "bss" if page_compression else "plain"
     return "delta"
 
@@ -211,6 +259,16 @@ def _page_stats(ptype: str, vals, null_count: int) -> dict:
         }
     if len(vals) == 0:
         return {"min": None, "max": None, "ndv": 0, "null_count": null_count}
+    if ptype.startswith("fixed["):
+        # fixed-family stats: big-endian two's-complement bytes don't order
+        # lexicographically across the sign bit, so min/max are omitted (null
+        # stats = never prunes wrongly); NDV is one unique-rows pass
+        return {
+            "min": None,
+            "max": None,
+            "ndv": int(len(np.unique(vals, axis=0))),
+            "null_count": null_count,
+        }
     if ptype == "bool":
         return {
             "min": str(bool(vals.min())),
@@ -246,6 +304,8 @@ def _plain_size(ptype: str, vals) -> int:
         return int(vals.lengths.sum()) + 4 * len(vals)
     if ptype == "bool":
         return (len(vals) + 7) // 8
+    if ptype.startswith("fixed["):
+        return len(vals) * int(ptype[6:-1])
     return len(vals) * vals.dtype.itemsize
 
 
@@ -276,9 +336,16 @@ def encode_column(
     kp = kernel_ptype(ptype)
     # choose codec once per batch from sampled stats (not per page)
     if codec == "auto":
-        st = ragged_stats(values) if kp in RAGGED_TYPES else (
-            numeric_stats(values) if kp != "bool" else None
-        )
+        if kp in RAGGED_TYPES:
+            st = ragged_stats(values)
+        elif kp.startswith("fixed["):
+            from .stats import fixed_stats
+
+            st = fixed_stats(values)
+        elif kp != "bool":
+            st = numeric_stats(values)
+        else:
+            st = None
         codec = choose_codec(kp, st, page_compression) if st is not None else "rle"
 
     # chunk-level dictionary: ONE factorize + ONE dict page shared by every
@@ -290,6 +357,10 @@ def encode_column(
             codec = "rle"
         elif kp in RAGGED_TYPES:
             chunk_codes, chunk_uniques = dictionary.factorize_bytes(values)
+        elif kp.startswith("fixed["):
+            from .kernels.fixedlen import factorize_fixed
+
+            chunk_codes, chunk_uniques = factorize_fixed(values)
         else:
             chunk_codes, chunk_uniques = dictionary.factorize_numeric(values)
         if chunk_uniques is not None:
@@ -445,6 +516,10 @@ def decode_column(pages: list[tuple[dict, bytes]], ptype: str | None = None):
             return RaggedBytes(np.zeros(1, np.int64), np.zeros(0, np.uint8)), None
         if ptype == "bool":
             return np.zeros(0, dtype=bool), None
+        if ptype.startswith("fixed["):
+            from .kernels.fixedlen import empty_fixed
+
+            return empty_fixed(int(ptype[6:-1])), None
         return np.zeros(0, dtype=_NUMERIC.get(ptype, np.int64)), None
     # chunk dictionary page (if any) decodes first; data pages reference it
     dict_vals = None

@@ -40,7 +40,13 @@ def available() -> bool:
         return False
 
 
+MODULE_FOOTER = 0  # ModuleCipherFactory.ModuleType.Footer ordinal
 MODULE_DATA_PAGE = 2  # ModuleCipherFactory.ModuleType.DataPage ordinal
+
+FOOTER_MAGIC = b"PARE1\x00"  # encrypted-footer file magic — the reference
+# flips "PAR1" to "PARE" when the footer is encrypted
+# (/root/reference/parquet-hadoop/.../ParquetFileWriter.java:110-113,
+#  EFMAGIC; ParquetFileReader refuses to read the footer without the key)
 
 
 def _aad(prefix: bytes, split: int, batch: int, column: str, page: int) -> bytes:
@@ -60,16 +66,22 @@ def encrypt_pages(pages: DataFrame, keys: dict[str, bytes],
             raise ValueError("AES keys must be 16/24/32 bytes")
 
     def run(it):
+        import zlib as _z
+
         from cryptography.hazmat.primitives.ciphers.aead import AESGCM
 
         ciphers = {c: AESGCM(k) for c, k in keys.items()}
         for pdf in it:
             out = pdf.copy()
-            datas, comps = [], []
+            datas, comps, crcs, mins, maxs, ndvs = [], [], [], [], [], []
             for r in pdf.itertuples():
                 if r.column not in ciphers or r.codec == "rowranges":
                     datas.append(bytes(r.data))
                     comps.append(r.compression)
+                    crcs.append(int(r.crc32))
+                    mins.append(r.min)
+                    maxs.append(r.max)
+                    ndvs.append(int(r.ndv))
                     continue
                 nonce = os.urandom(12)
                 ct = ciphers[r.column].encrypt(
@@ -79,8 +91,21 @@ def encrypt_pages(pages: DataFrame, keys: dict[str, bytes],
                 )
                 datas.append(nonce + ct)
                 comps.append(r.compression + _SUFFIX)
+                # crc over the CIPHERTEXT: a plaintext checksum beside AES-GCM
+                # is a 32-bit confirmation oracle for guessable page contents
+                # (ADVICE r2). decrypt_pages recomputes the plaintext crc after
+                # authentication. min/max/ndv are likewise withheld — the
+                # reference encrypts column indexes with their own module type.
+                crcs.append(_z.crc32(nonce + ct) & 0xFFFFFFFF)
+                mins.append(None)
+                maxs.append(None)
+                ndvs.append(-1)
             out["data"] = datas
             out["compression"] = comps
+            out["crc32"] = crcs
+            out["min"] = mins
+            out["max"] = maxs
+            out["ndv"] = ndvs
             out["encoded_bytes"] = [len(d) for d in datas]
             yield out
 
@@ -93,6 +118,8 @@ def decrypt_pages(pages: DataFrame, keys: dict[str, bytes],
     tamper-evident (wrong key, bit flips, or page swaps all raise)."""
 
     def run(it):
+        import zlib as _z
+
         from cryptography.hazmat.primitives.ciphers.aead import AESGCM
 
         ciphers = {c: AESGCM(k) for c, k in keys.items()}
@@ -117,7 +144,9 @@ def decrypt_pages(pages: DataFrame, keys: dict[str, bytes],
                 datas.append(pt)
                 comps.append(r.compression[: -len(_SUFFIX)])
                 encs.append(len(pt))
-                crcs.append(int(r.crc32))
+                # recompute the plaintext crc post-authentication (the stored
+                # crc covers the ciphertext — see encrypt_pages)
+                crcs.append(_z.crc32(pt) & 0xFFFFFFFF)
             out["data"] = datas
             out["compression"] = comps
             out["encoded_bytes"] = encs
@@ -125,3 +154,52 @@ def decrypt_pages(pages: DataFrame, keys: dict[str, bytes],
             yield out
 
     return pages.mapInPandas(run, PAGE_SCHEMA)
+
+
+# ------------------------------------------------------------------ footer key
+
+
+def encrypt_footer_manifest(schema_rows: list[tuple[str, str]], footer_key: bytes,
+                            aad_prefix: bytes = b"") -> bytes:
+    """Encrypt the job's (column → ptype) schema manifest — our footer analog —
+    with a dedicated FOOTER key, separate from any column key (the reference's
+    encrypted-footer mode: FileEncryptionProperties footer key + PARE magic,
+    /root/reference/parquet-hadoop/.../crypto/FileEncryptionProperties.java).
+    Blob: ``PARE1\\x00 || 12-byte nonce || AES-GCM(ciphertext+tag)``; AAD binds
+    the module type so a footer blob can't be replayed as a data page."""
+    import json
+
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+    if len(footer_key) not in (16, 24, 32):
+        raise ValueError("AES keys must be 16/24/32 bytes")
+    pt = json.dumps([[c, p] for c, p in schema_rows]).encode()
+    nonce = os.urandom(12)
+    ct = AESGCM(footer_key).encrypt(nonce, pt, aad_prefix + bytes([MODULE_FOOTER]))
+    return FOOTER_MAGIC + nonce + ct
+
+
+def decrypt_footer_manifest(blob: bytes, footer_key: bytes,
+                            aad_prefix: bytes = b"") -> list[tuple[str, str]]:
+    """Inverse of :func:`encrypt_footer_manifest`. Wrong key, tampered bytes,
+    or a data-page blob replayed as a footer all fail GCM authentication."""
+    import json
+
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+    if not blob.startswith(FOOTER_MAGIC):
+        raise ValueError("not an encrypted-footer manifest (missing PARE magic)")
+    body = blob[len(FOOTER_MAGIC):]
+    pt = AESGCM(footer_key).decrypt(
+        body[:12], body[12:], aad_prefix + bytes([MODULE_FOOTER])
+    )
+    return [(c, p) for c, p in json.loads(pt)]
+
+
+def rotate_column_keys(pages: DataFrame, old_keys: dict[str, bytes],
+                       new_keys: dict[str, bytes],
+                       aad_prefix: bytes = b"") -> DataFrame:
+    """Key rotation re-encrypt (KeyToolkit rotateMasterKeys analog): decrypt
+    each page blob with its old column key and re-encrypt with the new one —
+    page-level only, values are never decoded."""
+    return encrypt_pages(decrypt_pages(pages, old_keys, aad_prefix), new_keys, aad_prefix)

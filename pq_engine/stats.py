@@ -77,6 +77,31 @@ def numeric_stats(values: np.ndarray) -> ColumnStats:
     )
 
 
+def fixed_stats(values: np.ndarray) -> ColumnStats:
+    """Stats for a fixed[k] (FLBA) batch: sampled unique-rows NDV; run ratio
+    from adjacent row equality."""
+    n = len(values)
+    k = values.shape[1] if values.ndim == 2 else 0
+    if n == 0:
+        return ColumnStats(0, 0, 0.0, 0.0, 1.0, float(k), 0, 8.0)
+    step = max(1, n // SAMPLE_ROWS)
+    s = values[::step]
+    uniq = len(np.unique(s, axis=0))
+    ndv_ratio = uniq / len(s)
+    ndv_est = min(n, int(ndv_ratio * n) + 1) if ndv_ratio > 0.5 else min(n, 2 * uniq)
+    run_ratio = float((s[1:] != s[:-1]).any(axis=1).mean()) if len(s) > 1 else 1.0
+    return ColumnStats(
+        n=n,
+        ndv_est=ndv_est,
+        ndv_ratio=ndv_ratio,
+        sortedness=0.0,
+        run_ratio=run_ratio,
+        avg_len=float(k),
+        dict_bytes_est=int(ndv_est * k),
+        byte_entropy=8.0,
+    )
+
+
 def ragged_stats(col: RaggedBytes) -> ColumnStats:
     n = len(col)
     if n == 0:
@@ -170,6 +195,15 @@ def choose_codec(ptype: str, st: ColumnStats, page_compression: str | None = Non
         if st.byte_entropy < 6.5 and st.avg_len >= 8:
             return "fsst"
         return "dlba"
-    if ptype == "fixed":
+    if ptype.startswith("fixed["):
+        # FLBA (wide decimals / UUID / FLOAT16 / INT96): dictionary first
+        # (DefaultV2ValuesWriterFactory FLBA path), BSS under a page
+        # compressor (planes of wide decimals are mostly sign bytes), PLAIN
+        # otherwise
+        plain = n * st.avg_len
+        if st.dict_bytes_est < DICT_PAGE_SIZE_THRESHOLD and dict_encoded_size(
+            n, st.ndv_est, st.dict_bytes_est
+        ) < 0.75 * plain:
+            return "dict"
         return "bss" if page_compression else "plain"
     return "plain"
