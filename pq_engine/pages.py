@@ -540,7 +540,7 @@ def decode_column(pages: list[tuple[dict, bytes]], ptype: str | None = None):
     if pages[0][0]["ptype"].startswith("list<"):
         from .nested import decode_list_pages
 
-        return decode_list_pages(pages, pages[0][0]["ptype"]), None
+        return decode_list_pages(pages, pages[0][0]["ptype"], dict_vals), None
     vals_parts = []
     valid_parts = []
     any_nulls = False

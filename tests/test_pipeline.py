@@ -199,3 +199,31 @@ def test_neardup_bucket_cap(spark):
     pairs = embedding_cosine_neardup(df, threshold=0.9, dim=8, bucket_cap=20)
     # capped: at most C(20,2) pairs instead of C(500,2)
     assert 0 < pairs.count() <= 190
+
+
+def test_media_magic_detection(spark):
+    """r2 'what's wrong' #3: the magic-detection branch, exercised with real
+    PNG/JPEG/GIF/RIFF signatures (not just text blobs)."""
+    from pyspark.sql import functions as F
+
+    from pq_engine.pipeline.multimodal import media_metadata
+
+    blobs = [
+        (1, b"\x89PNG\r\n\x1a\x0a" + b"payload", "png"),
+        (2, b"\xff\xd8\xff\xe0\x00\x10JFIF", "jpeg"),
+        (3, b"GIF89a\x01\x00", "gif"),
+        (4, b"RIFF\x24\x00\x00\x00WAVE", "riff"),
+        (5, b"just some text", "unknown"),
+        (6, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, b) for i, b, _ in blobs], "id long, blob binary"
+    )
+    got = {
+        r["id"]: (r["media_meta"]["kind"] if r["media_meta"] else None)
+        for r in media_metadata(df, "blob").collect()
+    }
+    assert got == {i: k for i, _, k in blobs}
+    n = {r["id"]: (r["media_meta"]["n_bytes"] if r["media_meta"] else None)
+         for r in media_metadata(df, "blob").collect()}
+    assert n[1] == len(blobs[0][1]) and n[6] is None
