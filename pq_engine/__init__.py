@@ -18,4 +18,4 @@ All byte layouts inside page bodies follow the public parquet-format spec so the
 decode side of any conforming reader agrees bit-for-bit.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"

@@ -254,6 +254,23 @@ def decode_list_pages(
     from .pages import RAGGED_TYPES, _decode_values, kernel_ptype
 
     cp = child_ptype(ptype)
+    # accept a raw page list: pull the chunk dictionary page (page = -2) out
+    # ourselves when the caller didn't (decode_column passes dict_vals)
+    data_pages = []
+    for meta, blob in pages:
+        if meta["codec"] == "dictpage":
+            if dict_vals is None:
+                if zlib.crc32(blob) & 0xFFFFFFFF != meta["crc32"]:
+                    raise IOError("dictionary page CRC mismatch")
+                from .pages import decode_dict_chunk_page
+
+                body = pagecomp.decompress(
+                    memoryview(blob)[1:], meta.get("compression", "none")
+                )
+                dict_vals = decode_dict_chunk_page(body, meta["ptype"])
+        elif meta["page"] >= 0:
+            data_pages.append((meta, blob))
+    pages = data_pages
     lens_parts, lv_parts, cv_parts, val_parts = [], [], [], []
     any_null_list = any_null_elem = False
     for meta, blob in pages:

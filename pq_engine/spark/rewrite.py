@@ -196,11 +196,11 @@ def transcode_compression(pages: DataFrame, to: str | None) -> DataFrame:
         out = pdf.copy()
         datas, encs, crcs, comps = [], [], [], []
         for r in pdf.itertuples():
-            raw_copy = r.page == -1 or r.codec == "rowranges"
+            raw_copy = r.page in (-1, -4) or r.codec == "rowranges"
             comps.append(r.compression if raw_copy else to_label)
             if r.compression == to_label or raw_copy:
-                # bloom index rows are raw filter bytes and rowranges markers
-                # are empty (no page framing) — always page-level copied;
+                # bloom index rows are raw filter bytes; rowranges/colindex
+                # markers are empty (no page framing) — always page-level copied;
                 # dict pages (-2) transcode like data pages (same
                 # [validity-flag][body] framing)
                 datas.append(bytes(r.data))

@@ -112,3 +112,156 @@ def test_from_csv_cli(capsys, spark):
         assert back.filter(F.col("name") == "row3").count() == len([i for i in range(500) if i % 7 == 3])
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------- round 3
+
+
+def _encode_local(values, ptype, codec="auto", page_rows=100):
+    import pyarrow as pa
+
+    from pq_engine.cli import _rebuild_rows
+    from pq_engine.pages import encode_column
+
+    rows = _rebuild_rows(None, 0, 0, "c", encode_column(values, ptype, codec=codec, page_rows=page_rows), None)
+    return pa.Table.from_pylist(rows)
+
+
+def test_boundary_order_persisted_and_binary_search(capsys):
+    import numpy as np
+
+    from pq_engine.cli import cmd_column_index
+
+    class A:
+        column = "c"
+        value = "5000"
+
+    vals = np.arange(10000, dtype=np.int64)  # sorted → ASCENDING persisted
+    tbl = _encode_local(vals, "int64", codec="plain", page_rows=1000)
+    colindex = tbl.filter(__import__("pyarrow").compute.equal(tbl["page"], -4))
+    assert colindex.num_rows == 1
+    assert colindex["min"][0].as_py() == "ASCENDING"
+    cmd_column_index(tbl, A())
+    out = capsys.readouterr().out
+    assert "boundary_order=ASCENDING (persisted)" in out
+    assert "via binary-search" in out
+    assert "candidates(5000)=[5]" in out  # page 5 covers 5000-5999
+
+
+def test_boundary_order_unordered_scan(capsys):
+    import numpy as np
+
+    from pq_engine.cli import cmd_column_index
+
+    class A:
+        column = "c"
+        value = "7"
+
+    rng = np.random.default_rng(0)
+    tbl = _encode_local(rng.permutation(5000).astype(np.int64), "int64",
+                        codec="plain", page_rows=500)
+    cmd_column_index(tbl, A())
+    out = capsys.readouterr().out
+    assert "boundary_order=UNORDERED (persisted)" in out
+    assert "via scan" in out
+
+
+def test_locate_value_pages_descending():
+    from pq_engine.cli import locate_value_pages
+
+    mins = [80, 60, 40, 20, 0]
+    maxs = [99, 79, 59, 39, 19]
+    assert locate_value_pages(mins, maxs, 65, "DESCENDING") == [1]
+    assert locate_value_pages(mins, maxs, 100, "DESCENDING") == []
+    # missing stats pages are always candidates
+    assert locate_value_pages([None, 10], [None, 20], 15, "ASCENDING") == [0, 1]
+
+
+def test_cli_check_stats_detects_corruption(tmp_path, capsys):
+    import numpy as np
+    import pytest
+
+    from pq_engine.cli import cmd_check_stats
+
+    tbl = _encode_local(np.arange(1000, dtype=np.int64), "int64", page_rows=200)
+    cmd_check_stats(tbl, None)
+    assert "stats OK" in capsys.readouterr().out
+    # corrupt a page min
+    import pyarrow as pa
+
+    mins = tbl["min"].to_pylist()
+    for i in range(tbl.num_rows):
+        if tbl["page"][i].as_py() == 1:
+            mins[i] = "999999"  # falsely claims min > real values
+    bad = tbl.set_column(tbl.schema.get_field_index("min"), "min", pa.array(mins))
+    with pytest.raises(SystemExit):
+        cmd_check_stats(bad, None)
+    assert "CORRUPT" in capsys.readouterr().out
+
+
+def test_cli_rewrite_and_to_parquet(tmp_path):
+    import subprocess
+    import sys
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pq_engine.cli import _rebuild_rows
+    from pq_engine.kernels.ragged import RaggedBytes
+    from pq_engine.pages import encode_column
+
+    texts = RaggedBytes.from_pylist([b"doc-%d" % (i % 9) for i in range(500)])
+    ids = np.arange(500, dtype=np.int64)
+    rows = _rebuild_rows(None, 0, 0, "text", encode_column(texts, "string"), None)
+    rows += _rebuild_rows(None, 0, 0, "doc_id", encode_column(ids, "int64"), None)
+    src = tmp_path / "pages"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(src / "part-0.parquet"))
+
+    out = tmp_path / "rewritten"
+    r = subprocess.run(
+        [sys.executable, "-m", "pq_engine.cli", "rewrite", str(src),
+         "--out", str(out), "--columns", "doc_id,text",
+         "--mask-column", "text", "--to", "zstd"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    conv = tmp_path / "out.parquet"
+    r = subprocess.run(
+        [sys.executable, "-m", "pq_engine.cli", "to-parquet", str(out),
+         "--out", str(conv)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    got = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT text) FROM read_parquet('{conv}')"
+    ).fetchall()
+    assert got == [(500, 9)]  # masked md5 of 9 distinct source texts
+    one = duckdb.sql(f"SELECT text FROM read_parquet('{conv}') LIMIT 1").fetchall()[0][0]
+    assert len(one) == 32 and all(c in "0123456789abcdef" for c in one)
+
+
+def test_cli_footer_encrypted(tmp_path, capsys):
+    from pq_engine.spark import crypto
+
+    if not crypto.available():
+        import pytest
+
+        pytest.skip("no AES backend")
+    import json
+
+    from pq_engine.cli import cmd_footer
+
+    key = bytes(range(16))
+    blob = crypto.encrypt_footer_manifest([("a", "int64")], key)
+    (tmp_path / "schema.enc").write_bytes(blob)
+
+    class A:
+        path = str(tmp_path)
+        key = bytes(range(16)).hex()
+
+    cmd_footer(A())
+    out = json.loads(capsys.readouterr().out)
+    assert out["schema"] == {"a": "int64"} and out["encrypted_footer"]

@@ -12,6 +12,11 @@ from pq_engine.stats import choose_codec, numeric_stats, ragged_stats
 RNG = np.random.default_rng(0)
 
 
+def _data(out):
+    """data pages only (metadata rows: bloom -1, dict -2, colindex -4)."""
+    return [(m, b) for m, b in out if m["page"] >= 0]
+
+
 def _roundtrip(values, ptype, validity=None, **kw):
     out = pages.encode_column(values, ptype, validity=validity, **kw)
     got_vals, got_validity = pages.decode_column(out)
@@ -33,14 +38,14 @@ def _roundtrip(values, ptype, validity=None, **kw):
 def test_int_column_multi_page():
     vals = RNG.integers(0, 10**9, size=50_000).astype(np.int64)
     out = _roundtrip(vals, "int64")
-    assert len(out) == 3  # 20480+20480+9040
-    assert sum(m["n_rows"] for m, _ in out) == 50_000
+    assert len(_data(out)) == 3  # 20480+20480+9040
+    assert sum(m["n_rows"] for m, _ in _data(out)) == 50_000
 
 
 def test_timestamp_delta_chosen_and_small():
     ts = 1735689600_000_000 + np.cumsum(RNG.integers(0, 2_000_000, size=30_000))
     out = _roundtrip(ts.astype(np.int64), "timestamp_us")
-    assert all(m["codec"] == "delta" for m, _ in out)
+    assert all(m["codec"] == "delta" for m, _ in _data(out))
     assert sum(m["encoded_bytes"] for m, _ in out) < 0.5 * sum(
         m["raw_bytes"] for m, _ in out
     )
@@ -54,8 +59,8 @@ def test_low_card_string_dict():
     out = _roundtrip(vals, "string")
     # chunk-level dictionary: one dict page (page = -2) + dict data pages
     assert out[0][0]["codec"] == "dictpage" and out[0][0]["page"] == -2
-    assert all(m["codec"] == "dict" for m, _ in out[1:])
-    assert all(m["ndv"] <= 4 for m, _ in out)
+    assert all(m["codec"] == "dict" for m, _ in _data(out))
+    assert all(m["ndv"] <= 4 for m, _ in out if m["page"] != -4)
 
 
 def test_nulls_mixed():
@@ -63,7 +68,7 @@ def test_nulls_mixed():
         validity = RNG.random(5000) >= frac
         vals = RNG.integers(0, 100, size=int(validity.sum())).astype(np.int64)
         out = _roundtrip(vals, "int64", validity=validity)
-        assert sum(m["null_count"] for m, _ in out) == int((~validity).sum())
+        assert sum(m["null_count"] for m, _ in _data(out)) == int((~validity).sum())
 
 
 def test_nullable_strings():
@@ -79,7 +84,7 @@ def test_byte_capped_pages_for_blobs():
     blobs = [bytes([i % 256]) * 65536 for i in range(200)]
     vals = RaggedBytes.from_pylist(blobs)
     out = _roundtrip(vals, "binary")
-    assert len(out) >= 12
+    assert len(_data(out)) >= 12
     assert all(m["encoded_bytes"] < 2 * pages.PAGE_BYTES for m, _ in out)
 
 
@@ -97,7 +102,7 @@ def test_plain_safety_rail():
 def test_bool_rle():
     vals = RNG.random(10_000) < 0.2
     out = _roundtrip(vals, "bool")
-    assert all(m["codec"] == "rle" for m, _ in out)
+    assert all(m["codec"] == "rle" for m, _ in _data(out))
 
 
 def test_float_nan_bits_through_pages():
@@ -142,7 +147,7 @@ def test_single_row():
 def test_zlib_page_compression():
     vals = RaggedBytes.from_pylist([b"compressible " * 20] * 1000)
     out = _roundtrip(vals, "string", page_compression="zlib")
-    assert all(m["compression"] == "zlib" for m, _ in out)
+    assert all(m["compression"] == "zlib" for m, _ in _data(out))
 
 
 # ------------------------------------------------------------ codec chooser

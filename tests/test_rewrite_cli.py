@@ -52,7 +52,11 @@ def test_mask_hash(spark, pages):
 
 def test_transcode_roundtrip(spark, pages):
     z = transcode_compression(pages, "zlib")
-    assert z.filter(F.col("compression") != "zlib").count() == 0
+    # page-framed rows only: index/metadata rows (bloom -1, colindex -4)
+    # are page-level copied with their own labels
+    assert z.filter(
+        (F.col("compression") != "zlib") & (F.col("page") >= -2)
+    ).count() == 0
     assert decode_table(z).count() == 3000
     # back to none → page bytes decode identically
     n = transcode_compression(z, None)
