@@ -537,6 +537,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ptypes=table_ptypes(df),
         )
 
+    def rt_encrypted_footer(spark, sf_dir):
+        """Encrypted-footer (PARE analog) round-trip: column pages AES-GCM
+        encrypted with a column key AND the schema manifest (our footer)
+        encrypted with a separate footer key; decode path recovers ptypes
+        ONLY through the decrypted footer. Reference: encrypted-footer mode,
+        parquet-hadoop crypto + ParquetFileWriter EFMAGIC."""
+        from pq_engine.spark.crypto import (
+            decrypt_footer_manifest,
+            decrypt_pages,
+            encrypt_footer_manifest,
+            encrypt_pages,
+        )
+        from pq_engine.spark.engine import decode_table, encode_table, table_ptypes
+
+        col_key, footer_key = bytes(range(16)), bytes(range(16, 48))
+        df = _read(spark, sf_dir, "documents").select("doc_id", "text")
+        enc = encrypt_pages(encode_table(df), {"text": col_key})
+        footer_blob = encrypt_footer_manifest(
+            sorted(table_ptypes(df).items()), footer_key
+        )
+        ptypes = dict(decrypt_footer_manifest(footer_blob, footer_key))
+        return decode_table(
+            decrypt_pages(enc, {"text": col_key}),
+            ["doc_id", "text"],
+            ptypes=ptypes,
+        )
+
     def media_meta(spark, sf_dir):
         """Magic-byte media detection over blobs carrying REAL PNG/JPEG/GIF
         signatures (r2 judge #7: the oracle previously hardcoded 'unknown' and
@@ -649,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     if _crypto.available():  # AES backend gated behind import-try
         out["rt_encrypted_text"] = rt_encrypted
+        out["rt_encrypted_footer"] = rt_encrypted_footer
     return out
 
 
@@ -809,7 +837,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         **(
-            {"rt_encrypted_text": "SELECT doc_id, text FROM documents"}
+            {
+                "rt_encrypted_text": "SELECT doc_id, text FROM documents",
+                "rt_encrypted_footer": "SELECT doc_id, text FROM documents",
+            }
             if _crypto.available()
             else {}
         ),
