@@ -119,6 +119,17 @@ def widen_u64(arr: np.ndarray) -> np.ndarray:
     return arr.view(np.uint64)
 
 
+def fixed_keys(values: np.ndarray) -> np.ndarray:
+    """u64 keys for (n, k) FLBA rows — FNV-1a over the row bytes, k fully
+    vectorized column passes (mirrors ragged_keys on equal-length values)."""
+    n, k = values.shape
+    out = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(k):
+        out = (out ^ values[:, j].astype(np.uint64)) * prime
+    return out
+
+
 def key_for_value(value, ptype: str) -> int:
     """Driver/CLI-side probe key (must match the encode path: narrow to the
     column's physical dtype first, then widen identically)."""
@@ -127,6 +138,12 @@ def key_for_value(value, ptype: str) -> int:
     if ptype in ("string", "binary"):
         v = value.encode() if isinstance(value, str) else bytes(value)
         return int(ragged_keys(RaggedBytes.from_pylist([v]))[0])
+    if ptype.startswith(("decimal_flba[", "fixed[")) or ptype in (
+        "uuid", "float16", "int96_ts"
+    ):
+        from .fixedlen import value_to_fixed
+
+        return int(fixed_keys(value_to_fixed(value, ptype))[0])
     if ptype.startswith("decimal64["):
         ptype = "int64"  # probe with the UNSCALED int
     dt = {"int32": np.int32, "int64": np.int64, "timestamp_us": np.int64,

@@ -174,3 +174,36 @@ def int96_to_us(values: np.ndarray) -> np.ndarray:
     nanos = v[:, :8].copy().view("<i8").ravel()
     julian = v[:, 8:].copy().view("<u4").ravel().astype(np.int64)
     return (julian - EPOCH_JULIAN_DAY) * _US_PER_DAY + nanos // 1000
+
+
+def value_to_fixed(value, ptype: str) -> np.ndarray:
+    """One probe value → its (1, k) fixed-row bytes, matching what
+    _arrow_to_values produces for a column of that ptype (bloom/dictionary
+    pushdown probes must hash/compare the exact stored bytes)."""
+    if ptype == "uuid":
+        chars = np.frombuffer(str(value).encode(), np.uint8).reshape(1, 36)
+        return uuid_strings_to_fixed(chars)
+    if ptype.startswith("decimal_flba["):
+        from decimal import Decimal
+
+        p, s = map(int, ptype[13:-1].split(","))
+        unscaled = int(Decimal(str(value)).scaleb(s))
+        k = decimal_byte_width(p)
+        return np.frombuffer(
+            unscaled.to_bytes(k, "big", signed=True), np.uint8
+        ).reshape(1, k)
+    if ptype == "float16":
+        return np.array([value], dtype="<f2").view(np.uint8).reshape(1, 2)
+    if ptype == "int96_ts":
+        if hasattr(value, "timestamp"):  # datetime
+            us = int(round(value.timestamp() * 1e6))
+        else:
+            us = int(value)
+        return us_to_int96(np.array([us], np.int64))
+    if ptype.startswith("fixed["):
+        k = int(ptype[6:-1])
+        b = value.encode() if isinstance(value, str) else bytes(value)
+        if len(b) != k:
+            raise ValueError(f"probe value must be exactly {k} bytes")
+        return np.frombuffer(b, np.uint8).reshape(1, k)
+    raise ValueError(f"not a fixed-family ptype: {ptype}")

@@ -298,7 +298,10 @@ def _bloom_keys(values, ptype: str):
     from ..pages import kernel_ptype as _kp
 
     if _kp(ptype).startswith("fixed["):
-        return None  # FLBA blooms: probe-side widening not wired yet
+        # FLBA rows (UUIDs especially) are prime point-lookup keys
+        from ..kernels.bloom import fixed_keys
+
+        return fixed_keys(values)
     if ptype in RAGGED_TYPES:
         from ..kernels.bloom import ragged_keys
 
@@ -941,6 +944,7 @@ def prune_pages_by_dictionary(pages_df: DataFrame, column: str, value) -> DataFr
 
     target = pages_df.filter((F.col("column") == column) & (F.col("page") >= -2))
 
+    raw_value = value
     if isinstance(value, str):
         probe = value.encode()
     elif isinstance(value, (bytes, bytearray)):
@@ -971,8 +975,15 @@ def prune_pages_by_dictionary(pages_df: DataFrame, column: str, value) -> DataFr
 
         body = _pd(blob[1:], r["compression"])  # dict pages have no validity stream
         uniques = decode_dict_chunk_page(body, r["ptype"])
+        kp = _kp(r["ptype"])
         if r["ptype"] in _RT:
             if probe in set(uniques.to_pylist()):
+                return pd.DataFrame([key])
+        elif kp.startswith("fixed["):
+            from ..kernels.fixedlen import value_to_fixed
+
+            row = value_to_fixed(raw_value, r["ptype"])
+            if len(uniques) and (uniques == row).all(axis=1).any():
                 return pd.DataFrame([key])
         else:
             # decimal columns compare on the UNSCALED int (kernel type)

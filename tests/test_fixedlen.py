@@ -189,3 +189,69 @@ def test_worker_read_flba_parquet(spark, tmp_path):
     assert rows[5]["dec"] == Decimal(5 * 10**20 + 7) / 10**2
     assert rows[5]["fsb"] == (5).to_bytes(8, "big")
     assert rows[5]["half"] == 5.0
+
+
+# --------------------------------------------------------- pushdown probes
+
+
+def test_fixed_bloom_keys_match_probe():
+    from pq_engine.kernels.bloom import fixed_keys, key_for_value
+    from pq_engine.kernels.fixedlen import value_to_fixed
+
+    u = "6fa459ea-ee8a-3ca4-894e-db77e160355e"
+    col_keys = fixed_keys(value_to_fixed(u, "uuid"))
+    assert int(col_keys[0]) == key_for_value(u, "uuid")
+    assert key_for_value("123.45", "decimal_flba[38,6]") == key_for_value(
+        "123.450000", "decimal_flba[38,6]"
+    )
+    assert key_for_value(1.5, "float16") == key_for_value(1.5, "float16")
+
+
+def test_uuid_bloom_pushdown_end_to_end(spark):
+    """UUID point lookup: bloom rows prune chunks that can't contain the id."""
+    from pyspark.sql import functions as F
+
+    from pq_engine.spark.engine import (
+        decode_table, encode_table, prune_pages_by_bloom, table_ptypes,
+    )
+
+    m = F.md5(F.col("id").cast("string"))
+    df = spark.range(4000).select(
+        "id",
+        F.concat_ws(
+            "-", F.substring(m, 1, 8), F.substring(m, 9, 4),
+            F.substring(m, 13, 4), F.substring(m, 17, 4), F.substring(m, 21, 12),
+        ).alias("u"),
+    ).repartition(8)
+    probe = df.filter(F.col("id") == 1234).collect()[0]["u"]
+    pages = encode_table(
+        df, with_bloom=True, ptype_overrides={"u": "uuid"}, codec="plain"
+    )
+    pruned = prune_pages_by_bloom(pages, "u", probe)
+    n_all = pages.filter(F.col("page") >= 0).count()
+    n_kept = pruned.filter(F.col("page") >= 0).count()
+    assert n_kept < n_all  # most chunks disproved by their blooms
+    ptypes = table_ptypes(df)
+    ptypes["u"] = "uuid"
+    back = decode_table(pruned, ["id", "u"], ptypes=ptypes)
+    rows = back.filter(F.col("u") == probe).collect()
+    assert [r["id"] for r in rows] == [1234]  # never prunes the true hit
+
+
+def test_fixed_dictionary_pushdown(spark):
+    from pyspark.sql import functions as F
+
+    from pq_engine.spark.engine import encode_table, prune_pages_by_dictionary
+
+    # low-NDV fixed[8] column: 4 distinct ids
+    df = spark.range(2000).select(
+        "id", F.unhex(F.lpad(F.hex(F.col("id") % 4), 16, "0")).alias("fx")
+    ).repartition(4)
+    pages = encode_table(df, codec={"fx": "dict", "id": "auto"},
+                         ptype_overrides={"fx": "fixed[8]"})
+    absent = (99).to_bytes(8, "big")
+    pruned = prune_pages_by_dictionary(pages, "fx", absent)
+    assert pruned.count() == 0  # every chunk's dict disproves the probe
+    present = (2).to_bytes(8, "big")
+    kept = prune_pages_by_dictionary(pages, "fx", present)
+    assert kept.count() == pages.count()
