@@ -58,3 +58,83 @@ def streaming_encode_stats(spark: SparkSession, pages_dir: str):
         F.sum("encoded_bytes").alias("encoded_bytes"),
         F.sum("n_rows").alias("values"),
     )
+
+
+def windowed_crawl_stats(
+    stream_df: DataFrame,
+    ts_col: str = "warc_ts",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time windowed ingest monitoring with LATE-DATA handling: pages
+    and bytes per crawl-time window, watermarked so state is bounded and
+    stragglers later than ``watermark`` are dropped deterministically
+    (Structured Streaming's late-data contract). Works on the raw stream
+    BEFORE encoding — the operational dashboard of a continuous crawl."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("lang"))
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.length("text").cast("long")).alias("text_bytes"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "docs",
+            "text_bytes",
+        )
+    )
+
+
+def streaming_dedup_exact(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    timeout_minutes: int | None = None,
+):
+    """Streaming EXACT dedup — the stateful operator a continuously-crawled
+    corpus needs: keyed by content fingerprint (md5), keeps only the FIRST
+    arrival of each distinct text across all micro-batches.
+
+    Custom stateful processing via ``applyInPandasWithState`` (the engine
+    extension the brief names): state per fingerprint = one 'seen' flag.
+    With ``timeout_minutes`` the state expires on processing time, bounding
+    state size for unbounded corpora (expired fingerprints may re-admit a
+    duplicate — the standard windowed-dedup tradeoff; leave None for exact
+    semantics when state fits)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    in_fields = stream_df.schema.fields
+    out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in in_fields)
+    state_schema = "seen byte"
+    keyed = stream_df.withColumn("__fp", F.md5(F.col(text_col)))
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        already = state.exists
+        if not already:
+            for pdf in pdfs:
+                if len(pdf):
+                    yield pdf.iloc[[0]].drop(columns=["__fp"])
+                    break
+            state.update((1,))
+            if timeout_minutes is not None:
+                state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        else:
+            for _ in pdfs:  # drain
+                pass
+            if timeout_minutes is not None:
+                state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.groupBy("__fp").applyInPandasWithState(
+        dedup_fn, out_schema, state_schema, "Update", timeout
+    )
