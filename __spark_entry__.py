@@ -537,6 +537,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ptypes=table_ptypes(df),
         )
 
+    def _variant_docs(spark, sf_dir):
+        return _read(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.to_json(
+                F.struct(
+                    F.col("n_chars").alias("n"),
+                    F.col("lang").alias("l"),
+                    (F.col("doc_id") % 2 == 0).alias("flag"),
+                )
+            ).alias("j"),
+        )
+
+    def variant_typed_get(spark, sf_dir):
+        """VARIANT shredding (parquet-variant / VariantShredding analog):
+        semi-structured JSON documents shredded into INFERRED typed path
+        leaves + residual, encoded/decoded, typed values read WITHOUT
+        parsing any document."""
+        from pq_engine.spark.engine import decode_table, table_ptypes
+        from pq_engine.spark.variant import encode_variant, variant_shred
+
+        df = _variant_docs(spark, sf_dir)
+        pages, info = encode_variant(df, "j")
+        flat, _ = variant_shred(df, "j", info["spec"])
+        back = decode_table(pages, flat.columns, ptypes=table_ptypes(flat))
+        return back.select(
+            "doc_id",
+            F.col("`j#n`").alias("n"),
+            F.col("`j#l`").alias("l"),
+            F.col("`j#flag`").alias("flag"),
+        )
+
+    def variant_residual_rt(spark, sf_dir):
+        """VARIANT residual: the untyped value column survives encode/decode
+        bit-identical (lossless contract of the shredding spec)."""
+        from pq_engine.spark.engine import decode_table, table_ptypes
+        from pq_engine.spark.variant import (
+            encode_variant,
+            variant_assemble,
+            variant_shred,
+        )
+
+        df = _variant_docs(spark, sf_dir)
+        pages, info = encode_variant(df, "j")
+        flat, _ = variant_shred(df, "j", info["spec"])
+        back = decode_table(pages, flat.columns, ptypes=table_ptypes(flat))
+        return variant_assemble(back, info)
+
+    def variant_pushdown(spark, sf_dir):
+        """Predicate on a typed variant path: stats pruning runs on the
+        ``j#$.n`` leaf's pages — documents are never parsed, non-matching
+        pages never decoded."""
+        from pq_engine.spark.engine import (
+            decode_table,
+            prune_pages_by_stats,
+            table_ptypes,
+        )
+        from pq_engine.spark.variant import encode_variant, variant_shred
+
+        df = _variant_docs(spark, sf_dir)
+        pages, info = encode_variant(df, "j", page_rows=64)
+        flat, _ = variant_shred(df, "j", info["spec"])
+        pruned = prune_pages_by_stats(
+            pages, "j#n", lo=100, hi=400, numeric=True, level="page"
+        )
+        back = decode_table(pruned, flat.columns, ptypes=table_ptypes(flat))
+        out = back.select("doc_id", F.col("`j#n`").alias("n"))
+        return out.filter((F.col("n") >= 100) & (F.col("n") <= 400))
+
     def rt_encrypted_footer(spark, sf_dir):
         """Encrypted-footer (PARE analog) round-trip: column pages AES-GCM
         encrypted with a column key AND the schema manifest (our footer)
@@ -637,6 +705,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_decimal_nchars": rt_decimal,
         "rt_list_struct_items": rt_list_struct,
         "rt_dict_list_tags": rt_dict_list_tags,
+        # --- VARIANT shredding (parquet-variant analog) ---
+        "variant_typed_get": variant_typed_get,
+        "variant_residual_rt": variant_residual_rt,
+        "variant_pushdown": variant_pushdown,
         # --- deeper nesting composition (recursive shred) ---
         "rt_map_struct": rt_map_struct,
         "rt_list_list": rt_list_list,
@@ -721,6 +793,21 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT doc_id, 1, source FROM documents
               UNION ALL SELECT doc_id, 2, lang FROM documents
             )
+        """,
+        "variant_typed_get": """
+            SELECT doc_id, n_chars AS n, lang AS l, (doc_id % 2 = 0) AS flag
+            FROM documents
+        """,
+        "variant_residual_rt": """
+            SELECT doc_id,
+                   '{"n":' || n_chars || ',"l":"' || lang || '","flag":'
+                   || CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END
+                   || '}' AS j
+            FROM documents
+        """,
+        "variant_pushdown": """
+            SELECT doc_id, n_chars AS n FROM documents
+            WHERE n_chars BETWEEN 100 AND 400
         """,
         "rt_map_struct": "SELECT doc_id, lang AS mk, n_chars AS n, source AS s FROM documents",
         "rt_list_list": """
