@@ -605,6 +605,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = back.select("doc_id", F.col("`j#n`").alias("n"))
         return out.filter((F.col("n") >= 100) & (F.col("n") <= 400))
 
+    def geo_bbox_filter(spark, sf_dir):
+        """GEOMETRY (WKB) columns + GeospatialStatistics bbox pruning: points
+        built from doc_id, encoded as the geometry ptype (bbox rows emitted
+        per chunk), a query rectangle prunes chunks via bbox intersection,
+        decode + exact residual filter returns the points inside."""
+        from pq_engine.pipeline.geo import wkb_point_column, wkb_point_xy
+        from pq_engine.spark.engine import (
+            decode_table,
+            encode_table,
+            prune_pages_by_bbox,
+            table_ptypes,
+        )
+
+        df = _read(spark, sf_dir, "documents").select(
+            "doc_id",
+            (F.col("doc_id") % 50).cast("double").alias("px"),
+            F.floor(F.col("doc_id") / 50).cast("double").alias("py"),
+        )
+        geo = wkb_point_column(df, "px", "py").select("doc_id", "geom")
+        pages = encode_table(geo, ptype_overrides={"geom": "geometry"})
+        pruned = prune_pages_by_bbox(pages, "geom", 10.0, 1.0, 14.0, 6.0)
+        ptypes = table_ptypes(geo)
+        ptypes["geom"] = "geometry"
+        back = decode_table(pruned, ["doc_id", "geom"], ptypes=ptypes)
+        parsed = wkb_point_xy(back, "geom")
+        return parsed.select("doc_id", "x", "y").filter(
+            (F.col("x") >= 10) & (F.col("x") <= 14)
+            & (F.col("y") >= 1) & (F.col("y") <= 6)
+        )
+
     def rt_encrypted_footer(spark, sf_dir):
         """Encrypted-footer (PARE analog) round-trip: column pages AES-GCM
         encrypted with a column key AND the schema manifest (our footer)
@@ -709,6 +739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_typed_get": variant_typed_get,
         "variant_residual_rt": variant_residual_rt,
         "variant_pushdown": variant_pushdown,
+        # --- GEOMETRY / GeospatialStatistics analog ---
+        "geo_bbox_filter": geo_bbox_filter,
         # --- deeper nesting composition (recursive shred) ---
         "rt_map_struct": rt_map_struct,
         "rt_list_list": rt_list_list,
@@ -808,6 +840,14 @@ def oracle_sql() -> dict[str, str]:
         "variant_pushdown": """
             SELECT doc_id, n_chars AS n FROM documents
             WHERE n_chars BETWEEN 100 AND 400
+        """,
+        "geo_bbox_filter": """
+            SELECT doc_id,
+                   CAST(doc_id % 50 AS DOUBLE) AS x,
+                   CAST(floor(doc_id / 50.0) AS DOUBLE) AS y
+            FROM documents
+            WHERE (doc_id % 50) BETWEEN 10 AND 14
+              AND floor(doc_id / 50.0) BETWEEN 1 AND 6
         """,
         "rt_map_struct": "SELECT doc_id, lang AS mk, n_chars AS n, source AS s FROM documents",
         "rt_list_list": """

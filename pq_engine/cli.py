@@ -456,7 +456,7 @@ def cmd_trans_compression(tbl, args):
     to_label = args.to or "none"
     rows = tbl.to_pylist()
     for r in rows:
-        if r["compression"] == to_label or r["page"] in (-1, -4) or r["codec"] == "rowranges":
+        if r["compression"] == to_label or r["page"] in (-1, -4, -5) or r["codec"] == "rowranges":
             continue
         blob = bytes(r["data"])
         from .pages import split_page_blob
@@ -663,6 +663,28 @@ def cmd_rewrite(tbl, args):
     print(f"rewrote {tbl.num_rows} page rows → {args.out}")
 
 
+def cmd_geospatial_stats(tbl, args):
+    """ShowGeospatialStatisticsCommand analog: per-chunk WKB-Point bounding
+    boxes from the persisted page = -5 geostats rows (GeospatialStatistics)."""
+    import json
+
+    import pyarrow.compute as pc
+
+    rows = tbl.filter(pc.equal(tbl["page"], -5))
+    if args.column:
+        rows = rows.filter(pc.equal(rows["column"], args.column))
+    if rows.num_rows == 0:
+        print("no geospatial statistics (no WKB Point chunks)")
+        return
+    for i in range(rows.num_rows):
+        b = json.loads(rows["min"][i].as_py())
+        print(
+            f"column={rows['column'][i].as_py()} split={rows['split_id'][i].as_py()} "
+            f"batch={rows['batch_id'][i].as_py()} "
+            f"bbox=[{b['xmin']}, {b['ymin']}, {b['xmax']}, {b['ymax']}]"
+        )
+
+
 def cmd_to_parquet(tbl, args):
     """ConvertCommand analog (to standard PARQUET instead of Avro — the
     interop target independent readers actually consume): decode the page
@@ -729,7 +751,7 @@ def main(argv=None):
             "meta", "schema", "pages", "stats", "dictionary", "cat", "scan",
             "column-size", "column-index", "bloom-filter", "prune", "mask",
             "trans-compression", "from-csv", "version", "footer", "size-stats",
-            "check-stats", "rewrite", "to-parquet",
+            "check-stats", "rewrite", "to-parquet", "geospatial-stats",
         ],
     )
     ap.add_argument("path", nargs="?")
@@ -775,6 +797,7 @@ def main(argv=None):
         "check-stats": cmd_check_stats,
         "rewrite": cmd_rewrite,
         "to-parquet": cmd_to_parquet,
+        "geospatial-stats": cmd_geospatial_stats,
     }[args.command](tbl, args)
 
 

@@ -66,6 +66,10 @@ def kernel_ptype(ptype: str) -> str:
         from .kernels.fixedlen import fixed_width
 
         return f"fixed[{fixed_width(ptype)}]"
+    if ptype == "geometry":
+        # GEOMETRY annotates BINARY (WKB) — LogicalTypeAnnotation.java:1189+;
+        # the logical type additionally emits bbox stats rows (page = -5)
+        return "binary"
     return ptype
 
 
@@ -443,6 +447,38 @@ def encode_column(
             **_page_stats(ptype, vals, nnull),
         }
         out.append((meta, blob))
+    if ptype == "geometry" and len(values):
+        # chunk-level GeospatialStatistics bbox (parquet-column geospatial/):
+        # emitted only when every value parses as a WKB Point; query
+        # rectangles prune chunks via prune_pages_by_bbox without touching
+        # any geometry bytes
+        from .pipeline.geo import wkb_bbox
+
+        bbox = wkb_bbox(values)
+        if bbox is not None:
+            import json as _json
+
+            payload = _json.dumps(bbox, sort_keys=True)
+            out.append(
+                (
+                    {
+                        "page": GEO_PAGE,
+                        "codec": "geostats",
+                        "ptype": ptype,
+                        "first_row": -1,
+                        "n_rows": 0,
+                        "null_count": 0,
+                        "raw_bytes": 0,
+                        "encoded_bytes": 0,
+                        "crc32": 0,
+                        "compression": "none",
+                        "min": payload,
+                        "max": payload,
+                        "ndv": -1,
+                    },
+                    b"",
+                )
+            )
     order = _boundary_order([m for m, _ in out if m["page"] >= 0], kp)
     if order is not None:
         # PERSISTED boundary order (ColumnIndexBuilder.java:67-249 stores it
@@ -472,6 +508,7 @@ def encode_column(
 
 
 COLINDEX_PAGE = -4  # manifest `page` value of the persisted column-index row
+GEO_PAGE = -5  # manifest `page` value of the GeospatialStatistics bbox row
 
 
 def _parse_stat(v: str, kp: str):
@@ -510,6 +547,7 @@ def _boundary_order(data_metas: list[dict], kp: str) -> str | None:
 
 
 def _page_bounds(values, ptype, validity, n_rows, page_rows, page_bytes):
+    ptype = kernel_ptype(ptype)
     if n_rows == 0:
         return [0]  # no pages
     if ptype in RAGGED_TYPES and len(values):
@@ -536,6 +574,7 @@ def _page_bounds(values, ptype, validity, n_rows, page_rows, page_bytes):
 
 
 def _slice_values(values, ptype, v0, v1):
+    ptype = kernel_ptype(ptype)
     if ptype in RAGGED_TYPES:
         return RaggedBytes(
             values.offsets[v0 : v1 + 1] - values.offsets[v0],
@@ -633,7 +672,7 @@ def decode_column(pages: list[tuple[dict, bytes]], ptype: str | None = None):
             ids = dictionary.decode_dict_data_page(body, count)
             part = (
                 dict_vals.take(ids)
-                if meta["ptype"] in RAGGED_TYPES
+                if kernel_ptype(meta["ptype"]) in RAGGED_TYPES
                 else dict_vals[ids]
             )
             vals_parts.append(part)
@@ -641,7 +680,7 @@ def decode_column(pages: list[tuple[dict, bytes]], ptype: str | None = None):
             vals_parts.append(_decode_values(meta["codec"], meta["ptype"], body, count))
         valid_parts.append(validity)
     ptype = pages[0][0]["ptype"] if pages else "int64"
-    if ptype in RAGGED_TYPES:
+    if kernel_ptype(ptype) in RAGGED_TYPES:
         all_vals = _concat_ragged(vals_parts)
     else:
         all_vals = np.concatenate(vals_parts) if vals_parts else np.zeros(0)

@@ -137,6 +137,7 @@ def ptype_to_spark_type(ptype: str) -> T.DataType:
         "uuid": T.StringType(),
         "float16": T.FloatType(),
         "int96_ts": T.TimestampType(),
+        "geometry": T.BinaryType(),  # WKB carrier
     }[ptype]
 
 
@@ -164,8 +165,8 @@ def _arrow_to_values(arr: pa.Array, ptype: str):
     if arr.null_count:
         validity = np.asarray(arr.is_valid())
         arr = arr.drop_null()
-    if ptype in RAGGED_TYPES:
-        return RaggedBytes.from_arrow(arr), validity
+    if ptype in RAGGED_TYPES or ptype == "geometry":  # GEOMETRY = WKB binary
+        return RaggedBytes.from_arrow(arr.cast(pa.binary()) if ptype == "geometry" else arr), validity
     if ptype in ("timestamp_us", "timestamp_ntz_us"):
         ts = arr.cast(pa.timestamp("us"))
         vals = np.asarray(ts.cast(pa.int64()))
@@ -225,8 +226,8 @@ def _values_to_arrow(values, validity, ptype: str) -> pa.Array:
         return pa.ListArray.from_arrays(
             offsets, child_arr, mask=pa.array(~values.list_validity)
         )
-    if ptype in RAGGED_TYPES:
-        dense = values.to_arrow(large=False, binary=(ptype == "binary"))
+    if ptype in RAGGED_TYPES or ptype == "geometry":
+        dense = values.to_arrow(large=False, binary=(ptype != "string"))
     elif ptype in ("timestamp_us", "timestamp_ntz_us"):
         dense = pa.array(values.astype("datetime64[us]"))
     elif ptype == "date32":
@@ -302,7 +303,7 @@ def _bloom_keys(values, ptype: str):
         from ..kernels.bloom import fixed_keys
 
         return fixed_keys(values)
-    if ptype in RAGGED_TYPES:
+    if ptype in RAGGED_TYPES or _kp(ptype) in RAGGED_TYPES:
         from ..kernels.bloom import ragged_keys
 
         if len(values) == 0 or float(values.lengths.mean()) > BLOOM_MAX_VALUE_LEN:
@@ -893,6 +894,34 @@ def prune_pages_by_stats(
         F.lit(b"").alias("data"),
     )
     return kept.unionByName(ranges_rows)
+
+
+def prune_pages_by_bbox(
+    pages_df: DataFrame,
+    column: str,
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+) -> DataFrame:
+    """Geospatial pushdown (GeospatialStatistics analog): drop every
+    (split, batch) whose ``column`` bbox row (page = -5, emitted for WKB
+    Point chunks) proves no geometry intersects the query rectangle. Pure
+    Catalyst — the bbox json parses with get_json_object, no geometry bytes
+    are touched. Chunks without a bbox row are conservatively kept."""
+    geo = pages_df.filter((F.col("column") == column) & (F.col("page") == -5))
+    gx = lambda k: F.get_json_object(F.col("min"), f"$.{k}").cast("double")
+    surviving = geo.filter(
+        (gx("xmin") <= F.lit(float(xmax)))
+        & (gx("xmax") >= F.lit(float(xmin)))
+        & (gx("ymin") <= F.lit(float(ymax)))
+        & (gx("ymax") >= F.lit(float(ymin)))
+    ).select("split_id", "batch_id")
+    with_geo = geo.select("split_id", "batch_id").distinct()
+    all_keys = pages_df.select("split_id", "batch_id").distinct()
+    no_geo = all_keys.join(with_geo, ["split_id", "batch_id"], "left_anti")
+    keep = surviving.unionByName(no_geo).distinct()
+    return pages_df.join(keep, ["split_id", "batch_id"], "left_semi")
 
 
 def prune_pages_by_bloom(pages_df: DataFrame, column: str, value) -> DataFrame:
