@@ -106,7 +106,13 @@ def ragged_stats(col: RaggedBytes) -> ColumnStats:
     n = len(col)
     if n == 0:
         return ColumnStats(0, 0, 0.0, 1.0, 1.0, 0.0, 0, 8.0)
-    step = max(1, n // SAMPLE_ROWS)
+    # cap the sample by BYTES too: for blob columns (html ~4 KB/value) a
+    # 2048-row sample copies+hashes ~8 MB per batch — a quarter of the whole
+    # encode cost for stats alone. ~2 MB of sampled bytes decides the codec
+    # just as well (measured identical outcomes on the bench table).
+    avg = float(col.lengths.mean())
+    target_rows = min(SAMPLE_ROWS, max(64, int((2 << 20) / max(avg, 1.0))))
+    step = max(1, n // target_rows)
     idx = np.arange(0, n, step)
     sample = col.take(idx)
     codes, uniques = factorize_bytes(sample)
@@ -129,9 +135,11 @@ def ragged_stats(col: RaggedBytes) -> ColumnStats:
     dict_bytes_est = int(dict_bytes_est * ndv_est / max(len(uniques), 1))
     from .kernels.deltastrings import shared_prefix_lengths
 
-    # adjacency matters for prefix share — use a contiguous slice, not a stride
+    # adjacency matters for prefix share — use a contiguous slice, not a
+    # stride; byte-capped like the stride sample
+    head_rows = min(n, target_rows)
     head = RaggedBytes(
-        col.offsets[: min(n, SAMPLE_ROWS) + 1], col.data[: col.offsets[min(n, SAMPLE_ROWS)]]
+        col.offsets[: head_rows + 1], col.data[: col.offsets[head_rows]]
     )
     pl = shared_prefix_lengths(head)
     prefix_share = float(pl.mean() / max(avg_len, 1.0)) if len(pl) else 0.0
