@@ -248,6 +248,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count_distinct("l_orderkey").alias("n_orders"),
         )
 
+    def analytics_join_revenue(spark, sf_dir):
+        """TPC-H-Q3-style join over DECODED tables: lineitem ⋈ orders
+        (open orders only), revenue per order, top 10. The dimension side is
+        explicitly broadcast — the plan the same query needs at 100 TB."""
+        from pq_engine.spark.engine import decode_table, encode_table, table_ptypes
+
+        li = _read(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+        li_d = decode_table(
+            encode_table(li),
+            ["l_orderkey", "l_extendedprice", "l_discount"],
+            ptypes=table_ptypes(li),
+        )
+        open_orders = orders.filter(F.col("o_orderstatus") == "O").select("o_orderkey")
+        joined = li_d.join(
+            F.broadcast(open_orders),
+            li_d["l_orderkey"] == open_orders["o_orderkey"],
+        )
+        return (
+            joined.groupBy("l_orderkey")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10)
+        )
+
+    def analytics_join_region(spark, sf_dir):
+        """Star-style chained broadcast joins over decoded dims: customers per
+        region name via customer ⋈ nation ⋈ region — both dimension tables
+        round-trip through the engine and broadcast (no shuffle of the fact)."""
+        from pq_engine.spark.engine import decode_table, encode_table, table_ptypes
+
+        cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        nation = _read(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+        region = _read(spark, sf_dir, "region").select("r_regionkey", "r_name")
+        nation_d = decode_table(
+            encode_table(nation), ["n_nationkey", "n_regionkey"], ptypes=table_ptypes(nation)
+        )
+        region_d = decode_table(
+            encode_table(region), ["r_regionkey", "r_name"], ptypes=table_ptypes(region)
+        )
+        return (
+            cust.join(F.broadcast(nation_d), cust["c_nationkey"] == nation_d["n_nationkey"])
+            .join(F.broadcast(region_d), nation_d["n_regionkey"] == region_d["r_regionkey"])
+            .groupBy("r_name")
+            .agg(F.count("*").alias("n_customers"))
+        )
+
     def sessionize_events(spark, sf_dir):
         """Window-function sessionization (30-min gap) per user."""
         from pyspark.sql import Window as W
@@ -760,6 +813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_pushdown": bloom_pushdown,
         "dict_pushdown": dict_pushdown,
         "analytics_on_decoded": analytics_on_decoded,
+        "analytics_join_revenue": analytics_join_revenue,
+        "analytics_join_region": analytics_join_region,
         "sessionize_events": sessionize_events,
         # --- training-data pipeline ---
         "dedup_exact": dedup_exact,
@@ -902,6 +957,23 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(l_quantity), 3) AS sum_qty,
                    COUNT(DISTINCT l_orderkey) AS n_orders
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "analytics_join_revenue": """
+            SELECT l_orderkey,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'O'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "analytics_join_region": """
+            SELECT r_name, COUNT(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "sessionize_events": """
             SELECT user_id, SUM(new_sess)::BIGINT AS n_sessions, COUNT(*) AS n_events
