@@ -120,6 +120,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_chars_m", "punct_ratio", "stopword_ratio", "mean_token_len"
         )
 
+    def qfilter(spark, sf_dir):
+        return textops.quality_filter(
+            _read(spark, sf_dir, "documents"),
+            min_tokens=20, max_punct=0.05, min_stop=0.02,
+        ).select("doc_id")
+
     def langid(spark, sf_dir):
         return textops.lang_id(_read(spark, sf_dir, "documents")).select(
             "doc_id", "lang_guess"
@@ -159,6 +165,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.simhash_near_pairs(
             _read(spark, sf_dir, "documents"), max_hamming=3
         )
+
+    def jaccard_verify(spark, sf_dir):
+        """Exact shingle-set Jaccard on a deterministic candidate set (each
+        ASCII doc paired with the next ASCII doc) — the verify stage behind
+        the MinHash candidates, now oracle-checked value-for-value (the
+        shingles are utf-8 BYTE 5-grams, so the pair set is restricted to
+        ASCII docs where byte- and char-grams coincide with the SQL side)."""
+        from pyspark.sql import Window as W
+
+        docs = _read(spark, sf_dir, "documents")
+        ascii_docs = docs.filter(
+            F.octet_length(F.encode(F.col("text"), "utf-8")) == F.length("text")
+        )
+        w = W.orderBy("doc_id")
+        pairs = (
+            ascii_docs.select(
+                F.col("doc_id").alias("id_a"),
+                F.lead("doc_id").over(w).alias("id_b"),
+            )
+            .filter(F.col("id_b").isNotNull() & (F.col("id_a") % 5 == 0))
+        )
+        out = dedup.ngram_jaccard(pairs, docs, k=5)
+        return out.select("id_a", "id_b", "jaccard")
 
     def rewrite_prune(spark, sf_dir):
         from pq_engine.spark.engine import decode_table, encode_table, table_ptypes
@@ -820,12 +849,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "token_count": tok_count,
         "text_quality": quality,
+        "quality_filter": qfilter,
         "lang_id": langid,
         "fingerprint_md5": fp_md5,
         "ann_top10": ann10,
         "ann_lsh_top10": ann_lsh10,  # rows-only (approximate by design)
         "ann_ivf_top10": ann_ivf10,  # rows-only (IVF scale path, approximate)
         "minhash_pairs": minhash_pairs,  # rows-only (LSH banding)
+        "jaccard_verify": jaccard_verify,
         "simhash_pairs": simhash_pairs,  # rows-only (LSH banding)
         "media_metadata": media_meta,
         "media_features": media_features,  # rows-only (stubbed decode, fake features)
@@ -1005,6 +1036,17 @@ def oracle_sql() -> dict[str, str]:
                          / greatest({n_tokens}, 1), 6) AS mean_token_len
             FROM documents
         """,
+        "quality_filter": f"""
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     {n_tokens} AS nt,
+                     round((length(text) - length(translate(text, '.,!?;:', '')))::DOUBLE
+                           / greatest(length(text), 1), 6) AS pr,
+                     round(len(list_filter({tok}, x -> x IN {_STOPWORDS_SQL}))::DOUBLE
+                           / greatest({n_tokens}, 1), 6) AS sr
+              FROM documents
+            ) WHERE nt >= 20 AND pr <= 0.05 AND sr >= 0.02
+        """,
         "lang_id": r"""
             SELECT doc_id,
                    CASE
@@ -1019,6 +1061,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "jaccard_verify": """
+            WITH ascii_docs AS (
+              SELECT doc_id, text FROM documents
+              WHERE octet_length(encode(text)) = length(text)
+            ),
+            p AS (
+              SELECT doc_id AS id_a,
+                     lead(doc_id) OVER (ORDER BY doc_id) AS id_b
+              FROM ascii_docs
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(length(text) - 4, 0)),
+                       i -> substr(text, i, 5))) AS sh
+              FROM ascii_docs
+            )
+            SELECT id_a, id_b,
+                   round(CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0
+                         ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+                              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                         END, 6) AS jaccard
+            FROM p
+            JOIN g a ON a.doc_id = id_a
+            JOIN g b ON b.doc_id = id_b
+            WHERE id_b IS NOT NULL AND id_a % 5 = 0
+        """,
         "ann_top10": f"""
             SELECT vec_id,
                    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), {qvec}), 6) AS cos
