@@ -87,7 +87,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pq_engine.spark.engine import encode_table
 
-        df = _read(spark, sf_dir, "documents").coalesce(1)
+        # stats-bearing columns only: blob columns (text at larger SFs)
+        # exceed BLOB_STATS_CUTOFF and omit NDV by design, which the SQL
+        # side can't express — the bounded columns make the check SF-invariant
+        df = _read(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        ).coalesce(1)
         # data pages only: index rows (chunk dict -2, bloom -1) carry
         # dictionary/filter metadata, not row counts
         pages = encode_table(df, page_rows=1 << 22).filter(F.col("page") >= 0)
@@ -964,9 +969,6 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'doc_id' AS col_name, COUNT(*)::BIGINT AS n_rows,
                      (COUNT(*) - COUNT(doc_id))::BIGINT AS null_count,
                      COUNT(DISTINCT doc_id)::BIGINT AS ndv FROM documents
-              UNION ALL
-              SELECT 'text', COUNT(*)::BIGINT, (COUNT(*) - COUNT(text))::BIGINT,
-                     COUNT(DISTINCT text)::BIGINT FROM documents
               UNION ALL
               SELECT 'lang', COUNT(*)::BIGINT, (COUNT(*) - COUNT(lang))::BIGINT,
                      COUNT(DISTINCT lang)::BIGINT FROM documents

@@ -3,6 +3,7 @@ entry on Spark at sf0.01, run its oracle_sql() in DuckDB on the same parquet,
 compare row count + schema-sorted order-insensitive value hash.
 
 Usage: python tools/check_oracle.py [name ...]
+Env: PQ_ORACLE_SF_DIR overrides the sf directory (default /root/testdata/sf0.01).
 """
 
 from __future__ import annotations
@@ -12,7 +13,9 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+import os as _os
+
+SF_DIR = _os.environ.get("PQ_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
     "events", "documents", "embeddings",
