@@ -158,8 +158,16 @@ def fixed16_to_float32(values: np.ndarray) -> np.ndarray:
 
 
 def us_to_int96(us: np.ndarray) -> np.ndarray:
-    """int64 epoch-microseconds → (n, 12) INT96 rows."""
+    """int64 epoch-microseconds → (n, 12) INT96 rows. The Julian day is an
+    unsigned 32-bit field; timestamps before Julian day 0 (~4713 BC) or past
+    day 2^32 are unrepresentable and raise rather than silently wrapping
+    (found by the hypothesis property sweep)."""
     day = np.floor_divide(us, _US_PER_DAY)
+    if len(day) and (
+        int(day.min()) + EPOCH_JULIAN_DAY < 0
+        or int(day.max()) + EPOCH_JULIAN_DAY >= 1 << 32
+    ):
+        raise ValueError("timestamp outside the INT96 Julian-day range")
     nanos = (us - day * _US_PER_DAY).astype("<i8") * 1000
     out = np.zeros((len(us), 12), dtype=np.uint8)
     out[:, :8] = nanos.astype("<i8").view(np.uint8).reshape(-1, 8)

@@ -112,3 +112,80 @@ def test_list_levels_roundtrip_property(rows, page_rows):
         back.child_validity, cv
     )
     assert np.array_equal(back.child_values, child)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.binary(min_size=9, max_size=9), max_size=200),
+    st.sampled_from(["plain", "bss", "dba", "dict"]),
+    st.sampled_from([None, "zstd"]),
+)
+def test_fixed_roundtrip_any_bytes(vals, codec, compression):
+    arr = (
+        np.frombuffer(b"".join(vals), np.uint8).reshape(-1, 9)
+        if vals
+        else np.zeros((0, 9), np.uint8)
+    )
+    out = pages.decode_column(
+        pages.encode_column(
+            arr, "fixed[9]", codec=codec, page_rows=64, page_compression=compression
+        ),
+        "fixed[9]",
+    )[0]
+    np.testing.assert_array_equal(out, arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=-(10**38) + 1, max_value=10**38 - 1), max_size=150))
+def test_wide_decimal_unscaled_roundtrip(unscaled):
+    """Any 38-digit unscaled value survives the BE-bytes FLBA carrier."""
+    from pq_engine.kernels.fixedlen import decimal_byte_width
+
+    k = decimal_byte_width(38)
+    rows = (
+        np.frombuffer(
+            b"".join(v.to_bytes(k, "big", signed=True) for v in unscaled), np.uint8
+        ).reshape(-1, k)
+        if unscaled
+        else np.zeros((0, k), np.uint8)
+    )
+    out = pages.decode_column(
+        pages.encode_column(rows, "decimal_flba[38,6]", codec="auto", page_rows=50),
+        "decimal_flba[38,6]",
+    )[0]
+    np.testing.assert_array_equal(out, rows)
+    back = [int.from_bytes(bytes(r), "big", signed=True) for r in out]
+    assert back == unscaled
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(
+    # the representable INT96 domain: Julian day in [0, 2^32)
+    st.integers(min_value=-210_866_803_200_000_000, max_value=2**62),
+    max_size=120,
+))
+def test_int96_us_roundtrip_property(us_list):
+    from pq_engine.kernels import fixedlen as fl
+
+    us = np.array(us_list, dtype=np.int64)
+    np.testing.assert_array_equal(fl.int96_to_us(fl.us_to_int96(us)), us)
+
+
+def test_int96_out_of_range_raises():
+    import pytest
+
+    from pq_engine.kernels import fixedlen as fl
+
+    with pytest.raises(ValueError, match="Julian-day range"):
+        fl.us_to_int96(np.array([-210_866_803_200_000_001], np.int64))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.binary(max_size=80), min_size=0, max_size=80))
+def test_md5_property(vals):
+    import hashlib
+
+    from pq_engine.kernels.md5 import md5_ragged
+
+    got = md5_ragged(RaggedBytes.from_pylist(vals)).to_pylist()
+    assert got == [hashlib.md5(v).hexdigest().encode() for v in vals]
