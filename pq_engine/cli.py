@@ -215,13 +215,20 @@ def _persisted_orders(tbl, column) -> dict:
     }
 
 
-def _derive_order(mins) -> str:
-    clean = [m for m in mins if m is not None]
-    if len(clean) < 2:
+def _derive_order(mins, maxs) -> str:
+    """ColumnIndexBuilder BoundaryOrder from BOTH bounds: ordered iff mins
+    AND maxs are monotone the same way (mins alone would mislabel
+    overlapping pages and break the binary search — r3 self-review #4).
+    Any missing stat → UNORDERED."""
+    if len(mins) < 2 or any(v is None for v in mins) or any(v is None for v in maxs):
         return "UNORDERED"
-    if all(a <= b for a, b in zip(clean, clean[1:])):
+    if all(a <= b for a, b in zip(mins, mins[1:])) and all(
+        a <= b for a, b in zip(maxs, maxs[1:])
+    ):
         return "ASCENDING"
-    if all(a >= b for a, b in zip(clean, clean[1:])):
+    if all(a >= b for a, b in zip(mins, mins[1:])) and all(
+        a >= b for a, b in zip(maxs, maxs[1:])
+    ):
         return "DESCENDING"
     return "UNORDERED"
 
@@ -285,7 +292,7 @@ def cmd_column_index(tbl, args):
         if key in persisted:
             order, src = persisted[key], "persisted"
         else:
-            order, src = _derive_order(mins), "derived"
+            order, src = _derive_order(mins, maxs), "derived"
         line = f"chunk split={key[0]} batch={key[1]} boundary_order={order} ({src})"
         if args.value is not None:
             cand = locate_value_pages(mins, maxs, _parse_value(args.value, ptype), order)
@@ -331,11 +338,12 @@ def cmd_bloom_filter(tbl, args):
 
 
 def _parse_value(v: str, ptype: str):
-    if ptype in ("int32", "int64", "timestamp_us", "timestamp_ntz_us", "date32"):
-        return int(v)
-    if ptype in ("float32", "float64"):
-        return float(v)
-    return v
+    """Typed stat/probe parsing — ONE parser shared with the write side
+    (pages._parse_stat over the KERNEL ptype), so e.g. decimal64 stats
+    compare as unscaled ints, never lexicographically (r3 self-review #5/#9)."""
+    from .pages import _parse_stat, kernel_ptype
+
+    return _parse_stat(v, kernel_ptype(ptype))
 
 
 def _write_pages(tbl, out_dir: str) -> None:
@@ -617,9 +625,17 @@ def cmd_check_stats(tbl, args):
                     ok = (mn <= lo) and (mx >= hi or len(mx) >= 64)
                 else:
                     page_vals = values[pos : pos + n]
-                    lo, hi = _parse_value(str(page_vals.min()), ptype), _parse_value(
-                        str(page_vals.max()), ptype
-                    )
+                    if page_vals.dtype.kind == "f":
+                        finite = page_vals[~np.isnan(page_vals)]
+                        if not len(finite):  # all-NaN page stores null stats
+                            pos += n
+                            continue
+                        lo, hi = float(finite.min()), float(finite.max())
+                    else:
+                        lo, hi = (
+                            _parse_value(str(page_vals.min()), ptype),
+                            _parse_value(str(page_vals.max()), ptype),
+                        )
                     ok = _parse_value(mn, ptype) <= lo and _parse_value(mx, ptype) >= hi
                 if not ok:
                     bad += 1
@@ -649,7 +665,6 @@ def cmd_rewrite(tbl, args):
         import tempfile
 
         with tempfile.TemporaryDirectory() as td:
-            _write_pages(tbl, td)
             ns = argparse.Namespace(**vars(args))
             ns.column = args.mask_column
             ns.out = td + "/masked"

@@ -135,7 +135,7 @@ def key_for_value(value, ptype: str) -> int:
     column's physical dtype first, then widen identically)."""
     from .ragged import RaggedBytes
 
-    if ptype in ("string", "binary"):
+    if ptype in ("string", "binary", "geometry"):  # geometry = WKB binary
         v = value.encode() if isinstance(value, str) else bytes(value)
         return int(ragged_keys(RaggedBytes.from_pylist([v]))[0])
     if ptype.startswith(("decimal_flba[", "fixed[")) or ptype in (

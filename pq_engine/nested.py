@@ -128,9 +128,12 @@ def encode_list_column(
     n = len(col)
     if codec == "auto":
         from .pages import RAGGED_TYPES
+        from .stats import fixed_stats
 
         if kp in RAGGED_TYPES:
             st = ragged_stats(col.child_values)
+        elif kp.startswith("fixed["):
+            st = fixed_stats(col.child_values)
         elif kp == "bool":
             st = None
         else:
@@ -149,6 +152,10 @@ def encode_list_column(
             codec = "rle"
         elif kp in RAGGED_TYPES:
             chunk_codes, chunk_uniques = dictionary.factorize_bytes(col.child_values)
+        elif kp.startswith("fixed["):
+            from .kernels.fixedlen import factorize_fixed
+
+            chunk_codes, chunk_uniques = factorize_fixed(col.child_values)
         else:
             chunk_codes, chunk_uniques = dictionary.factorize_numeric(col.child_values)
         if chunk_uniques is not None:
@@ -237,9 +244,9 @@ def encode_list_column(
 
 def _slice_child(values, cp: str, v0: int, v1: int):
     from .kernels.ragged import RaggedBytes
-    from .pages import RAGGED_TYPES
+    from .pages import RAGGED_TYPES, kernel_ptype
 
-    if cp in RAGGED_TYPES:
+    if kernel_ptype(cp) in RAGGED_TYPES:
         return RaggedBytes(
             values.offsets[v0 : v1 + 1] - values.offsets[v0],
             values.data[values.offsets[v0] : values.offsets[v1]],

@@ -83,10 +83,20 @@ def encrypt_pages(pages: DataFrame, keys: dict[str, bytes],
                     maxs.append(r.max)
                     ndvs.append(int(r.ndv))
                     continue
+                # metadata-only rows (colindex -4, geostats -5) carry their
+                # payload in `min` — move it INTO the ciphertext so boundary
+                # order / bbox don't leak plaintext properties, and decrypt
+                # can restore them (they'd otherwise be destroyed — r3
+                # self-review #1)
+                pt = (
+                    (r.min or "").encode()
+                    if r.page in (-4, -5)
+                    else bytes(r.data)
+                )
                 nonce = os.urandom(12)
                 ct = ciphers[r.column].encrypt(
                     nonce,
-                    bytes(r.data),
+                    pt,
                     _aad(aad_prefix, int(r.split_id), int(r.batch_id), r.column, int(r.page)),
                 )
                 datas.append(nonce + ct)
@@ -125,13 +135,15 @@ def decrypt_pages(pages: DataFrame, keys: dict[str, bytes],
         ciphers = {c: AESGCM(k) for c, k in keys.items()}
         for pdf in it:
             out = pdf.copy()
-            datas, comps, encs, crcs = [], [], [], []
+            datas, comps, encs, crcs, mins, maxs = [], [], [], [], [], []
             for r in pdf.itertuples():
                 if not r.compression.endswith(_SUFFIX):
                     datas.append(bytes(r.data))
                     comps.append(r.compression)
                     encs.append(int(r.encoded_bytes))
                     crcs.append(int(r.crc32))
+                    mins.append(r.min)
+                    maxs.append(r.max)
                     continue
                 if r.column not in ciphers:
                     raise PermissionError(f"no key for encrypted column {r.column!r}")
@@ -141,16 +153,29 @@ def decrypt_pages(pages: DataFrame, keys: dict[str, bytes],
                     blob[12:],
                     _aad(aad_prefix, int(r.split_id), int(r.batch_id), r.column, int(r.page)),
                 )
-                datas.append(pt)
+                if r.page in (-4, -5):
+                    # restore the metadata payload hidden at encrypt time
+                    payload = pt.decode() if pt else None
+                    datas.append(b"")
+                    encs.append(0)
+                    crcs.append(0)
+                    mins.append(payload)
+                    maxs.append(payload)
+                else:
+                    datas.append(pt)
+                    encs.append(len(pt))
+                    # recompute the plaintext crc post-authentication (the
+                    # stored crc covers the ciphertext — see encrypt_pages)
+                    crcs.append(_z.crc32(pt) & 0xFFFFFFFF)
+                    mins.append(r.min)
+                    maxs.append(r.max)
                 comps.append(r.compression[: -len(_SUFFIX)])
-                encs.append(len(pt))
-                # recompute the plaintext crc post-authentication (the stored
-                # crc covers the ciphertext — see encrypt_pages)
-                crcs.append(_z.crc32(pt) & 0xFFFFFFFF)
             out["data"] = datas
             out["compression"] = comps
             out["encoded_bytes"] = encs
             out["crc32"] = crcs
+            out["min"] = mins
+            out["max"] = maxs
             yield out
 
     return pages.mapInPandas(run, PAGE_SCHEMA)

@@ -909,7 +909,13 @@ def prune_pages_by_bbox(
     Point chunks) proves no geometry intersects the query rectangle. Pure
     Catalyst — the bbox json parses with get_json_object, no geometry bytes
     are touched. Chunks without a bbox row are conservatively kept."""
-    geo = pages_df.filter((F.col("column") == column) & (F.col("page") == -5))
+    # bbox rows with a readable payload only: an encrypted (or otherwise
+    # unreadable) geostats row must keep its chunk, never prune it
+    geo = pages_df.filter(
+        (F.col("column") == column)
+        & (F.col("page") == -5)
+        & F.col("min").isNotNull()
+    )
     gx = lambda k: F.get_json_object(F.col("min"), f"$.{k}").cast("double")
     surviving = geo.filter(
         (gx("xmin") <= F.lit(float(xmax)))
@@ -1005,7 +1011,7 @@ def prune_pages_by_dictionary(pages_df: DataFrame, column: str, value) -> DataFr
         body = _pd(blob[1:], r["compression"])  # dict pages have no validity stream
         uniques = decode_dict_chunk_page(body, r["ptype"])
         kp = _kp(r["ptype"])
-        if r["ptype"] in _RT:
+        if kp in _RT:  # kernel type: covers geometry (= binary WKB) too
             if probe in set(uniques.to_pylist()):
                 return pd.DataFrame([key])
         elif kp.startswith("fixed["):
@@ -1149,16 +1155,24 @@ def _finish_encode_job(
 
     # (column → ptype) manifest: decode_table(ptypes=read_job_ptypes(...))
     # never needs a metadata job over the page table
+    enc_path = os.path.join(out_dir, "schema.enc")
     if footer_key is not None:
         from .crypto import encrypt_footer_manifest
 
         os.makedirs(out_dir, exist_ok=True)
-        with open(os.path.join(out_dir, "schema.enc"), "wb") as f:
+        with open(enc_path, "wb") as f:
             f.write(encrypt_footer_manifest(schema_rows, footer_key))
+        # a plaintext manifest from an earlier unencrypted run must not
+        # coexist (read_job_ptypes prefers the encrypted one)
+        import shutil as _sh
+
+        _sh.rmtree(schema_path, ignore_errors=True)
     else:
         spark.createDataFrame(schema_rows, "column string, ptype string").coalesce(
             1
         ).write.mode("overwrite").parquet(schema_path)
+        if os.path.exists(enc_path):  # stale encrypted footer would shadow
+            os.remove(enc_path)
 
     written = spark.read.parquet(pages_path)
     lineage = lineage_from_pages(written)

@@ -38,7 +38,7 @@ def test_oracle_keys_subset_of_queries():
     [
         ("rt_fsst_text", 500),
         ("rt_delta_ts", 1000),
-        ("manifest_stats", 5),
+        ("manifest_stats", 4),  # stats-bearing columns only (text omits NDV at scale)
         ("pushdown_stats", 1),
         ("bloom_pushdown", 1),
         ("dict_pushdown", 1),

@@ -203,3 +203,134 @@ def test_interop_writer_rejects_list_codec(tmp_path):
             [{"name": "l", "ptype": "list<int64>", "codec": "delta", "values": lc}],
             2,
         )
+
+
+# ------------------------------------------------- r3 self-review regressions
+
+
+@needs_aes
+def test_encrypted_metadata_rows_restored(spark):
+    """Self-review #1: colindex/geostats payloads are encrypted (not
+    destroyed) and restored on decrypt; bbox pruning still works after an
+    encrypt/decrypt cycle and keeps every chunk while encrypted."""
+    import numpy as np
+
+    from pq_engine.pipeline.geo import wkb_point_column
+    from pq_engine.spark.engine import prune_pages_by_bbox
+
+    df = spark.range(1000).select(
+        "id", (F.col("id") % 10).cast("double").alias("x"),
+        (F.col("id") % 7).cast("double").alias("y"),
+    )
+    geo = wkb_point_column(df, "x", "y").select("id", "geom").repartition(2)
+    pages = encode_table(geo, ptype_overrides={"geom": "geometry"})
+    key = bytes(range(16))
+    enc = crypto.encrypt_pages(pages, {"geom": key})
+    # while encrypted: bbox hidden, pruning conservatively keeps all chunks
+    enc_geo_rows = enc.filter(F.col("page") == -5).collect()
+    assert all(r["min"] is None for r in enc_geo_rows)
+    kept = prune_pages_by_bbox(enc, "geom", 1000, 1000, 2000, 2000)
+    assert kept.count() == enc.count()  # cannot disprove without the key
+    # after decrypt: bbox restored, pruning disproves again
+    dec = crypto.decrypt_pages(enc, {"geom": key})
+    dec_geo = dec.filter(F.col("page") == -5).collect()
+    assert all(r["min"] is not None and "xmin" in r["min"] for r in dec_geo)
+    assert prune_pages_by_bbox(dec, "geom", 1000, 1000, 2000, 2000).count() == 0
+    # and the data still decodes bit-identically
+    ptypes = {"id": "int64", "geom": "geometry"}
+    back = decode_table(dec, ["id", "geom"], ptypes=ptypes)
+    assert back.orderBy("id").collect() == geo.orderBy("id").collect()
+
+
+def test_list_of_fixed_children_dict(spark):
+    """Self-review #2: fixed-kernel list children (list<fixed[8]>) encode
+    through fixed_stats/factorize_fixed instead of crashing."""
+    import numpy as np
+
+    from pq_engine.nested import ListColumn, encode_list_column
+    from pq_engine.pages import decode_column
+
+    n = 300
+    rows = np.tile(np.arange(3 * 8, dtype=np.uint8).reshape(3, 8), (n, 1))
+    col = ListColumn(np.arange(n + 1, dtype=np.int64) * 3, None, rows, None)
+    for codec in ("auto", "dict", "plain"):
+        pages = encode_list_column(col, "list<fixed[8]>", codec=codec, page_rows=100)
+        back, _ = decode_column(pages)
+        assert np.array_equal(back.child_values, rows), codec
+    assert {m["codec"] for m, _ in pages} == {"plain"}  # explicit plain honored
+
+
+def test_geometry_bloom_and_dict_probe(spark):
+    """Self-review #3: bloom + dictionary pushdown work for geometry columns."""
+    import numpy as np
+
+    from pq_engine.pipeline.geo import points_to_wkb
+    from pq_engine.spark.engine import prune_pages_by_bloom, prune_pages_by_dictionary
+
+    wkbs = points_to_wkb(
+        np.arange(4, dtype=np.float64), np.arange(4, dtype=np.float64)
+    ).to_pylist()
+    df = spark.createDataFrame(
+        [(i, wkbs[i % 4]) for i in range(800)], "id long, geom binary"
+    ).repartition(2)
+    pages = encode_table(
+        df, ptype_overrides={"geom": "geometry"},
+        codec={"geom": "dict", "id": "auto"}, with_bloom=True,
+    )
+    absent = points_to_wkb(np.array([99.0]), np.array([99.0]))[0]
+    assert prune_pages_by_bloom(pages, "geom", absent).count() == 0
+    assert prune_pages_by_dictionary(pages, "geom", absent).count() == 0
+    present = wkbs[1]
+    assert prune_pages_by_bloom(pages, "geom", present).count() == pages.count()
+    assert prune_pages_by_dictionary(pages, "geom", present).count() == pages.count()
+
+
+def test_derive_order_requires_both_bounds():
+    """Self-review #4: overlapping pages (mins sorted, maxs not) must not be
+    labeled ASCENDING — the binary search would miss hits."""
+    from pq_engine.cli import _derive_order, locate_value_pages
+
+    mins, maxs = [1, 2], [10, 3]
+    assert _derive_order(mins, maxs) == "UNORDERED"
+    assert locate_value_pages(mins, maxs, 7, "UNORDERED") == [0]
+    assert _derive_order([1, 2], [3, 10]) == "ASCENDING"
+
+
+def test_cli_parse_value_decimal64():
+    """Self-review #5: decimal64 stats compare as unscaled ints in the CLI."""
+    from pq_engine.cli import _parse_value, locate_value_pages
+
+    mins = [_parse_value(v, "decimal64[10,2]") for v in ("5", "20", "400")]
+    maxs = [_parse_value(v, "decimal64[10,2]") for v in ("15", "40", "500")]
+    probe = _parse_value("7", "decimal64[10,2]")
+    assert locate_value_pages(mins, maxs, probe, "ASCENDING") == [0]
+
+
+def test_check_stats_nan_pages(capsys):
+    """Self-review #6: NaN-bearing float pages are not flagged corrupt."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pq_engine.cli import _rebuild_rows, cmd_check_stats
+    from pq_engine.pages import encode_column
+
+    vals = np.array([1.0, 2.0, np.nan, 3.0] * 50, dtype=np.float64)
+    rows = _rebuild_rows(None, 0, 0, "f", encode_column(vals, "float64", page_rows=40), None)
+    cmd_check_stats(pa.Table.from_pylist(rows), None)
+    assert "stats OK" in capsys.readouterr().out
+
+
+@needs_aes
+def test_footer_variant_switch(spark, tmp_path):
+    """Self-review #8: re-running a job without (or with) the footer key
+    must not leave a stale manifest of the other kind shadowing the new one."""
+    from pq_engine.spark.engine import run_encode_job
+
+    df = _docs(spark, 100)
+    out = str(tmp_path / "job")
+    fkey = bytes(range(16))
+    run_encode_job(spark, df, out, footer_key=fkey)
+    assert os.path.exists(os.path.join(out, "schema.enc"))
+    run_encode_job(spark, df, out)  # plaintext re-run of the same out_dir
+    assert not os.path.exists(os.path.join(out, "schema.enc"))
+    assert read_job_ptypes(spark, out) == {"doc_id": "int64", "text": "string"}
