@@ -19,6 +19,14 @@ works on any machine that can see the files.
     python -m pq_engine.cli mask   <pages_dir> --out DIR --column C [--mode hash|nullify]
     python -m pq_engine.cli trans-compression <pages_dir> --out DIR --to zstd
     python -m pq_engine.cli from-csv <file.csv> --out DIR
+    python -m pq_engine.cli version
+    python -m pq_engine.cli footer <job_dir> [--key HEX]
+    python -m pq_engine.cli size-stats <pages_dir>
+    python -m pq_engine.cli check-stats <pages_dir>
+    python -m pq_engine.cli rewrite <pages_dir> --out DIR [--columns a,b]
+                                    [--mask-column C --mode hash|nullify] [--to zstd]
+    python -m pq_engine.cli to-parquet <pages_dir> --out FILE [--to snappy]
+    python -m pq_engine.cli geospatial-stats <pages_dir> [--column C]
 """
 
 from __future__ import annotations
