@@ -515,16 +515,24 @@ def _list_parquet_files(input_path: str) -> list[str]:
 def plan_parquet_splits(
     spark: SparkSession,
     files: list[str],
-    distribute_threshold: int = 64,
+    distribute_threshold: int = 256,
 ) -> list[tuple[str, int]]:
     """Enumerate (path, num_row_groups) for every input file — the split
     planning step of the ParquetInputFormat model. Footer reads are
-    DISTRIBUTED once the file count is non-trivial: a tiny mapInArrow job
+    DISTRIBUTED past ``distribute_threshold`` files: a tiny mapInArrow job
     over the path list reads each footer in a task, so planning a 10^5-file
     input costs one short parallel job instead of a serial driver loop with
     one hot storage client (VERDICT r2 'what's wrong' #2). Every file's
     schema is verified equal to the first file's; a heterogeneous directory
-    raises instead of silently mis-decoding (ADVICE r2)."""
+    raises instead of silently mis-decoding (ADVICE r2).
+
+    Threshold calibration (BENCH/BASELINE.md §7.8): per-footer LATENCY is
+    what decides, not count. On this host's warm local fs a serial loop
+    reads 2000 footers in 0.08 s while the Spark job costs ~1.5 s of fixed
+    overhead — serial wins locally at any realistic count. Against object
+    storage (~20-50 ms/footer round-trip) serial costs minutes at 10^4
+    files and the distributed job is the only viable shape; the default
+    threshold assumes footers beyond a few hundred mean a real store."""
     import pyarrow.parquet as pq
 
     fp0 = str(pq.read_schema(files[0]))
