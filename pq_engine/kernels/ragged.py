@@ -65,6 +65,9 @@ class RaggedBytes:
             off_dtype = np.int32
         arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
         buffers = arr.buffers()
+        if len(arr) == 0 or buffers[1] is None:
+            # Arrow permits empty/absent buffers for 0-length arrays
+            return RaggedBytes(np.zeros(1, dtype=np.int64), np.zeros(0, np.uint8))
         offsets = np.frombuffer(buffers[1], dtype=off_dtype, count=len(arr) + 1, offset=arr.offset * np.dtype(off_dtype).itemsize)
         base = offsets[0]
         data = np.frombuffer(buffers[2], dtype=np.uint8)[base : offsets[-1]] if buffers[2] is not None else np.zeros(0, np.uint8)

@@ -177,17 +177,83 @@ def test_list_of_list(spark):
     assert got[5] is None
 
 
-def test_triple_nesting_rejected(spark):
+def test_triple_repetition_list_of_list_of_list(spark):
     df = spark.createDataFrame(
-        [(1, [[[1]]])], "id long, lll array<array<array<long>>>"
+        [
+            (1, [[[1, 2], [3]], [[4]]]),
+            (2, [[[5]], None, [[], [6, 7]]]),
+            (3, None),
+            (4, []),
+            (5, [[None, [8]]]),
+        ],
+        "id long, lll array<array<array<long>>>",
     )
-    with pytest.raises(TypeError):
-        shred(df)
-    df2 = spark.createDataFrame(
-        [(1, [({"a": 1},)])], "id long, lm array<struct<m:map<string,long>>>"
+    out = _roundtrip(df)
+    got = {r["id"]: r["lll"] for r in out.collect()}
+    want = {r["id"]: r["lll"] for r in df.collect()}
+    assert got == want
+
+
+def test_triple_repetition_list_of_struct_with_map_and_list(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [({"a": 1, "b": 2}, [10, 20]), ({}, [])]),
+            (2, [(None, None), ({"c": 3}, [30])]),
+            (3, None),
+            (4, [None]),
+        ],
+        "id long, lm array<struct<m:map<string,long>, xs:array<long>>>",
     )
-    with pytest.raises(TypeError):
-        shred(df2)
+    out = _roundtrip(df)
+    got = {r["id"]: r["lm"] for r in out.collect()}
+    want = {r["id"]: r["lm"] for r in df.collect()}
+    assert got == want
+
+
+def test_triple_repetition_list_of_map(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [{"a": 1}, {"b": 2, "c": 3}]),
+            (2, [None, {}]),
+            (3, None),
+        ],
+        "id long, lmap array<map<string,long>>",
+    )
+    out = _roundtrip(df)
+    got = {r["id"]: r["lmap"] for r in out.collect()}
+    want = {r["id"]: r["lmap"] for r in df.collect()}
+    assert got == want
+
+
+def test_triple_repetition_map_of_list_value(spark):
+    df = spark.createDataFrame(
+        [
+            (1, {"a": [1, 2], "b": []}),
+            (2, {"c": None}),
+            (3, None),
+            (4, {}),
+        ],
+        "id long, ml map<string,array<long>>",
+    )
+    out = _roundtrip(df)
+    got = {r["id"]: r["ml"] for r in out.collect()}
+    want = {r["id"]: r["ml"] for r in df.collect()}
+    assert got == want
+
+
+def test_quad_repetition_list_of_list_of_list_of_struct(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [[[("x", 1)], [("y", 2), (None, 3)]], [[]]]),
+            (2, [[None], [[("z", None)]]]),
+            (3, None),
+        ],
+        "id long, q array<array<array<struct<s:string, v:long>>>>",
+    )
+    out = _roundtrip(df)
+    got = {r["id"]: r["q"] for r in out.collect()}
+    want = {r["id"]: r["q"] for r in df.collect()}
+    assert got == want
 
 
 def test_nested_struct_in_struct(spark):
