@@ -194,6 +194,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = dedup.ngram_jaccard(pairs, docs, k=5)
         return out.select("id_a", "id_b", "jaccard")
 
+    def _cluster_edges(spark, sf_dir):
+        """Deterministic near-dup graph for the clustering oracle: docs are
+        adjacent when same (lang, 50-char band) and n_chars equal or
+        consecutive. Spark builds an O(n) star edge set with identical
+        connectivity (every doc → its value-group min; value-group min →
+        next value's min) — bounded-key equi-joins only, no O(k²) pair
+        blowup at scale."""
+        d = _read(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars",
+            F.floor(F.col("n_chars") / 50).alias("band"),
+        )
+        gmin = d.groupBy("lang", "band", "n_chars").agg(
+            F.min("doc_id").alias("gm")
+        )
+        e1 = (
+            d.join(gmin, ["lang", "band", "n_chars"])
+            .filter(F.col("doc_id") != F.col("gm"))
+            .select(F.col("doc_id").alias("id_a"), F.col("gm").alias("id_b"))
+        )
+        gnext = gmin.select(
+            "lang", "band", (F.col("n_chars") + 1).alias("n_chars"),
+            F.col("gm").alias("gm_prev"),
+        )
+        e2 = gmin.join(gnext, ["lang", "band", "n_chars"]).select(
+            F.col("gm_prev").alias("id_a"), F.col("gm").alias("id_b")
+        )
+        return d, e1.union(e2)
+
+    def dedup_clusters(spark, sf_dir):
+        """Transitive closure of near-dup pairs — min-label propagation with
+        pointer jumping (O(log n) joins), the stage that turns the pair
+        family (exact/MinHash/SimHash) into one-survivor clusters. Oracled
+        against a DuckDB recursive-CTE closure of the same edge rule."""
+        from pq_engine.pipeline.cluster import connected_components
+
+        d, edges = _cluster_edges(spark, sf_dir)
+        comp = connected_components(edges, nodes=d.select("doc_id"))
+        return comp.select(F.col("id").alias("doc_id"), "comp")
+
+    def dedup_canonical(spark, sf_dir):
+        """Best-member selection per near-dup cluster: keep the longest doc
+        (ties → smallest id) — the realistic keep rule for a web corpus."""
+        from pq_engine.pipeline.cluster import canonical_docs, connected_components
+
+        d, edges = _cluster_edges(spark, sf_dir)
+        comp = connected_components(edges, nodes=d.select("doc_id"))
+        return canonical_docs(
+            comp, quality=d.select("doc_id", "n_chars"),
+            id_col="doc_id", score_col="n_chars",
+        ).select("comp", "keep_id", "n_members")
+
     def rewrite_prune(spark, sf_dir):
         from pq_engine.spark.engine import decode_table, encode_table, table_ptypes
         from pq_engine.spark.rewrite import prune_columns
@@ -924,6 +975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_top10": ann_ivf10,  # rows-only (IVF scale path, approximate)
         "minhash_pairs": minhash_pairs,  # rows-only (LSH banding)
         "jaccard_verify": jaccard_verify,
+        "dedup_clusters": dedup_clusters,
+        "dedup_canonical": dedup_canonical,
         "simhash_pairs": simhash_pairs,  # rows-only (LSH banding)
         "media_metadata": media_meta,
         "media_features": media_features,  # rows-only (stubbed decode, fake features)
@@ -1139,6 +1192,60 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "dedup_clusters": """
+            WITH RECURSIVE
+            d AS (
+              SELECT doc_id, lang, n_chars,
+                     CAST(floor(n_chars / 50.0) AS BIGINT) AS band
+              FROM documents
+            ),
+            e AS (
+              SELECT a.doc_id AS s, b.doc_id AS t
+              FROM d a JOIN d b
+                ON a.lang = b.lang AND a.band = b.band
+               AND (b.n_chars = a.n_chars OR b.n_chars = a.n_chars + 1)
+               AND a.doc_id <> b.doc_id
+            ),
+            sym AS (SELECT s, t FROM e UNION SELECT t, s FROM e),
+            cc(id, lab) AS (
+              SELECT doc_id, doc_id FROM d
+              UNION
+              SELECT sym.t, cc.lab FROM cc JOIN sym ON sym.s = cc.id
+            )
+            SELECT id AS doc_id, MIN(lab) AS comp FROM cc GROUP BY id
+        """,
+        "dedup_canonical": """
+            WITH RECURSIVE
+            d AS (
+              SELECT doc_id, lang, n_chars,
+                     CAST(floor(n_chars / 50.0) AS BIGINT) AS band
+              FROM documents
+            ),
+            e AS (
+              SELECT a.doc_id AS s, b.doc_id AS t
+              FROM d a JOIN d b
+                ON a.lang = b.lang AND a.band = b.band
+               AND (b.n_chars = a.n_chars OR b.n_chars = a.n_chars + 1)
+               AND a.doc_id <> b.doc_id
+            ),
+            sym AS (SELECT s, t FROM e UNION SELECT t, s FROM e),
+            cc(id, lab) AS (
+              SELECT doc_id, doc_id FROM d
+              UNION
+              SELECT sym.t, cc.lab FROM cc JOIN sym ON sym.s = cc.id
+            ),
+            comps AS (SELECT id, MIN(lab) AS comp FROM cc GROUP BY id),
+            ranked AS (
+              SELECT comps.comp, comps.id,
+                     COUNT(*) OVER (PARTITION BY comps.comp) AS n_members,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY comps.comp
+                       ORDER BY d.n_chars DESC, comps.id ASC
+                     ) AS rn
+              FROM comps JOIN d ON d.doc_id = comps.id
+            )
+            SELECT comp, id AS keep_id, n_members FROM ranked WHERE rn = 1
+        """,
         "jaccard_verify": """
             WITH ascii_docs AS (
               SELECT doc_id, text FROM documents

@@ -227,3 +227,69 @@ def test_media_magic_detection(spark):
     n = {r["id"]: (r["media_meta"]["n_bytes"] if r["media_meta"] else None)
          for r in media_metadata(df, "blob").collect()}
     assert n[1] == len(blobs[0][1]) and n[6] is None
+
+
+# ------------------------------------------------------- connected components
+
+
+def _uf_components(n_ids, edge_list):
+    parent = {i: i for i in n_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min id in component
+    comp_min = {}
+    for i in n_ids:
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    return {i: comp_min[find(i)] for i in n_ids}
+
+
+def test_connected_components_random_graph(spark):
+    from pq_engine.pipeline.cluster import connected_components
+
+    rng = np.random.default_rng(7)
+    ids = list(range(200))
+    edges = [
+        (int(rng.integers(0, 200)), int(rng.integers(0, 200))) for _ in range(150)
+    ]
+    want = _uf_components(ids, edges)
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    ndf = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(edf, nodes=ndf).collect()
+    }
+    assert got == want
+
+
+def test_connected_components_long_chain(spark):
+    # a 300-node path: the shape plain label propagation needs 300 rounds
+    # for; pointer jumping must close it within the max_iter rail
+    from pq_engine.pipeline.cluster import connected_components
+
+    edges = [(i, i + 1) for i in range(299)]
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(edf, max_iter=15).collect()
+    assert len(out) == 300
+    assert {r["comp"] for r in out} == {0}
+
+
+def test_connected_components_isolated_and_selfloop(spark):
+    from pq_engine.pipeline.cluster import canonical_docs, connected_components
+
+    edf = spark.createDataFrame([(1, 2), (3, 3)], "id_a long, id_b long")
+    ndf = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    comp = connected_components(edf, nodes=ndf)
+    got = {r["id"]: r["comp"] for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5}
+    canon = {r["comp"]: (r["keep_id"], r["n_members"]) for r in canonical_docs(comp).collect()}
+    assert canon == {1: (1, 2), 3: (3, 1), 4: (4, 1), 5: (5, 1)}
