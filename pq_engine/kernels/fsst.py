@@ -327,6 +327,47 @@ def encode_fsst(col: RaggedBytes, table: SymbolTable) -> bytes:
     return bytes(out)
 
 
+def _token_starts_esc(stream: np.ndarray, enc_off: np.ndarray) -> np.ndarray:
+    """Token start positions of the decode stream, closed-form (no rounds).
+
+    The decode walk has step ∈ {1, 2}: ESCAPE consumes 2 bytes, everything
+    else 1. Key fact: every maximal run of ESCAPE-VALUED bytes begins at a
+    token start — the byte before the run is non-escape-valued, so it ends
+    its token there whether it was a 1-byte token or an escape payload.
+    Hence within a run starting at a, escapes at even (p-a) are starts and
+    odd ones are payloads; a non-escape byte after a run of length L is a
+    start iff L is even. String boundaries force a start and break runs.
+    ~10 full-array numpy passes replace the per-token-round wave loop
+    (which cost one gather per max-tokens-per-string — 10^4 rounds on
+    blob-sized strings)."""
+    n = len(stream)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    isE = stream == ESCAPE
+    idx = np.arange(n, dtype=np.int64)
+    starts0 = enc_off[:-1][np.diff(enc_off) > 0]
+    prevE = np.empty(n, dtype=bool)
+    prevE[0] = False
+    prevE[1:] = isE[:-1]
+    prevE[starts0] = False  # runs break at string boundaries
+    run_start = isE & ~prevE
+    start_idx = np.where(run_start, idx, np.int64(-1))
+    start_cm = np.maximum.accumulate(start_idx)
+    d = idx - start_cm  # distance to own run start (valid at escape positions)
+    tok = np.empty(n, dtype=bool)
+    # escape-valued byte: start iff even distance into its run
+    tok[isE] = (d[isE] & 1) == 0
+    # non-escape byte: start unless the escape run ending just before it has
+    # odd length (then it is that run's last escape's payload)
+    ne = ~isE
+    d_prev = np.empty(n, dtype=np.int64)
+    d_prev[0] = 0
+    d_prev[1:] = d[:-1]
+    tok[ne] = ~(prevE[ne] & ((d_prev[ne] & 1) == 0))
+    tok[starts0] = True
+    return np.flatnonzero(tok)
+
+
 def decode_fsst(buf) -> RaggedBytes:
     table, pos = SymbolTable.deserialize(buf)
     nstr, pos = read_uvarint(buf, pos)
@@ -339,10 +380,7 @@ def decode_fsst(buf) -> RaggedBytes:
     np.cumsum(enc_lens, out=enc_off[1:])
     n = int(enc_off[-1])
     stream = stream[:n]
-    # token starts: step = 2 on escape bytes, 1 otherwise; same parse trick
-    step = np.where(stream == ESCAPE, 2, 1).astype(np.int64)
-    nz = enc_lens > 0
-    positions = _parse(step, enc_off[:-1][nz], enc_off[1:][nz], n)
+    positions = _token_starts_esc(stream, enc_off)
     toks = stream[positions]
     esc = toks == ESCAPE
     codes = toks.astype(np.int64)
