@@ -88,11 +88,19 @@ def encrypt_pages(pages: DataFrame, keys: dict[str, bytes],
                 # order / bbox don't leak plaintext properties, and decrypt
                 # can restore them (they'd otherwise be destroyed — r3
                 # self-review #1)
-                pt = (
-                    (r.min or "").encode()
-                    if r.page in (-4, -5)
-                    else bytes(r.data)
-                )
+                if r.page in (-4, -5):
+                    pt = (r.min or "").encode()
+                else:
+                    # carry (min, max, ndv) INSIDE the authenticated
+                    # ciphertext: stats stay hidden at rest (no plaintext
+                    # leak beside AES-GCM) yet decrypt restores them, so a
+                    # decrypted table prunes exactly like an unencrypted one
+                    # (r3 known-gap #4; reference encrypts its column-index
+                    # module the same way)
+                    import json as _j
+
+                    hdr = _j.dumps([r.min, r.max, int(r.ndv)]).encode()
+                    pt = len(hdr).to_bytes(4, "little") + hdr + bytes(r.data)
                 nonce = os.urandom(12)
                 ct = ciphers[r.column].encrypt(
                     nonce,
@@ -135,7 +143,7 @@ def decrypt_pages(pages: DataFrame, keys: dict[str, bytes],
         ciphers = {c: AESGCM(k) for c, k in keys.items()}
         for pdf in it:
             out = pdf.copy()
-            datas, comps, encs, crcs, mins, maxs = [], [], [], [], [], []
+            datas, comps, encs, crcs, mins, maxs, ndvs = [], [], [], [], [], [], []
             for r in pdf.itertuples():
                 if not r.compression.endswith(_SUFFIX):
                     datas.append(bytes(r.data))
@@ -144,6 +152,7 @@ def decrypt_pages(pages: DataFrame, keys: dict[str, bytes],
                     crcs.append(int(r.crc32))
                     mins.append(r.min)
                     maxs.append(r.max)
+                    ndvs.append(int(r.ndv))
                     continue
                 if r.column not in ciphers:
                     raise PermissionError(f"no key for encrypted column {r.column!r}")
@@ -161,14 +170,21 @@ def decrypt_pages(pages: DataFrame, keys: dict[str, bytes],
                     crcs.append(0)
                     mins.append(payload)
                     maxs.append(payload)
+                    ndvs.append(-1)
                 else:
-                    datas.append(pt)
-                    encs.append(len(pt))
+                    import json as _j
+
+                    hlen = int.from_bytes(pt[:4], "little")
+                    mn, mx, ndv = _j.loads(pt[4 : 4 + hlen])
+                    body = pt[4 + hlen :]
+                    datas.append(body)
+                    encs.append(len(body))
                     # recompute the plaintext crc post-authentication (the
                     # stored crc covers the ciphertext — see encrypt_pages)
-                    crcs.append(_z.crc32(pt) & 0xFFFFFFFF)
-                    mins.append(r.min)
-                    maxs.append(r.max)
+                    crcs.append(_z.crc32(body) & 0xFFFFFFFF)
+                    mins.append(mn)
+                    maxs.append(mx)
+                    ndvs.append(int(ndv))
                 comps.append(r.compression[: -len(_SUFFIX)])
             out["data"] = datas
             out["compression"] = comps
@@ -176,6 +192,7 @@ def decrypt_pages(pages: DataFrame, keys: dict[str, bytes],
             out["crc32"] = crcs
             out["min"] = mins
             out["max"] = maxs
+            out["ndv"] = ndvs
             yield out
 
     return pages.mapInPandas(run, PAGE_SCHEMA)

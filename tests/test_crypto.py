@@ -89,3 +89,28 @@ def test_masked_reencrypt(spark, secret_df):
     )
     row = back.filter(F.col("id") == 7).collect()[0]
     assert row["s"] == hashlib.md5(b"secret-7").hexdigest()
+
+
+def test_decrypt_restores_page_stats(spark, secret_df):
+    """Stats ride inside the authenticated ciphertext: hidden at rest,
+    bit-identical after decrypt — so a decrypted table prunes exactly like
+    an unencrypted one."""
+    pages = encode_table(secret_df).cache()
+    plain = {
+        (r["column"], r["page"]): (r["min"], r["max"], r["ndv"])
+        for r in pages.collect()
+    }
+    enc = encrypt_pages(pages, {"s": KEY, "v": KEY2}).cache()
+    for r in enc.filter(F.col("column").isin("s", "v")).collect():
+        assert r["min"] is None and r["max"] is None and r["ndv"] == -1
+    dec = decrypt_pages(enc, {"s": KEY, "v": KEY2})
+    restored = {
+        (r["column"], r["page"]): (r["min"], r["max"], r["ndv"])
+        for r in dec.collect()
+    }
+    assert restored == plain
+    # and stats pruning works on the decrypted frame
+    from pq_engine.spark.engine import prune_pages_by_stats
+
+    kept = prune_pages_by_stats(dec, "v", lo=1e9, numeric=True)
+    assert kept.filter(F.col("page") >= 0).count() == 0
