@@ -12,10 +12,12 @@ codec ``geostats``) when every value parses as a WKB Point; pruning
 rectangles against those rows in pure Catalyst. WKB parse/build are
 vectorized NumPy over the ragged buffer — no per-row Python.
 
-Only POINT geometries get bbox stats for now (the dominant type in
-lat/lon-tagged web corpora); other WKB types still round-trip as opaque
-geometry values, they just emit no bbox (never-prunes, like omitted
-min/max)."""
+Bbox stats cover WKB Point, LineString, Polygon and MultiPoint (LE),
+parsed with a rounds-over-structure NumPy walk — one vectorized pass per
+structural level (ring index), never per row. MultiLineString /
+MultiPolygon / GeometryCollection / big-endian values still round-trip as
+opaque geometry bytes; a column containing any of those emits no bbox
+(never-prunes, like omitted min/max)."""
 
 from __future__ import annotations
 
@@ -57,12 +59,31 @@ def wkb_to_points(col: RaggedBytes) -> tuple[np.ndarray, np.ndarray] | None:
     return x, y
 
 
-def wkb_bbox(col: RaggedBytes) -> dict | None:
-    """GeospatialStatistics bbox of a WKB Point batch (None → no stats)."""
-    pts = wkb_to_points(col)
-    if pts is None:
+def _u32_at(data: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Little-endian u32 reads at arbitrary byte positions, vectorized."""
+    p = pos.astype(np.int64)
+    return (
+        data[p].astype(np.uint32)
+        | (data[p + 1].astype(np.uint32) << np.uint32(8))
+        | (data[p + 2].astype(np.uint32) << np.uint32(16))
+        | (data[p + 3].astype(np.uint32) << np.uint32(24))
+    )
+
+
+def _coord_runs_bbox(data: np.ndarray, run_pos: np.ndarray, run_n: np.ndarray):
+    """Bbox over coordinate runs: each run is ``n`` (x, y) float64 pairs
+    starting at byte ``pos``. Segment-arange gather — no per-pair Python."""
+    total = int(run_n.sum())
+    if total == 0:
         return None
-    x, y = pts
+    pair = (
+        np.repeat(run_pos - 16 * (np.cumsum(run_n) - run_n), run_n)
+        + 16 * np.arange(total, dtype=np.int64)
+    )
+    xb = data[pair[:, None] + np.arange(8, dtype=np.int64)]
+    yb = data[pair[:, None] + np.arange(8, 16, dtype=np.int64)]
+    x = np.ascontiguousarray(xb).view("<f8").ravel()
+    y = np.ascontiguousarray(yb).view("<f8").ravel()
     fx, fy = x[np.isfinite(x)], y[np.isfinite(y)]
     if not len(fx) or not len(fy):
         return None
@@ -72,6 +93,101 @@ def wkb_bbox(col: RaggedBytes) -> dict | None:
         "ymin": float(fy.min()),
         "ymax": float(fy.max()),
     }
+
+
+def wkb_bbox(col: RaggedBytes) -> dict | None:
+    """GeospatialStatistics bbox of a WKB batch (None → no stats).
+
+    Handles LE Point (1) / LineString (2) / Polygon (3) / MultiPoint (4).
+    Polygons walk ring-by-ring in vectorized rounds (one round per ring
+    INDEX across all values, not per value). Any unsupported or malformed
+    value disables the bbox for the whole chunk — stats may only prove
+    absence, and a partial bbox would wrongly prune the opaque values."""
+    n = len(col)
+    if n == 0:
+        return None
+    data = col.data
+    starts = col.offsets[:-1].astype(np.int64)
+    ends = col.offsets[1:].astype(np.int64)
+    if (ends - starts < 5).any() or (data[starts] != 1).any():
+        return None  # truncated or big-endian
+    t = _u32_at(data, starts + 1)
+    if not np.isin(t, (1, 2, 3, 4)).all():
+        return None
+    run_pos: list[np.ndarray] = []
+    run_n: list[np.ndarray] = []
+
+    pt = t == 1
+    if pt.any():
+        if ((ends - starts)[pt] != WKB_POINT_LEN).any():
+            return None
+        run_pos.append(starts[pt] + 5)
+        run_n.append(np.ones(int(pt.sum()), dtype=np.int64))
+
+    ls = t == 2
+    if ls.any():
+        s = starts[ls]
+        if ((ends - starts)[ls] < 9).any():
+            return None
+        m = _u32_at(data, s + 5).astype(np.int64)
+        if ((ends[ls] - s) != 9 + 16 * m).any():
+            return None
+        run_pos.append(s + 9)
+        run_n.append(m)
+
+    mp = t == 4
+    if mp.any():
+        s = starts[mp]
+        if ((ends - starts)[mp] < 9).any():
+            return None
+        m = _u32_at(data, s + 5).astype(np.int64)
+        if ((ends[mp] - s) != 9 + 21 * m).any():
+            return None
+        total = int(m.sum())
+        if total:
+            # child headers at s + 9 + 21*i, coords 5 bytes further
+            child = (
+                np.repeat(s + 9 - 21 * (np.cumsum(m) - m), m)
+                + 21 * np.arange(total, dtype=np.int64)
+            )
+            hdr = np.frombuffer(_WKB_POINT_LE, np.uint8)
+            if (data[child[:, None] + np.arange(5, dtype=np.int64)] != hdr).any():
+                return None
+            run_pos.append(child + 5)
+            run_n.append(np.ones(total, dtype=np.int64))
+
+    pg = t == 3
+    if pg.any():
+        s = starts[pg]
+        e = ends[pg]
+        if ((e - s) < 9).any():
+            return None
+        rings_left = _u32_at(data, s + 5).astype(np.int64)
+        pos = s + 9
+        # one vectorized round per ring index (polygons rarely exceed 2)
+        while True:
+            act = rings_left > 0
+            if not act.any():
+                break
+            p = pos[act]
+            if ((e[act] - p) < 4).any():
+                return None
+            m = _u32_at(data, p).astype(np.int64)
+            if ((e[act] - p) < 4 + 16 * m).any():
+                return None
+            run_pos.append(p + 4)
+            run_n.append(m)
+            pos = pos.copy()
+            pos[act] = p + 4 + 16 * m
+            rings_left = rings_left - act
+        if (pos != e).any():
+            return None  # trailing bytes
+
+    return _coord_runs_bbox(
+        data,
+        np.concatenate(run_pos) if run_pos else np.zeros(0, np.int64),
+        np.concatenate(run_n) if run_n else np.zeros(0, np.int64),
+    )
 
 
 # ------------------------------------------------------------ Spark surface

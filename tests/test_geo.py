@@ -88,3 +88,46 @@ def test_cli_geospatial_stats(tmp_path, capsys):
     cmd_geospatial_stats(tbl, A())
     out = capsys.readouterr().out
     assert "bbox=[1.0, 2.0, 5.0, 3.0]" in out
+
+
+def _wkb(geom_type: int, payload: bytes) -> bytes:
+    return bytes([1]) + geom_type.to_bytes(4, "little") + payload
+
+
+def _coords(pairs) -> bytes:
+    import struct
+
+    return b"".join(struct.pack("<dd", x, y) for x, y in pairs)
+
+
+def test_wkb_bbox_linestring_polygon_multipoint():
+    import struct
+
+    ls = _wkb(2, struct.pack("<I", 3) + _coords([(0, 0), (5, 2), (-1, 7)]))
+    ring1 = struct.pack("<I", 4) + _coords([(0, 0), (4, 0), (4, 4), (0, 0)])
+    ring2 = struct.pack("<I", 3) + _coords([(1, 1), (2, 1), (1, 1)])
+    pg = _wkb(3, struct.pack("<I", 2) + ring1 + ring2)
+    pt_a = _wkb(1, _coords([(9, -3)]))
+    pt_b = _wkb(1, _coords([(-6, 1)]))
+    mp = _wkb(4, struct.pack("<I", 2) + pt_a + pt_b)
+    col = RaggedBytes.from_pylist([ls, pg, pt_a, mp])
+    assert wkb_bbox(col) == {"xmin": -6.0, "xmax": 9.0, "ymin": -3.0, "ymax": 7.0}
+    # single-type columns too
+    assert wkb_bbox(RaggedBytes.from_pylist([pg]))["xmax"] == 4.0
+    assert wkb_bbox(RaggedBytes.from_pylist([mp]))["ymin"] == -3.0
+
+
+def test_wkb_bbox_unsupported_or_malformed_is_none():
+    import struct
+
+    pt = _wkb(1, _coords([(1, 2)]))
+    multipolygon = _wkb(6, struct.pack("<I", 0))
+    assert wkb_bbox(RaggedBytes.from_pylist([pt, multipolygon])) is None
+    truncated_ls = _wkb(2, struct.pack("<I", 5) + _coords([(0, 0)]))
+    assert wkb_bbox(RaggedBytes.from_pylist([truncated_ls])) is None
+    big_endian = bytes([0]) + (1).to_bytes(4, "big") + _coords([(1, 2)])
+    assert wkb_bbox(RaggedBytes.from_pylist([big_endian])) is None
+    polygon_trailing = _wkb(
+        3, struct.pack("<I", 1) + struct.pack("<I", 1) + _coords([(0, 0)]) + b"x"
+    )
+    assert wkb_bbox(RaggedBytes.from_pylist([polygon_trailing])) is None
