@@ -766,6 +766,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("`j#flag`").alias("flag"),
         )
 
+    def variant_nested_get(spark, sf_dir):
+        """Nested VARIANT shredding: inference recurses into nested JSON
+        objects (dotted paths — the shredding spec's nested typed_value
+        groups), so `$.meta.n` becomes a real typed leaf with the full
+        pruning stack; the array stays in the residual."""
+        from pq_engine.spark.engine import decode_table, table_ptypes
+        from pq_engine.spark.variant import (
+            encode_variant,
+            infer_variant_spec,
+            variant_shred,
+        )
+
+        df = _read(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.col("n_chars").alias("n"),
+                        F.struct(F.col("lang").alias("code")).alias("lng"),
+                    ).alias("meta"),
+                    F.col("source").alias("src"),
+                    F.array(F.col("lang")).alias("tags"),
+                )
+            ).alias("j"),
+        )
+        spec = infer_variant_spec(df, "j")
+        assert spec == {
+            "meta.lng.code": "string", "meta.n": "int64", "src": "string"
+        }, spec
+        pages, info = encode_variant(df, "j", spec)
+        flat, _ = variant_shred(df, "j", info["spec"])
+        back = decode_table(pages, flat.columns, ptypes=table_ptypes(flat))
+        return back.select(
+            "doc_id",
+            F.col("`j#meta#n`").alias("n"),
+            F.col("`j#meta#lng#code`").alias("code"),
+            F.col("`j#src`").alias("src"),
+        )
+
     def variant_residual_rt(spark, sf_dir):
         """VARIANT residual: the untyped value column survives encode/decode
         bit-identical (lossless contract of the shredding spec)."""
@@ -935,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_dict_list_tags": rt_dict_list_tags,
         # --- VARIANT shredding (parquet-variant analog) ---
         "variant_typed_get": variant_typed_get,
+        "variant_nested_get": variant_nested_get,
         "variant_residual_rt": variant_residual_rt,
         "variant_pushdown": variant_pushdown,
         # --- GEOMETRY / GeospatialStatistics analog ---
@@ -1034,6 +1074,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "variant_typed_get": """
             SELECT doc_id, n_chars AS n, lang AS l, (doc_id % 2 = 0) AS flag
+            FROM documents
+        """,
+        "variant_nested_get": """
+            SELECT doc_id, n_chars AS n, lang AS code, source AS src
             FROM documents
         """,
         "variant_residual_rt": """

@@ -48,16 +48,40 @@ def infer_variant_spec(
     col: str,
     sample_rows: int = 1024,
     min_share: float = 0.95,
+    max_depth: int = 3,
 ) -> dict[str, str]:
-    """Infer {top-level path: ptype} from a bounded sample (one `limit`
-    read, like the IVF trainer). A key qualifies when present in ≥
-    ``min_share`` of sampled documents with a consistent scalar JSON type;
-    integral numbers map to int64, other numbers to float64. Nested objects/
-    arrays stay in the residual (shred them by passing an explicit spec with
-    dotted paths)."""
+    """Infer {dotted path: ptype} from a bounded sample (one `limit` read,
+    like the IVF trainer). A path qualifies when present in ≥ ``min_share``
+    of sampled documents with a consistent scalar JSON type; integral
+    numbers map to int64, other numbers to float64. Nested OBJECTS recurse
+    to ``max_depth`` (dotted paths, the shredding spec's nested
+    typed_value groups); arrays and keys containing '.' stay in the
+    residual."""
     rows = df.select(col).limit(sample_rows).collect()
     counts: dict[str, dict[str, int]] = {}
     n_docs = 0
+
+    def walk(obj: dict, prefix: str, depth: int) -> None:
+        for k, v in obj.items():
+            if "." in k:
+                continue  # would be ambiguous in a JSONPath
+            path = f"{prefix}{k}"
+            t: str | None
+            if isinstance(v, bool):
+                t = "bool"
+            elif isinstance(v, int):
+                t = "int64"
+            elif isinstance(v, float):
+                t = "float64"
+            elif isinstance(v, str):
+                t = "string"
+            else:
+                if isinstance(v, dict) and depth < max_depth:
+                    walk(v, path + ".", depth + 1)
+                continue  # null / array / too-deep object → residual
+            counts.setdefault(path, {}).setdefault(t, 0)
+            counts[path][t] += 1
+
     for r in rows:
         s = r[0]
         if s is None:
@@ -69,21 +93,7 @@ def infer_variant_spec(
         if not isinstance(obj, dict):
             continue
         n_docs += 1
-        for k, v in obj.items():
-            t: str | None
-            if isinstance(v, bool):
-                t = "bool"
-            elif isinstance(v, int):
-                t = "int64"
-            elif isinstance(v, float):
-                t = "float64"
-            elif isinstance(v, str):
-                t = "string"
-            else:
-                t = None  # null / object / array → residual
-            if t is not None:
-                counts.setdefault(k, {}).setdefault(t, 0)
-                counts[k][t] += 1
+        walk(obj, "", 1)
     spec: dict[str, str] = {}
     for k, by_type in counts.items():
         total = sum(by_type.values())

@@ -47,8 +47,9 @@ def test_infer_spec_skips_inconsistent_and_nested(spark):
         "id long, j string",
     )
     spec = infer_variant_spec(df, "j", min_share=0.5)
-    # 'a' is int-or-string (inconsistent), 'b'/'d' are nested → residual-only
-    assert spec == {"c": "string"}
+    # 'a' is int-or-string (inconsistent), 'd' is an array → residual;
+    # the nested object 'b' now yields a dotted typed path
+    assert spec == {"b.x": "int64", "c": "string"}
 
 
 def test_shred_assemble_lossless_with_nulls(spark):
@@ -93,3 +94,19 @@ def test_typed_path_pruning_skips_pages(spark):
         (F.col("n") >= 100) & (F.col("n") <= 299)
     )
     assert out.count() == 200
+
+
+def test_infer_nested_object_paths(spark):
+    from pq_engine.spark.variant import infer_variant_spec, variant_shred
+
+    df = spark.createDataFrame(
+        [(i, f'{{"a":{{"b":{i},"s":"x{i}","deep":{{"q":{{"z":1}}}}}},"top":1.5,"arr":[1],"bad.key":2}}')
+         for i in range(50)],
+        "id long, j string",
+    )
+    spec = infer_variant_spec(df, "j")
+    # depth capped at 3; arrays and dotted keys stay residual
+    assert spec == {"a.b": "int64", "a.s": "string", "top": "float64"}
+    flat, info = variant_shred(df, "j", spec)
+    row = flat.filter(F.col("id") == 7).collect()[0]
+    assert row["j#a#b"] == 7 and row["j#a#s"] == "x7" and row["j#top"] == 1.5
