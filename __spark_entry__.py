@@ -285,6 +285,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference's record-level filter after the column-index level)
         return out.filter((F.col("lang") >= "de") & (F.col("lang") <= "en"))
 
+    def pushdown_predicate(spark, sf_dir):
+        """Composable predicate pushdown (FilterApi + RowGroupFilter analog):
+        an (AND/OR/NOT)-composed tree prunes chunks cheapest-first (stats →
+        dictionary → bloom per eq leaf), then the SAME tree's record-level
+        residual runs on the decoded rows — exactness oracle-checked against
+        the equivalent WHERE clause."""
+        from pq_engine.spark import filterapi as P
+        from pq_engine.spark.engine import decode_table, encode_table, table_ptypes
+
+        df = _read(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        ).repartitionByRange(8, "doc_id")
+        pages = encode_table(df, with_bloom=True)
+        pred = (P.eq("lang", "en") & P.gtEq("n_chars", 150)) | (
+            ~(P.noteq("source", "cc") | P.lt("doc_id", 100))
+        )
+        pruned = P.filter_pages(pages, pred)
+        out = decode_table(
+            pruned, ["doc_id", "lang", "source", "n_chars"], ptypes=table_ptypes(df)
+        )
+        return out.filter(P.residual_expr(pred))
+
     def bloom_pushdown(spark, sf_dir):
         from pq_engine.spark.engine import (
             decode_table,
@@ -997,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rewrite_prune": rewrite_prune,
         "rewrite_mask_hash": rewrite_mask_hash,
         "pushdown_stats": pushdown_stats,
+        "pushdown_predicate": pushdown_predicate,
         "bloom_pushdown": bloom_pushdown,
         "dict_pushdown": dict_pushdown,
         "analytics_on_decoded": analytics_on_decoded,
@@ -1156,6 +1179,11 @@ def oracle_sql() -> dict[str, str]:
         "rewrite_prune": "SELECT doc_id, lang FROM documents",
         "rewrite_mask_hash": "SELECT doc_id, md5(text) AS text FROM documents",
         "pushdown_stats": "SELECT doc_id, lang FROM documents WHERE lang >= 'de' AND lang <= 'en'",
+        "pushdown_predicate": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE (lang = 'en' AND n_chars >= 150)
+               OR (source = 'cc' AND doc_id >= 100)
+        """,
         "bloom_pushdown": "SELECT doc_id, source FROM documents WHERE source = 'src3'",
         "dict_pushdown": "SELECT event_id, event_type FROM events WHERE event_type = 'signup'",
         "analytics_on_decoded": """

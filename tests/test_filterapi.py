@@ -1,0 +1,99 @@
+"""Composable predicate pushdown (FilterApi / RowGroupFilter analog)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pq_engine.spark import filterapi as P
+from pq_engine.spark.engine import decode_table, encode_table, table_ptypes
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                ["alpha", "beta", "gamma", "delta"][i // 500],
+                float(i),
+                None if i % 100 == 0 else i * 2,
+            )
+            for i in range(2000)
+        ],
+        "id long, name string, score double, opt bigint",
+    ).repartitionByRange(4, "id")  # clustered chunks, like a sorted ingest
+    pages = encode_table(df, with_bloom=True, page_rows=250).cache()
+    pages.count()
+    return df, pages
+
+
+def _chunks(pages):
+    return pages.select("split_id", "batch_id").distinct().count()
+
+
+def _decoded(df, pages, pred):
+    out = decode_table(
+        pages, ["id", "name", "score", "opt"], ptypes=table_ptypes(df)
+    )
+    return out.filter(P.residual_expr(pred))
+
+
+def _expected(df, pred):
+    return df.filter(P.residual_expr(pred))
+
+
+def _check_exact(df, pages, pred):
+    kept = P.filter_pages(pages, pred)
+    got = {tuple(r) for r in _decoded(df, kept, pred).collect()}
+    want = {tuple(r) for r in _expected(df, pred).collect()}
+    assert got == want
+    return kept
+
+
+def test_and_or_composition_prunes_and_stays_exact(table):
+    df, pages = table
+    pred = (P.eq("name", "alpha") & P.ltEq("id", 300)) | P.gtEq("id", 1900)
+    kept = _check_exact(df, pages, pred)
+    assert _chunks(kept) < _chunks(pages)
+
+
+def test_eq_uses_dict_and_bloom(table):
+    df, pages = table
+    # a value inside every chunk's min/max range but present nowhere:
+    # stats can't disprove it, dictionary/bloom membership must
+    kept = P.filter_pages(pages, P.eq("name", "gamma_nope"))
+    assert _chunks(kept) == 0
+
+
+def test_not_pushdown_de_morgan(table):
+    df, pages = table
+    pred = ~(P.lt("id", 1500) | P.eq("name", "delta"))
+    inv = P._invert(P.lt("id", 1500) | P.eq("name", "delta"))
+    assert isinstance(inv, P.And)
+    _check_exact(df, pages, pred)
+
+
+def test_in_notin_and_nulls(table):
+    df, pages = table
+    _check_exact(df, pages, P.in_("name", ["beta", "delta"]) & P.notnull("opt"))
+    _check_exact(df, pages, P.isnull("opt"))
+    kept = P.filter_pages(pages, P.notin("name", ["alpha"]))
+    # alpha-only chunks are provably droppable (min==max=='alpha', no nulls)
+    assert _chunks(kept) < _chunks(pages)
+
+
+def test_udp_stats_and_row_level(table):
+    df, pages = table
+    pred = P.udp(
+        "score",
+        stats_keep=F.col("max").cast("double") >= 1995.0,
+        row=F.col("score") >= 1995.0,
+    )
+    kept = _check_exact(df, pages, pred)
+    assert _chunks(kept) < _chunks(pages)
+    with pytest.raises(TypeError):
+        ~pred
+
+
+def test_never_always():
+    assert P.in_("c", []).kind == "never"
+    assert P.notin("c", []).kind == "always"
