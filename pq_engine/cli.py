@@ -679,6 +679,19 @@ def cmd_rewrite(tbl, args):
             os.makedirs(ns.out, exist_ok=True)
             cmd_mask(tbl, ns)
             tbl = _load(ns.out)
+    if getattr(args, "rename", None):
+        mapping = dict(kv.split("=", 1) for kv in args.rename.split(","))
+        names = set(tbl["column"].to_pylist())
+        missing = set(mapping) - names
+        if missing:
+            sys.exit(f"rename of absent column(s): {sorted(missing)}")
+        clash = set(mapping.values()) & (names - set(mapping))
+        if clash or len(set(mapping.values())) != len(mapping):
+            sys.exit("rename targets collide")
+        import pyarrow as pa
+
+        renamed = pa.array([mapping.get(c, c) for c in tbl["column"].to_pylist()])
+        tbl = tbl.set_column(tbl.schema.get_field_index("column"), "column", renamed)
     if args.to:
         cmd_trans_compression(tbl, args)
         return
@@ -788,6 +801,7 @@ def main(argv=None):
     ap.add_argument("--value")
     ap.add_argument("--mode", choices=["hash", "nullify"], default="hash")
     ap.add_argument("--mask-column")
+    ap.add_argument("--rename", help="old=new[,old2=new2] column renames (rewrite)")
     ap.add_argument("--key", help="hex footer key for encrypted-footer jobs")
     args = ap.parse_args(argv)
     if args.command == "version":

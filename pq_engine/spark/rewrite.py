@@ -5,6 +5,7 @@ copy when possible, decode→re-encode only when semantics require it).
 
 On the page table these become DataFrame ops:
 * prune        → a filter on the `column` field — pure metadata, zero decode;
+* rename       → a `when` remap of the `column` field — pure metadata;
 * transcode    → decode→re-encode only the pages whose compression changes
                  (page-level copy for the rest, exactly the reference rule);
 * mask-nullify → replace a column's pages with all-null pages (no decode);
@@ -27,6 +28,26 @@ from .engine import PAGE_SCHEMA
 def prune_columns(pages: DataFrame, keep: list[str]) -> DataFrame:
     """Drop whole columns — footer-only rewrite (ParquetRewriter prune)."""
     return pages.filter(F.col("column").isin(keep))
+
+
+def rename_columns(pages: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Rename columns — metadata-only rewrite (ParquetRewriter renaming):
+    page bytes are untouched, only the `column` field changes. Collisions
+    with surviving names raise (the reference validates the same)."""
+    existing = {r["column"] for r in pages.select("column").distinct().collect()}
+    missing = set(mapping) - existing
+    if missing:
+        raise ValueError(f"rename of absent column(s): {sorted(missing)}")
+    targets = set(mapping.values())
+    if len(targets) != len(mapping):
+        raise ValueError("rename targets collide with each other")
+    clash = targets & (existing - set(mapping))
+    if clash:
+        raise ValueError(f"rename targets collide with existing column(s): {sorted(clash)}")
+    expr = F.col("column")
+    for old, new in mapping.items():
+        expr = F.when(F.col("column") == old, F.lit(new)).otherwise(expr)
+    return pages.withColumn("column", expr)
 
 
 def merge_page_tables(tables: list[DataFrame]) -> DataFrame:

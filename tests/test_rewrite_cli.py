@@ -136,3 +136,43 @@ def test_dictionary_pushdown(spark):
         back.filter(F.col("lang") == present).count()
         == df.filter(F.col("lang") == present).count()
     )
+
+
+def test_rename_columns_metadata_only(spark):
+    from pq_engine.spark.engine import decode_table, encode_table
+    from pq_engine.spark.rewrite import rename_columns
+
+    df = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(100)], "id long, user string"
+    ).coalesce(1)
+    pages = encode_table(df).cache()
+    ren = rename_columns(pages, {"user": "login"})
+    back = decode_table(ren, ["id", "login"], ptypes={"id": "int64", "login": "string"})
+    rows = {r["id"]: r["login"] for r in back.collect()}
+    assert rows[7] == "u7" and len(rows) == 100
+    # page bytes untouched
+    a = {(r["column"], r["page"], r["crc32"]) for r in pages.collect()}
+    b = {(r["column"], r["page"], r["crc32"]) for r in ren.collect()}
+    assert {(c if c != "user" else "login", p, x) for c, p, x in a} == b
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rename_columns(pages, {"nope": "x"})
+    with _pt.raises(ValueError):
+        rename_columns(pages, {"user": "id"})
+
+
+def test_cli_rewrite_rename(spark, pages, tmp_path):
+    from pq_engine.cli import _load
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "renamed")
+    pages.write.parquet(src)
+    r = subprocess.run(
+        [sys.executable, "-m", "pq_engine.cli", "rewrite", src,
+         "--rename", "lang=language", "--out", out],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    cols = set(_load(out)["column"].to_pylist())
+    assert "language" in cols and "lang" not in cols
