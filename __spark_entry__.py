@@ -285,6 +285,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference's record-level filter after the column-index level)
         return out.filter((F.col("lang") >= "de") & (F.col("lang") <= "en"))
 
+    def size_stats(spark, sf_dir):
+        """SizeStatistics rows (PARQUET-2261 / SizeStatistics.java analog):
+        per-chunk unencoded byte-array bytes + rep/def level histograms,
+        persisted at encode (page = -6) and verified value-for-value against
+        SQL aggregates of the raw tables — including the repetition-level
+        histogram of a LIST column, which SQL reproduces from element
+        counts."""
+        from pq_engine.spark.engine import encode_table
+
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        embs = _read(spark, sf_dir, "embeddings").select("embedding")
+        pages = (
+            encode_table(docs).filter(F.col("page") == -6)
+            .unionByName(encode_table(embs).filter(F.col("page") == -6))
+        )
+        parsed = pages.select(
+            F.col("column").alias("col_name"),
+            F.from_json(
+                F.get_json_object("min", "$.rep_hist"), "array<long>"
+            ).alias("rep"),
+            F.from_json(
+                F.get_json_object("min", "$.def_hist"), "array<long>"
+            ).alias("defs"),
+            F.get_json_object("min", "$.unencoded_bytes").cast("long").alias("ub"),
+        )
+        return parsed.groupBy("col_name").agg(
+            F.sum(F.element_at("rep", 1)).alias("rep0"),
+            F.sum(F.coalesce(F.try_element_at("rep", F.lit(2)), F.lit(0))).alias("rep1"),
+            F.sum(F.element_at("defs", -1)).alias("present"),
+            F.sum("ub").alias("unencoded_bytes"),
+        )
+
     def pushdown_predicate(spark, sf_dir):
         """Composable predicate pushdown (FilterApi + RowGroupFilter analog):
         an (AND/OR/NOT)-composed tree prunes chunks cheapest-first (stats →
@@ -1020,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rewrite_mask_hash": rewrite_mask_hash,
         "pushdown_stats": pushdown_stats,
         "pushdown_predicate": pushdown_predicate,
+        "size_stats": size_stats,
         "bloom_pushdown": bloom_pushdown,
         "dict_pushdown": dict_pushdown,
         "analytics_on_decoded": analytics_on_decoded,
@@ -1179,6 +1212,22 @@ def oracle_sql() -> dict[str, str]:
         "rewrite_prune": "SELECT doc_id, lang FROM documents",
         "rewrite_mask_hash": "SELECT doc_id, md5(text) AS text FROM documents",
         "pushdown_stats": "SELECT doc_id, lang FROM documents WHERE lang >= 'de' AND lang <= 'en'",
+        "size_stats": """
+            SELECT 'doc_id' AS col_name, COUNT(*)::BIGINT AS rep0,
+                   0::BIGINT AS rep1, COUNT(doc_id)::BIGINT AS present,
+                   CAST(NULL AS BIGINT) AS unencoded_bytes FROM documents
+            UNION ALL
+            SELECT 'lang', COUNT(*)::BIGINT, 0::BIGINT, COUNT(lang)::BIGINT,
+                   SUM(octet_length(encode(lang)))::BIGINT FROM documents
+            UNION ALL
+            SELECT 'text', COUNT(*)::BIGINT, 0::BIGINT, COUNT(text)::BIGINT,
+                   SUM(octet_length(encode(text)))::BIGINT FROM documents
+            UNION ALL
+            SELECT 'embedding', COUNT(*)::BIGINT,
+                   (SUM(len(embedding)) - COUNT(*))::BIGINT,
+                   SUM(len(embedding))::BIGINT,
+                   CAST(NULL AS BIGINT) FROM embeddings
+        """,
         "pushdown_predicate": """
             SELECT doc_id, lang, source, n_chars FROM documents
             WHERE (lang = 'en' AND n_chars >= 150)

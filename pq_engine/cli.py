@@ -472,7 +472,7 @@ def cmd_trans_compression(tbl, args):
     to_label = args.to or "none"
     rows = tbl.to_pylist()
     for r in rows:
-        if r["compression"] == to_label or r["page"] in (-1, -4, -5) or r["codec"] == "rowranges":
+        if r["compression"] == to_label or r["page"] in (-1, -4, -5, -6) or r["codec"] == "rowranges":
             continue
         blob = bytes(r["data"])
         from .pages import split_page_blob
@@ -591,6 +591,29 @@ def cmd_size_stats(tbl, args):
             f"{int(np.median(sizes)):8d} {int(sizes.max()):8d} "
             f"{int(rows.mean()):8d}"
         )
+    # persisted SizeStatistics rows (page = -6): unencoded byte-array bytes
+    # + rep/def level histograms, summed across chunks
+    import json as _json
+
+    agg: dict = {}
+    for i in range(tbl.num_rows):
+        if tbl["page"][i].as_py() != -6 or tbl["min"][i].as_py() is None:
+            continue
+        c = tbl["column"][i].as_py()
+        s = _json.loads(tbl["min"][i].as_py())
+        a = agg.setdefault(c, {"unencoded_bytes": 0, "rep_hist": [], "def_hist": []})
+        if s.get("unencoded_bytes") is not None:
+            a["unencoded_bytes"] += s["unencoded_bytes"]
+        for k in ("rep_hist", "def_hist"):
+            h = s.get(k) or []
+            a[k] = [x + y for x, y in
+                    zip(a[k] + [0] * (len(h) - len(a[k])), h + [0] * (len(a[k]) - len(h)))]
+    if agg:
+        print("\nSizeStatistics (persisted, summed over chunks):")
+        for c in sorted(agg):
+            a = agg[c]
+            print(f"{c:12s} unencoded={a['unencoded_bytes']:>12d} "
+                  f"rep={a['rep_hist']} def={a['def_hist']}")
 
 
 def cmd_check_stats(tbl, args):

@@ -239,6 +239,29 @@ def encode_list_column(
             **{},
         }
         out.append((meta, blob))
+    # SizeStatistics row (SizeStatistics.java analog): the one place the
+    # repetition-level histogram is non-trivial — each record contributes
+    # max(1, n_elements) level entries (null/empty lists carry one entry)
+    from .pages import RAGGED_TYPES as _RT, _sizestats_row
+
+    lens_all = col.lengths.astype(np.int64)
+    lv_all = col.list_validity
+    null_lists = int((~lv_all).sum()) if lv_all is not None else 0
+    empty_lists = int((lens_all == 0).sum()) - null_lists
+    cv_all = col.child_validity
+    elem_total = int(lens_all.sum())
+    null_elems = int((~cv_all).sum()) if cv_all is not None else 0
+    entries = int(np.maximum(lens_all, 1).sum())
+    out.append(
+        _sizestats_row(
+            ptype,
+            unencoded=(
+                int(len(col.child_values.data)) if kp in _RT else None
+            ),
+            rep_hist=[n, entries - n],
+            def_hist=[null_lists, empty_lists, null_elems, elem_total - null_elems],
+        )
+    )
     return out
 
 

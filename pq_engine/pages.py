@@ -504,11 +504,58 @@ def encode_column(
                 b"",
             )
         )
+    # SizeStatistics row (PARQUET-2261 / SizeStatistics.java analog):
+    # unencoded byte-array data bytes + rep/def level histograms per chunk,
+    # so size planning and level-aware readers never decode a page.
+    if n_rows:
+        out.append(
+            _sizestats_row(
+                ptype,
+                unencoded=int(len(values.data)) if kp in RAGGED_TYPES else None,
+                rep_hist=[n_rows],
+                def_hist=[
+                    int(n_rows - (len(values) if validity is not None else n_rows)),
+                    int(len(values) if validity is not None else n_rows),
+                ],
+            )
+        )
     return out
+
+
+def _sizestats_row(ptype: str, unencoded, rep_hist, def_hist):
+    import json as _json
+
+    payload = _json.dumps(
+        {
+            "unencoded_bytes": unencoded,
+            "rep_hist": [int(x) for x in rep_hist],
+            "def_hist": [int(x) for x in def_hist],
+        },
+        sort_keys=True,
+    )
+    return (
+        {
+            "page": SIZESTATS_PAGE,
+            "codec": "sizestats",
+            "ptype": ptype,
+            "first_row": -1,
+            "n_rows": 0,
+            "null_count": 0,
+            "raw_bytes": 0,
+            "encoded_bytes": 0,
+            "crc32": 0,
+            "compression": "none",
+            "min": payload,
+            "max": payload,
+            "ndv": -1,
+        },
+        b"",
+    )
 
 
 COLINDEX_PAGE = -4  # manifest `page` value of the persisted column-index row
 GEO_PAGE = -5  # manifest `page` value of the GeospatialStatistics bbox row
+SIZESTATS_PAGE = -6  # manifest `page` value of the SizeStatistics row
 
 
 def _parse_stat(v: str, kp: str):

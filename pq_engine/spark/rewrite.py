@@ -217,7 +217,7 @@ def transcode_compression(pages: DataFrame, to: str | None) -> DataFrame:
         out = pdf.copy()
         datas, encs, crcs, comps = [], [], [], []
         for r in pdf.itertuples():
-            raw_copy = r.page in (-1, -4, -5) or r.codec == "rowranges"
+            raw_copy = r.page in (-1, -4, -5, -6) or r.codec == "rowranges"
             comps.append(r.compression if raw_copy else to_label)
             if r.compression == to_label or raw_copy:
                 # bloom index rows are raw filter bytes; rowranges/colindex

@@ -138,7 +138,7 @@ def test_list_child_chunk_dictionary():
     col = ListColumn(offsets, lv, child, cv)
     pages = encode_list_column(col, "list<string>", codec="auto", page_rows=300)
     codecs = {m["codec"] for m, _ in pages}
-    assert codecs == {"dictpage", "dict"}  # auto picks dict for 7-NDV tags
+    assert codecs == {"dictpage", "dict", "sizestats"}  # auto picks dict for 7-NDV tags
     dict_rows = [m for m, _ in pages if m["codec"] == "dictpage"]
     assert len(dict_rows) == 1 and dict_rows[0]["page"] == -2
     assert dict_rows[0]["ptype"] == "string"  # dictionary holds CHILD values
@@ -164,7 +164,7 @@ def test_list_child_dict_numeric_and_fallback():
     child = np.tile(np.array([7, 8, 9], np.int64), n)
     col = ListColumn(offsets, None, child, None)
     pages = encode_list_column(col, "list<int64>", codec="dict", page_rows=100)
-    assert {m["codec"] for m, _ in pages} == {"dictpage", "dict"}
+    assert {m["codec"] for m, _ in pages} == {"dictpage", "dict", "sizestats"}
     back, _ = decode_column(pages)
     assert np.array_equal(back.child_values, child)
     # bool children can't dict — falls to rle, still round-trips

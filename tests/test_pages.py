@@ -196,3 +196,31 @@ def test_chooser_categorical_dict():
     vals = [b"en"] * 5000 + [b"de"] * 3000 + [b"fr"] * 100
     st = ragged_stats(RaggedBytes.from_pylist(vals))
     assert choose_codec("string", st) == "dict"
+
+
+def test_sizestats_row_scalar_and_list():
+    import json
+
+    from pq_engine.kernels.ragged import RaggedBytes
+    from pq_engine.nested import ListColumn, encode_list_column
+    from pq_engine.pages import SIZESTATS_PAGE, encode_column
+
+    vals = RaggedBytes.from_pylist([b"ab", b"", b"cdef"])
+    validity = np.array([True, True, False, True])
+    pages = encode_column(vals, "string", validity=validity)
+    ss = [m for m, _ in pages if m["page"] == SIZESTATS_PAGE]
+    assert len(ss) == 1
+    s = json.loads(ss[0]["min"])
+    assert s == {"unencoded_bytes": 6, "rep_hist": [4], "def_hist": [1, 3]}
+
+    # list<string>: 3 rows — ["x","yy"], null list, [] ; one null element
+    offs = np.array([0, 2, 2, 2], dtype=np.int64)
+    lv = np.array([True, False, True])
+    child = RaggedBytes.from_pylist([b"x", b"yy"])
+    cv = None
+    col = ListColumn(offs, lv, child, cv)
+    lpages = encode_list_column(col, "list<string>", codec="plain")
+    s2 = json.loads([m for m, _ in lpages if m["page"] == SIZESTATS_PAGE][0]["min"])
+    assert s2["unencoded_bytes"] == 3
+    assert s2["rep_hist"] == [3, 1]          # 3 records, 4 level entries
+    assert s2["def_hist"] == [1, 1, 0, 2]    # 1 null list, 1 empty, 2 present

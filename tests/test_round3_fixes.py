@@ -257,7 +257,7 @@ def test_list_of_fixed_children_dict(spark):
         pages = encode_list_column(col, "list<fixed[8]>", codec=codec, page_rows=100)
         back, _ = decode_column(pages)
         assert np.array_equal(back.child_values, rows), codec
-    assert {m["codec"] for m, _ in pages} == {"plain"}  # explicit plain honored
+    assert {m["codec"] for m, _ in pages} == {"plain", "sizestats"}  # explicit plain honored
 
 
 def test_geometry_bloom_and_dict_probe(spark):
