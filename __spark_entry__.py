@@ -674,6 +674,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         outer = back.select("doc_id", F.posexplode("lmap").alias("i", "m"))
         return outer.select("doc_id", "i", F.explode("m").alias("mk", "mv"))
 
+    def rt_interval(spark, sf_dir):
+        """INTERVAL logical type round-trip — FLBA(12) (months, days, millis)
+        LE triple (LogicalTypeAnnotation IntervalLogicalTypeAnnotation),
+        struct carrier via ptype override (Spark has no 3-component interval
+        column type)."""
+        from pq_engine.spark.engine import roundtrip_column
+
+        df = _read(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.struct(
+                (F.col("n_chars") % 24).cast("int").alias("months"),
+                (F.col("doc_id") % 31).cast("int").alias("days"),
+                (F.col("n_chars") * 100).cast("int").alias("millis"),
+            ).alias("iv"),
+        )
+        rt = roundtrip_column(df, "iv", ptype="interval")
+        return rt.select(
+            "doc_id",
+            F.col("iv.months").alias("months"),
+            F.col("iv.days").alias("days"),
+            F.col("iv.millis").alias("millis"),
+        )
+
     def rt_decimal_wide(spark, sf_dir):
         """DECIMAL(38,0) round-trip via the FIXED_LEN_BYTE_ARRAY carrier
         (minimal-width big-endian unscaled bytes — LogicalTypeAnnotation
@@ -1040,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_list_map": rt_list_map,
         # --- FLBA physical type + wide logical types (SURVEY §2 type breadth) ---
         "rt_decimal_wide": rt_decimal_wide,
+        "rt_interval": rt_interval,
         "rt_uuid": rt_uuid,
         "rt_float16": rt_float16,
         "rt_int96_ts": rt_int96_ts,
@@ -1175,6 +1199,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 1, source, n_chars * 2 FROM documents
             UNION ALL
             SELECT doc_id, 1, lang || '!', 7 FROM documents
+        """,
+        "rt_interval": """
+            SELECT doc_id, (n_chars % 24)::INTEGER AS months,
+                   (doc_id % 31)::INTEGER AS days,
+                   (n_chars * 100)::INTEGER AS millis
+            FROM documents
         """,
         "rt_decimal_wide": """
             SELECT doc_id,

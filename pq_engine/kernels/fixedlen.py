@@ -48,6 +48,9 @@ def fixed_width(ptype: str) -> int:
         return 2
     if ptype == "int96_ts":
         return 12
+    if ptype == "interval":
+        return 12  # (months, days, millis) u32 LE triple — the INTERVAL
+        # logical type over FLBA(12), LogicalTypeAnnotation.java
     raise ValueError(f"not a fixed-family ptype: {ptype}")
 
 
@@ -184,6 +187,25 @@ def int96_to_us(values: np.ndarray) -> np.ndarray:
     return (julian - EPOCH_JULIAN_DAY) * _US_PER_DAY + nanos // 1000
 
 
+def interval_to_fixed(months: np.ndarray, days: np.ndarray, millis: np.ndarray) -> np.ndarray:
+    """(months, days, millis) int32 arrays → (n, 12) FLBA rows, LE u32 each
+    (INTERVAL stores three unsigned little-endian ints; negative components
+    round-trip via two's complement)."""
+    n = len(months)
+    rows = np.zeros((n, 12), dtype=np.uint8)
+    rows[:, 0:4] = np.ascontiguousarray(months, dtype="<i4").view(np.uint8).reshape(n, 4)
+    rows[:, 4:8] = np.ascontiguousarray(days, dtype="<i4").view(np.uint8).reshape(n, 4)
+    rows[:, 8:12] = np.ascontiguousarray(millis, dtype="<i4").view(np.uint8).reshape(n, 4)
+    return rows
+
+
+def fixed_to_interval(values: np.ndarray):
+    """Inverse of interval_to_fixed → (months, days, millis) int32 arrays."""
+    n = len(values)
+    flat = np.ascontiguousarray(values).view("<i4").reshape(n, 3)
+    return flat[:, 0].copy(), flat[:, 1].copy(), flat[:, 2].copy()
+
+
 def value_to_fixed(value, ptype: str) -> np.ndarray:
     """One probe value → its (1, k) fixed-row bytes, matching what
     _arrow_to_values produces for a column of that ptype (bloom/dictionary
@@ -208,6 +230,11 @@ def value_to_fixed(value, ptype: str) -> np.ndarray:
         else:
             us = int(value)
         return us_to_int96(np.array([us], np.int64))
+    if ptype == "interval":
+        m, d, ms = value  # (months, days, millis)
+        return interval_to_fixed(
+            np.array([m], np.int32), np.array([d], np.int32), np.array([ms], np.int32)
+        )
     if ptype.startswith("fixed["):
         k = int(ptype[6:-1])
         b = value.encode() if isinstance(value, str) else bytes(value)

@@ -61,7 +61,7 @@ def kernel_ptype(ptype: str) -> str:
     if ptype.startswith("decimal64["):
         return "int64"
     if ptype.startswith(("decimal_flba[", "fixed[")) or ptype in (
-        "uuid", "float16", "int96_ts"
+        "uuid", "float16", "int96_ts", "interval"
     ):
         from .kernels.fixedlen import fixed_width
 

@@ -137,6 +137,11 @@ def ptype_to_spark_type(ptype: str) -> T.DataType:
         "uuid": T.StringType(),
         "float16": T.FloatType(),
         "int96_ts": T.TimestampType(),
+        "interval": T.StructType([
+            T.StructField("months", T.IntegerType()),
+            T.StructField("days", T.IntegerType()),
+            T.StructField("millis", T.IntegerType()),
+        ]),
         "geometry": T.BinaryType(),  # WKB carrier
     }[ptype]
 
@@ -202,6 +207,11 @@ def _arrow_to_values(arr: pa.Array, ptype: str):
 
         us = np.asarray(arr.cast(pa.timestamp("us")).cast(pa.int64()))
         return fl.us_to_int96(us.astype(np.int64)), validity
+    if ptype == "interval":
+        from ..kernels import fixedlen as fl
+
+        m, d, ms = (np.asarray(c.cast(pa.int32())) for c in arr.flatten())
+        return fl.interval_to_fixed(m, d, ms), validity
     if ptype.startswith("fixed["):
         k = int(ptype[6:-1])
         rb = RaggedBytes.from_arrow(arr.cast(pa.binary()))
@@ -264,6 +274,14 @@ def _values_to_arrow(values, validity, ptype: str) -> pa.Array:
         from ..kernels import fixedlen as fl
 
         dense = pa.array(fl.int96_to_us(values).astype("datetime64[us]"))
+    elif ptype == "interval":
+        from ..kernels import fixedlen as fl
+
+        m, d, ms = fl.fixed_to_interval(values)
+        dense = pa.StructArray.from_arrays(
+            [pa.array(m), pa.array(d), pa.array(ms)],
+            names=["months", "days", "millis"],
+        )
     elif ptype.startswith("fixed["):
         k = int(ptype[6:-1])
         dense = RaggedBytes(
@@ -440,9 +458,18 @@ def encode_table(
     ``float16`` (FLBA(2)), a timestamp column ``int96_ts`` (legacy INT96),
     a binary column ``fixed[k]``."""
     cols = columns or [f.name for f in df.schema.fields if f.name != split_col]
-    ptypes = {f.name: spark_type_to_ptype(f.dataType) for f in df.schema.fields if f.name in cols}
-    if ptype_overrides:
-        ptypes.update({c: p for c, p in ptype_overrides.items() if c in ptypes})
+    # overrides resolve BEFORE schema derivation: an overridden column's
+    # Spark type may be un-derivable on its own (e.g. the INTERVAL struct
+    # carrier)
+    ptypes = {
+        f.name: (
+            ptype_overrides[f.name]
+            if ptype_overrides and f.name in ptype_overrides
+            else spark_type_to_ptype(f.dataType)
+        )
+        for f in df.schema.fields
+        if f.name in cols
+    }
     codec_of = _codec_of(codec)
 
     def encode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

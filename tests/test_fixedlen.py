@@ -255,3 +255,42 @@ def test_fixed_dictionary_pushdown(spark):
     present = (2).to_bytes(8, "big")
     kept = prune_pages_by_dictionary(pages, "fx", present)
     assert kept.count() == pages.count()
+
+
+def test_interval_flba12_roundtrip(spark):
+    """INTERVAL logical type (FLBA(12) months/days/millis LE triple) —
+    LogicalTypeAnnotation.java IntervalLogicalTypeAnnotation."""
+    from pyspark.sql import functions as F
+
+    from pq_engine.spark.engine import decode_table, encode_table
+
+    df = spark.createDataFrame(
+        [
+            (1, (14, 3, 72_000_000)),
+            (2, (-2, 0, 500)),
+            (3, None),
+            (4, (0, 31, 0)),
+        ],
+        "id long, iv struct<months:int, days:int, millis:int>",
+    ).coalesce(1)
+    pages = encode_table(df, ptype_overrides={"iv": "interval"}).cache()
+    assert {r["ptype"] for r in pages.filter(F.col("column") == "iv").collect()} == {"interval"}
+    back = decode_table(pages, ["id", "iv"], ptypes={"id": "int64", "iv": "interval"})
+    got = {r["id"]: (tuple(r["iv"]) if r["iv"] is not None else None) for r in back.collect()}
+    assert got == {1: (14, 3, 72_000_000), 2: (-2, 0, 500), 3: None, 4: (0, 31, 0)}
+
+
+def test_interval_value_to_fixed_probe():
+    import numpy as np
+
+    from pq_engine.kernels.fixedlen import fixed_to_interval, interval_to_fixed, value_to_fixed
+
+    rows = value_to_fixed((14, 3, 500), "interval")
+    assert rows.shape == (1, 12)
+    m, d, ms = fixed_to_interval(rows)
+    assert (m[0], d[0], ms[0]) == (14, 3, 500)
+    many = interval_to_fixed(
+        np.array([1, -5], np.int32), np.array([2, 6], np.int32), np.array([3, 7], np.int32)
+    )
+    m, d, ms = fixed_to_interval(many)
+    assert m.tolist() == [1, -5] and d.tolist() == [2, 6] and ms.tolist() == [3, 7]
