@@ -64,7 +64,9 @@ def entry(spark: SparkSession) -> DataFrame:
     from pq_engine.spark.engine import encode_table
 
     df = _read(spark, "/root/testdata/sf0.001", "documents")
-    pages = encode_table(df)
+    # encoding summary: data + index pages only (metadata rows — colindex,
+    # geostats, sizestats — carry no encoded bytes)
+    pages = encode_table(df).filter(F.col("page") >= -2)
     return (
         pages.groupBy("column", "codec")
         .agg(
@@ -106,7 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pq_engine.spark.engine import encode_table
 
         df = _read(spark, sf_dir, "documents")
-        pages = encode_table(df)
+        pages = encode_table(df).filter(F.col("page") >= -2)
         return pages.groupBy("column", "codec").agg(
             F.sum("raw_bytes").alias("raw_bytes"),
             F.sum("encoded_bytes").alias("encoded_bytes"),
