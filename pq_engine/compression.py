@@ -1,6 +1,10 @@
 """Page-body compression codecs — the CompressionCodecName analog
 (/root/reference/parquet-common/.../hadoop/metadata/CompressionCodecName.java:26-33:
 UNCOMPRESSED, SNAPPY, GZIP, LZO, BROTLI, LZ4, ZSTD, LZ4_RAW).
+7 of the 8 are wired (lz4 = frame format, lz4_raw = block format, matching
+the reference's LZ4 / LZ4_RAW pair); LZO stays absent — no LZO library in
+the environment and the reference itself ships it as an optional
+Hadoop-provided codec.
 
 ``zlib`` (≈ the reference's GZIP deflate stream, level 6) goes through the
 stdlib and stays self-describing; the pyarrow-backed codecs (zstd/snappy/
@@ -13,7 +17,7 @@ from __future__ import annotations
 
 import zlib
 
-_PA_CODECS = {"zstd": 1, "snappy": None, "lz4": None, "brotli": 1, "gzip": 6}
+_PA_CODECS = {"zstd": 1, "snappy": None, "lz4": None, "lz4_raw": None, "brotli": 1, "gzip": 6}
 
 CODECS = ("none", "zlib", *(_PA_CODECS))
 

@@ -310,7 +310,7 @@ def test_date_and_ntz_type_fidelity(spark):
 # -------------------------------------------------------- page compression
 
 
-@pytest.mark.parametrize("comp", ["zstd", "snappy", "lz4", "zlib", None])
+@pytest.mark.parametrize("comp", ["zstd", "snappy", "lz4", "lz4_raw", "brotli", "zlib", None])
 def test_page_compression_roundtrip(comp):
     from pq_engine.kernels.ragged import RaggedBytes
     from pq_engine.pages import decode_column, encode_column
