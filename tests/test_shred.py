@@ -305,3 +305,45 @@ def test_list_of_struct(spark):
     assert got[2] == []
     assert got[3] is None
     assert got[4] == [None, Row(k="c", n=None)]
+
+
+def test_property_arbitrary_nesting_roundtrip(spark):
+    """Hypothesis-style sweep over deep-nesting data shapes (fixed schema,
+    generated values incl. nulls at every level) — one Spark job for the
+    whole batch of cases."""
+    import random
+
+    rng = random.Random(20260816)
+
+    def maybe(p, fn):
+        return None if rng.random() < p else fn()
+
+    def gen_inner():  # struct<m: map<string, array<long>>, t: string>
+        return (
+            maybe(0.2, lambda: {
+                f"k{rng.randint(0, 3)}": maybe(0.3, lambda: [
+                    maybe(0.2, lambda: rng.randint(-5, 5))
+                    for _ in range(rng.randint(0, 3))
+                ])
+                for _ in range(rng.randint(0, 2))
+            }),
+            maybe(0.2, lambda: "s" * rng.randint(0, 4)),
+        )
+
+    def gen_row(i):
+        v = maybe(0.15, lambda: [
+            maybe(0.2, lambda: [
+                maybe(0.25, gen_inner) for _ in range(rng.randint(0, 3))
+            ])
+            for _ in range(rng.randint(0, 3))
+        ])
+        return (i, v)
+
+    schema = (
+        "id long, v array<array<struct<m:map<string,array<long>>, t:string>>>"
+    )
+    df = spark.createDataFrame([gen_row(i) for i in range(120)], schema)
+    out = _roundtrip(df)
+    got = {r["id"]: r["v"] for r in out.collect()}
+    want = {r["id"]: r["v"] for r in df.collect()}
+    assert got == want
