@@ -968,7 +968,9 @@ def prune_pages_by_bbox(
 def prune_pages_by_bloom(pages_df: DataFrame, column: str, value) -> DataFrame:
     """Bloom-level pushdown (BloomFilterImpl analog, RowGroupFilter level 3):
     drop every (split, batch) whose bloom chunk-index row proves ``column``
-    never equals ``value`` — no data page is decoded. Chunks without a bloom
+    never equals ``value`` — no data page is decoded. ``value`` may be a
+    list/tuple/set (the reference's in-predicate: keep when ANY probe might
+    be present) — one job regardless of probe count. Chunks without a bloom
     row are conservatively kept."""
     import pandas as pd
 
@@ -977,7 +979,8 @@ def prune_pages_by_bloom(pages_df: DataFrame, column: str, value) -> DataFrame:
         .select("ptype")
         .first()["ptype"]
     )
-    key = bloom_key_for_value(value, ptype)
+    values = list(value) if isinstance(value, (list, tuple, set)) else [value]
+    keys = [bloom_key_for_value(v, ptype) for v in values]
 
     blooms = pages_df.filter((F.col("column") == column) & (F.col("page") == -1))
 
@@ -986,10 +989,11 @@ def prune_pages_by_bloom(pages_df: DataFrame, column: str, value) -> DataFrame:
 
         from ..kernels.bloom import BlockSplitBloomFilter
 
+        probe = np.array(keys, dtype=np.uint64)
         keep = []
         for r in pdf.itertuples():
             bf = BlockSplitBloomFilter.deserialize(bytes(r.data))
-            if bf.contains_u64(np.array([key], dtype=np.uint64))[0]:
+            if bf.contains_u64(probe).any():
                 keep.append({"split_id": r.split_id, "batch_id": r.batch_id})
         return pd.DataFrame(keep, columns=["split_id", "batch_id"])
 
@@ -1009,18 +1013,23 @@ def prune_pages_by_dictionary(pages_df: DataFrame, column: str, value) -> DataFr
     RowGroupFilter level 2): for chunks where EVERY data page of ``column``
     is dictionary-encoded (the reference's hasNonDictionaryPages check),
     decode ONLY the chunk dictionary page (page = -2) and drop the chunk if
-    ``value`` is absent. Ids are never decoded. Non-dict chunks are kept."""
+    ``value`` is absent. ``value`` may be a list/tuple/set (in-predicate:
+    keep when ANY probe is present) — one job regardless of probe count.
+    Ids are never decoded. Non-dict chunks are kept."""
     import pandas as pd
 
     target = pages_df.filter((F.col("column") == column) & (F.col("page") >= -2))
 
-    raw_value = value
-    if isinstance(value, str):
-        probe = value.encode()
-    elif isinstance(value, (bytes, bytearray)):
-        probe = bytes(value)
-    else:
-        probe = value  # numeric
+    raw_values = list(value) if isinstance(value, (list, tuple, set)) else [value]
+
+    def _probe(v):
+        if isinstance(v, str):
+            return v.encode()
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        return v  # numeric
+
+    probes = [_probe(v) for v in raw_values]
 
     def check(pdf: pd.DataFrame) -> pd.DataFrame:
         import zlib as _z
@@ -1047,18 +1056,20 @@ def prune_pages_by_dictionary(pages_df: DataFrame, column: str, value) -> DataFr
         uniques = decode_dict_chunk_page(body, r["ptype"])
         kp = _kp(r["ptype"])
         if kp in _RT:  # kernel type: covers geometry (= binary WKB) too
-            if probe in set(uniques.to_pylist()):
+            present = set(uniques.to_pylist())
+            if any(p in present for p in probes):
                 return pd.DataFrame([key])
         elif kp.startswith("fixed["):
             from ..kernels.fixedlen import value_to_fixed
 
-            row = value_to_fixed(raw_value, r["ptype"])
-            if len(uniques) and (uniques == row).all(axis=1).any():
-                return pd.DataFrame([key])
+            for rv in raw_values:
+                row = value_to_fixed(rv, r["ptype"])
+                if len(uniques) and (uniques == row).all(axis=1).any():
+                    return pd.DataFrame([key])
         else:
             # decimal columns compare on the UNSCALED int (kernel type)
             dt = _NUM[_kp(r["ptype"])]
-            if (uniques == dt(probe)).any():
+            if any((uniques == dt(p)).any() for p in probes):
                 return pd.DataFrame([key])
         return pd.DataFrame(columns=["split_id", "batch_id"])
 

@@ -85,7 +85,13 @@ def gtEq(col: str, v) -> Pred:
 
 
 def in_(col: str, values) -> Pred:
-    return Or([eq(col, v) for v in values]) if values else Leaf("never", col)
+    # a first-class leaf, not Or-of-eq: the dictionary/bloom probes batch
+    # every value into ONE pass (the reference's in-predicate handling —
+    # DictionaryFilter/BloomFilterImpl visit(In))
+    values = list(values)
+    if not values:
+        return Leaf("never", col)
+    return Leaf("in", col, (tuple(values),))
 
 
 def notin(col: str, values) -> Pred:
@@ -127,6 +133,8 @@ def _invert(p: Pred) -> Pred:
     assert isinstance(p, Leaf)
     if p.kind == "udp":
         raise TypeError("cannot invert a user-defined predicate (FilterApi parity)")
+    if p.kind == "in":
+        return And([noteq(p.col, v) for v in p.args[0]])
     return Leaf(_NEG[p.kind], p.col, p.args)
 
 
@@ -167,6 +175,20 @@ def _leaf_keys(leaf: Leaf, pages: DataFrame) -> DataFrame:
         return _stats_keep(pages, col, F.col("null_count") > 0)
     if kind == "notnull":
         return _stats_keep(pages, col, F.col("null_count") < F.col("n_rows"))
+    if kind == "in":
+        from .engine import prune_pages_by_bloom, prune_pages_by_dictionary
+
+        values = list(leaf.args[0])
+        mn, mx = _cmp_cols(values[0])
+        no_stats = F.col("min").isNull() | F.col("max").isNull()
+        in_range = no_stats
+        for v in values:
+            in_range = in_range | ((mn <= F.lit(v)) & (mx >= F.lit(v)))
+        keys = _stats_keep(pages, col, in_range)
+        keys = keys.join(_keys(prune_pages_by_dictionary(pages, col, values)),
+                         ["split_id", "batch_id"], "left_semi")
+        return keys.join(_keys(prune_pages_by_bloom(pages, col, values)),
+                         ["split_id", "batch_id"], "left_semi")
     v = leaf.args[0]
     mn, mx = _cmp_cols(v)
     no_stats = F.col("min").isNull() | F.col("max").isNull()
@@ -248,6 +270,8 @@ def residual_expr(p: Pred) -> Column:
         return c.isNull()
     if kind == "notnull":
         return c.isNotNull()
+    if kind == "in":
+        return c.isin(list(p.args[0]))
     v = p.args[0]
     return {
         "eq": c == F.lit(v),

@@ -97,3 +97,17 @@ def test_udp_stats_and_row_level(table):
 def test_never_always():
     assert P.in_("c", []).kind == "never"
     assert P.notin("c", []).kind == "always"
+
+
+def test_in_batched_dict_bloom_disproof(table):
+    df, pages = table
+    # both probes inside global min/max but present nowhere: only the
+    # batched dictionary/bloom pass can disprove them — and in ONE job
+    kept = P.filter_pages(pages, P.in_("name", ["bzzz", "gamma_x"]))
+    assert _chunks(kept) == 0
+    # one real + one absent value: exactness preserved
+    _check_exact(df, pages, P.in_("name", ["alpha", "bzzz"]))
+    # inversion rewrites to AND of noteq
+    inv = ~P.in_("name", ["alpha", "beta"])
+    assert isinstance(inv, P.And)
+    _check_exact(df, pages, inv)
