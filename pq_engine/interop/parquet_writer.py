@@ -10,6 +10,13 @@ Supported column specs (enough to interop-prove every value kernel):
                                             BYTE_STREAM_SPLIT or RLE (bool)
   string / binary -> PLAIN, PLAIN_DICTIONARY (dict page + RLE ids),
                      DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY
+  logical types   -> date32 / timestamp(_ntz)_us / decimal64[p,s] over
+                     INT32/INT64, and the FLBA family (uuid, float16,
+                     interval, decimal_flba[p,s], fixed[k]) as
+                     FIXED_LEN_BYTE_ARRAY with ConvertedType + LogicalType
+                     annotations (pyarrow sees halffloat/decimal128/date32/
+                     timestamp; DuckDB sees UUID/DECIMAL/DATE/TIMESTAMP/
+                     INTERVAL)
   nullable columns -> OPTIONAL with RLE def-levels (V1 level framing)
 
 The point is not to be a full writer — it is the *oracle bridge*: pyarrow /
@@ -30,6 +37,55 @@ MAGIC = b"PAR1"
 
 # parquet-format enums
 TYPE = {"bool": 0, "int32": 1, "int64": 2, "float32": 4, "float64": 5, "binary": 6, "string": 6}
+FLBA = 7  # FIXED_LEN_BYTE_ARRAY (PrimitiveType.java:48-69)
+
+
+def _physical(ptype: str) -> tuple[int, int | None]:
+    """(physical type enum, type_length) of a logical ptype — the
+    PrimitiveType mapping incl. the FLBA-backed logical family."""
+    if ptype in TYPE:
+        return TYPE[ptype], None
+    if ptype == "date32":
+        return 1, None  # INT32
+    if ptype in ("timestamp_us", "timestamp_ntz_us"):
+        return 2, None  # INT64
+    if ptype.startswith("decimal64["):
+        return 2, None
+    from ..kernels.fixedlen import fixed_width
+
+    return FLBA, fixed_width(ptype)
+
+
+def _annotate(se: "StructWriter", ptype: str) -> None:
+    """ConvertedType + LogicalType annotations (SchemaElement fields 6/7/8/10
+    — LogicalTypeAnnotation.java semantics; both forms written so legacy and
+    modern readers agree)."""
+    if ptype == "string":
+        se.i32(6, 0)  # UTF8
+    elif ptype == "date32":
+        se.i32(6, 6)  # DATE
+        se.struct(10, StructWriter().struct(6, StructWriter()))
+    elif ptype in ("timestamp_us", "timestamp_ntz_us"):
+        se.i32(6, 10)  # TIMESTAMP_MICROS
+        ts = (
+            StructWriter()
+            .boolean(1, ptype == "timestamp_us")  # isAdjustedToUTC
+            .struct(2, StructWriter().struct(2, StructWriter()))  # unit=MICROS
+        )
+        se.struct(10, StructWriter().struct(8, ts))
+    elif ptype.startswith(("decimal64[", "decimal_flba[")):
+        p, s = map(int, ptype.split("[", 1)[1][:-1].split(","))
+        se.i32(6, 5).i32(7, s).i32(8, p)  # DECIMAL + scale + precision
+        se.struct(
+            10,
+            StructWriter().struct(5, StructWriter().i32(1, s).i32(2, p)),
+        )
+    elif ptype == "uuid":
+        se.struct(10, StructWriter().struct(14, StructWriter()))
+    elif ptype == "float16":
+        se.struct(10, StructWriter().struct(15, StructWriter()))
+    elif ptype == "interval":
+        se.i32(6, 21)  # INTERVAL (FLBA(12) months/days/millis)
 ENC_PLAIN = 0
 ENC_PLAIN_DICT = 2
 ENC_RLE = 3
@@ -72,6 +128,10 @@ def _encode_values(ptype: str, codec: str, vals):
             return ENC_PLAIN_DICT, body, (dict_page, len(uniques))
     if ptype == "bool":
         return ENC_PLAIN, plain.encode_plain_bool(vals), None
+    if _physical(ptype)[0] == FLBA:
+        if codec != "plain":
+            raise ValueError(f"FLBA ptype {ptype!r}: only PLAIN supported here")
+        return ENC_PLAIN, np.ascontiguousarray(vals, dtype=np.uint8).tobytes(), None
     if codec == "plain":
         return ENC_PLAIN, plain.encode_plain_numeric(vals), None
     if codec == "delta":
@@ -218,7 +278,7 @@ def write_parquet(path: str, columns: list[dict], n_rows: int,
         ) + (len(dict_bytes) if dict_info else 0)
         meta = (
             StructWriter()
-            .i32(1, TYPE[ptype])
+            .i32(1, _physical(ptype)[0])
             .list_i32(2, sorted(set(encodings)))
             .list_string(3, [name])
             .i32(4, CODEC_ENUM[compression])
@@ -250,11 +310,13 @@ def write_parquet(path: str, columns: list[dict], n_rows: int,
                 el.i32(6, 0)  # ConvertedType UTF8
             schema.append(el)
             continue
-        se = StructWriter().i32(1, TYPE[col["ptype"]])
+        pt, tlen = _physical(col["ptype"])
+        se = StructWriter().i32(1, pt)
+        if tlen is not None:
+            se.i32(2, tlen)
         se.i32(3, 1 if col.get("validity") is not None else 0)
         se.string(4, col["name"])
-        if col["ptype"] == "string":
-            se.i32(6, 0)  # ConvertedType UTF8
+        _annotate(se, col["ptype"])
         schema.append(se)
     rg = (
         StructWriter()

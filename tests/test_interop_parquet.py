@@ -311,3 +311,64 @@ def test_data_page_v2_decodes_in_pyarrow_and_duckdb(tmp_path, compression):
         f"SELECT count(v), count(*) FROM read_parquet('{path}')"
     ).fetchone()
     assert got == (int(validity.sum()), n)
+
+
+def test_typed_logical_columns_interop(tmp_path):
+    """FLBA family + date/timestamp/decimal annotations: independent readers
+    (pyarrow + DuckDB) must see the right logical types and values."""
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pq_engine.kernels.fixedlen import (
+        float32_to_fixed16,
+        interval_to_fixed,
+        uuid_strings_to_fixed,
+    )
+    from pq_engine.interop.parquet_writer import write_parquet
+
+    n = 50
+    uuids = [f"{i:08x}-1234-5678-9abc-def012345678" for i in range(n)]
+    uuid_rows = uuid_strings_to_fixed(
+        np.frombuffer("".join(uuids).encode(), np.uint8).reshape(n, 36)
+    )
+    halves = float32_to_fixed16(np.arange(n, dtype=np.float32) / 4)
+    iv_rows = interval_to_fixed(
+        np.arange(n, dtype=np.int32),
+        np.full(n, 3, np.int32),
+        np.full(n, 7000, np.int32),
+    )
+    dec_unscaled = np.arange(n, dtype=np.int64) * 1000 - 5000  # decimal(12,2)
+    dates = np.arange(n, dtype=np.int32) + 19000
+    ts = (np.arange(n, dtype=np.int64) + 1_700_000_000_000) * 1000  # us
+    path = str(tmp_path / "typed.parquet")
+    write_parquet(
+        path,
+        [
+            {"name": "u", "ptype": "uuid", "codec": "plain", "values": uuid_rows},
+            {"name": "h", "ptype": "float16", "codec": "plain", "values": halves},
+            {"name": "iv", "ptype": "interval", "codec": "plain", "values": iv_rows},
+            {"name": "d", "ptype": "decimal64[12,2]", "codec": "plain",
+             "values": dec_unscaled},
+            {"name": "dt", "ptype": "date32", "codec": "plain", "values": dates},
+            {"name": "t", "ptype": "timestamp_us", "codec": "delta", "values": ts},
+        ],
+        n,
+    )
+    tbl = pq.read_table(path)
+    assert str(tbl.schema.field("h").type) == "halffloat"
+    assert str(tbl.schema.field("d").type) == "decimal128(12, 2)"
+    assert str(tbl.schema.field("dt").type) == "date32[day]"
+    assert "timestamp[us" in str(tbl.schema.field("t").type)
+    assert [str(v) for v in tbl["u"].to_pylist()[:2]] == uuids[:2] or \
+        tbl["u"].to_pylist()[0] == bytes.fromhex(uuids[0].replace("-", ""))
+    assert tbl["h"].to_pylist()[8] == 2.0
+    assert str(tbl["d"].to_pylist()[0]) == "-50.00"
+    r = duckdb.sql(f"SELECT typeof(u), typeof(d), typeof(dt), typeof(t), typeof(iv) FROM read_parquet('{path}') LIMIT 1").fetchone()
+    assert r[0] == "UUID" and r[1] == "DECIMAL(12,2)" and r[2] == "DATE"
+    assert r[3].startswith("TIMESTAMP")
+    assert r[4] == "INTERVAL"
+    vals = duckdb.sql(
+        f"SELECT CAST(u AS VARCHAR), CAST(d AS VARCHAR), CAST(dt AS VARCHAR), CAST(iv AS VARCHAR) FROM read_parquet('{path}') WHERE CAST(dt AS VARCHAR) = '2022-01-08'"
+    ).fetchone()
+    assert vals is not None
