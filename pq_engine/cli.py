@@ -775,10 +775,12 @@ def cmd_to_parquet(tbl, args):
             )
         if ptype is None:
             continue
-        if ptype.startswith(("list<", "fixed[")) or ptype not in (
+        supported = ptype in (
             "string", "binary", "int32", "int64", "float32", "float64", "bool",
-            "timestamp_us", "timestamp_ntz_us", "date32",
-        ):
+            "timestamp_us", "timestamp_ntz_us", "date32", "uuid", "float16",
+            "interval", "geometry",
+        ) or ptype.startswith(("decimal64[", "decimal_flba[", "fixed["))
+        if ptype.startswith("list<") or not supported:
             print(f"skipping column {c}: {ptype} not supported by to-parquet")
             continue
         from .pages import _concat_ragged
@@ -791,8 +793,10 @@ def cmd_to_parquet(tbl, args):
         n_rows = len(validity)
         cols_out.append(
             {
+                # geometry exports as plain BINARY (WKB); every other logical
+                # type keeps its annotation through the typed interop writer
                 "name": c,
-                "ptype": kernel_ptype(ptype),
+                "ptype": "binary" if ptype == "geometry" else ptype,
                 "codec": "plain",
                 "values": values,
                 "validity": None if validity.all() else validity,

@@ -265,3 +265,46 @@ def test_cli_footer_encrypted(tmp_path, capsys):
     cmd_footer(A())
     out = json.loads(capsys.readouterr().out)
     assert out["schema"] == {"a": "int64"} and out["encrypted_footer"]
+
+
+def test_cli_to_parquet_typed_columns(tmp_path):
+    import subprocess
+    import sys
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pq_engine.cli import _rebuild_rows
+    from pq_engine.kernels.fixedlen import interval_to_fixed, uuid_strings_to_fixed
+    from pq_engine.pages import encode_column
+
+    n = 100
+    uuids = [f"{i:08x}-1234-5678-9abc-def012345678" for i in range(n)]
+    uuid_rows = uuid_strings_to_fixed(
+        np.frombuffer("".join(uuids).encode(), np.uint8).reshape(n, 36)
+    )
+    iv_rows = interval_to_fixed(
+        np.arange(n, dtype=np.int32), np.zeros(n, np.int32), np.full(n, 9, np.int32)
+    )
+    dec = np.arange(n, dtype=np.int64) * 25  # decimal(10,2) unscaled
+    rows = _rebuild_rows(None, 0, 0, "u", encode_column(uuid_rows, "uuid"), None)
+    rows += _rebuild_rows(None, 0, 0, "iv", encode_column(iv_rows, "interval"), None)
+    rows += _rebuild_rows(None, 0, 0, "d", encode_column(dec, "decimal64[10,2]"), None)
+    src = tmp_path / "pages"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(src / "part-0.parquet"))
+    conv = tmp_path / "typed.parquet"
+    r = subprocess.run(
+        [sys.executable, "-m", "pq_engine.cli", "to-parquet", str(src),
+         "--out", str(conv)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    t = duckdb.sql(
+        f"SELECT typeof(u), typeof(iv), typeof(d), CAST(d AS VARCHAR) "
+        f"FROM read_parquet('{conv}') ORDER BY d LIMIT 1"
+    ).fetchone()
+    assert t[0] == "UUID" and t[1] == "INTERVAL" and t[2] == "DECIMAL(10,2)"
+    assert t[3] == "0.00"
