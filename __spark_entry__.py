@@ -951,6 +951,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             & (F.col("y") >= 1) & (F.col("y") <= 6)
         )
 
+    def geography_bbox_filter(spark, sf_dir):
+        """GEOGRAPHY logical type (GeographyLogicalTypeAnnotation analog):
+        same WKB carrier as GEOMETRY, bbox stats restricted to Point batches
+        (geodesic edges make shape bboxes unsafe to interpolate); the
+        pruning + residual pipeline is identical."""
+        from pq_engine.pipeline.geo import wkb_point_column, wkb_point_xy
+        from pq_engine.spark.engine import (
+            decode_table,
+            encode_table,
+            prune_pages_by_bbox,
+            table_ptypes,
+        )
+
+        df = _read(spark, sf_dir, "documents").select(
+            "doc_id",
+            ((F.col("doc_id") % 360) - 180).cast("double").alias("px"),
+            (((F.col("doc_id") * 7) % 180) - 90).cast("double").alias("py"),
+        )
+        geo = wkb_point_column(df, "px", "py").select("doc_id", "geom")
+        pages = encode_table(geo, ptype_overrides={"geom": "geography"})
+        pruned = prune_pages_by_bbox(pages, "geom", -20.0, -10.0, 20.0, 10.0)
+        ptypes = table_ptypes(geo)
+        ptypes["geom"] = "geography"
+        back = decode_table(pruned, ["doc_id", "geom"], ptypes=ptypes)
+        parsed = wkb_point_xy(back, "geom")
+        return parsed.select("doc_id", "x", "y").filter(
+            (F.col("x") >= -20) & (F.col("x") <= 20)
+            & (F.col("y") >= -10) & (F.col("y") <= 10)
+        )
+
     def rt_encrypted_footer(spark, sf_dir):
         """Encrypted-footer (PARE analog) round-trip: column pages AES-GCM
         encrypted with a column key AND the schema manifest (our footer)
@@ -1058,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_pushdown": variant_pushdown,
         # --- GEOMETRY / GeospatialStatistics analog ---
         "geo_bbox_filter": geo_bbox_filter,
+        "geography_bbox_filter": geography_bbox_filter,
         # --- deeper nesting composition (recursive shred) ---
         "rt_map_struct": rt_map_struct,
         "rt_list_list": rt_list_list,
@@ -1172,6 +1203,14 @@ def oracle_sql() -> dict[str, str]:
         "variant_pushdown": """
             SELECT doc_id, n_chars AS n FROM documents
             WHERE n_chars BETWEEN 100 AND 400
+        """,
+        "geography_bbox_filter": """
+            SELECT doc_id,
+                   CAST((doc_id % 360) - 180 AS DOUBLE) AS x,
+                   CAST(((doc_id * 7) % 180) - 90 AS DOUBLE) AS y
+            FROM documents
+            WHERE ((doc_id % 360) - 180) BETWEEN -20 AND 20
+              AND (((doc_id * 7) % 180) - 90) BETWEEN -10 AND 10
         """,
         "geo_bbox_filter": """
             SELECT doc_id,

@@ -66,9 +66,11 @@ def kernel_ptype(ptype: str) -> str:
         from .kernels.fixedlen import fixed_width
 
         return f"fixed[{fixed_width(ptype)}]"
-    if ptype == "geometry":
-        # GEOMETRY annotates BINARY (WKB) — LogicalTypeAnnotation.java:1189+;
-        # the logical type additionally emits bbox stats rows (page = -5)
+    if ptype in ("geometry", "geography"):
+        # GEOMETRY/GEOGRAPHY annotate BINARY (WKB) —
+        # LogicalTypeAnnotation.java:1189+; both emit bbox stats rows
+        # (page = -5); GEOGRAPHY restricts the bbox to Point batches (bboxes
+        # of geodesic-edged shapes are not planar-interpolatable)
         return "binary"
     return ptype
 
@@ -447,14 +449,17 @@ def encode_column(
             **_page_stats(ptype, vals, nnull),
         }
         out.append((meta, blob))
-    if ptype == "geometry" and len(values):
+    if ptype in ("geometry", "geography") and len(values):
         # chunk-level GeospatialStatistics bbox (parquet-column geospatial/):
         # emitted only when every value parses as a WKB Point; query
         # rectangles prune chunks via prune_pages_by_bbox without touching
         # any geometry bytes
-        from .pipeline.geo import wkb_bbox
+        from .pipeline.geo import wkb_bbox, wkb_to_points
 
-        bbox = wkb_bbox(values)
+        if ptype == "geography" and wkb_to_points(values) is None:
+            bbox = None  # geodesic edges: only Point batches get a safe bbox
+        else:
+            bbox = wkb_bbox(values)
         if bbox is not None:
             import json as _json
 

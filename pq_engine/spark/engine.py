@@ -143,6 +143,7 @@ def ptype_to_spark_type(ptype: str) -> T.DataType:
             T.StructField("millis", T.IntegerType()),
         ]),
         "geometry": T.BinaryType(),  # WKB carrier
+        "geography": T.BinaryType(),  # WKB carrier (geodesic edges)
     }[ptype]
 
 
@@ -170,8 +171,8 @@ def _arrow_to_values(arr: pa.Array, ptype: str):
     if arr.null_count:
         validity = np.asarray(arr.is_valid())
         arr = arr.drop_null()
-    if ptype in RAGGED_TYPES or ptype == "geometry":  # GEOMETRY = WKB binary
-        return RaggedBytes.from_arrow(arr.cast(pa.binary()) if ptype == "geometry" else arr), validity
+    if ptype in RAGGED_TYPES or ptype in ("geometry", "geography"):  # WKB binary
+        return RaggedBytes.from_arrow(arr.cast(pa.binary()) if ptype in ("geometry", "geography") else arr), validity
     if ptype in ("timestamp_us", "timestamp_ntz_us"):
         ts = arr.cast(pa.timestamp("us"))
         vals = np.asarray(ts.cast(pa.int64()))
@@ -236,7 +237,7 @@ def _values_to_arrow(values, validity, ptype: str) -> pa.Array:
         return pa.ListArray.from_arrays(
             offsets, child_arr, mask=pa.array(~values.list_validity)
         )
-    if ptype in RAGGED_TYPES or ptype == "geometry":
+    if ptype in RAGGED_TYPES or ptype in ("geometry", "geography"):
         dense = values.to_arrow(large=False, binary=(ptype != "string"))
     elif ptype in ("timestamp_us", "timestamp_ntz_us"):
         dense = pa.array(values.astype("datetime64[us]"))

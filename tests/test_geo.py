@@ -131,3 +131,33 @@ def test_wkb_bbox_unsupported_or_malformed_is_none():
         3, struct.pack("<I", 1) + struct.pack("<I", 1) + _coords([(0, 0)]) + b"x"
     )
     assert wkb_bbox(RaggedBytes.from_pylist([polygon_trailing])) is None
+
+
+def test_geography_ptype_bbox_points_only(spark):
+    """GEOGRAPHY logical type: same WKB binary carrier, bbox stats emitted
+    ONLY for Point batches (geodesic edges make shape bboxes unsafe);
+    non-Point batches round-trip opaquely with no bbox row."""
+    import struct
+
+    df = spark.range(1000).select(
+        "id",
+        (F.col("id") % 40).cast("double").alias("x"),
+        (F.col("id") / 40).cast("double").alias("y"),
+    )
+    geo = wkb_point_column(df, "x", "y").select("id", "geom")
+    pages = encode_table(geo, ptype_overrides={"geom": "geography"}).cache()
+    assert pages.filter((F.col("page") == -5) & (F.col("column") == "geom")).count() > 0
+    pruned = prune_pages_by_bbox(pages, "geom", 5.0, 0.0, 8.0, 30.0)
+    back = decode_table(pruned, ["id", "geom"], ptypes={"id": "int64", "geom": "geography"})
+    parsed = wkb_point_xy(back, "geom").filter(
+        (F.col("x") >= 5) & (F.col("x") <= 8)
+    )
+    assert parsed.count() == 100  # 4 of 40 x-values over 1000 rows
+    # a LineString geography batch: no bbox row, conservative keep
+    ls = bytes([1]) + (2).to_bytes(4, "little") + struct.pack("<I", 2) + \
+        struct.pack("<dddd", 0.0, 0.0, 179.0, 1.0)
+    df2 = spark.createDataFrame([(1, bytearray(ls))], "id long, geom binary").coalesce(1)
+    pages2 = encode_table(df2, ptype_overrides={"geom": "geography"}).cache()
+    assert pages2.filter(F.col("page") == -5).count() == 0
+    kept = prune_pages_by_bbox(pages2, "geom", 500.0, 500.0, 600.0, 600.0)
+    assert kept.filter(F.col("page") >= 0).count() > 0  # never pruned
