@@ -224,6 +224,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return d, e1.union(e2)
 
+    def curation_split(spark, sf_dir):
+        """Deterministic train/val/test assignment by md5 hash-bucket ranges
+        (no rand(): identical across runs/engines/partitionings) —
+        oracle-checked bucket-for-bucket against the same md5 in SQL."""
+        from pq_engine.pipeline.curation import hash_split
+
+        out = hash_split(
+            _read(spark, sf_dir, "documents"),
+            splits=[("train", 0.8), ("val", 0.1), ("test", 0.1)], salt="s",
+        )
+        return out.groupBy("split", "lang").agg(F.count("*").alias("n"))
+
+    def curation_quota(spark, sf_dir):
+        """Per-key quota sampling (domain-cap rail): at most 3 docs per
+        (lang, source), deterministic lowest-hash-bucket winners."""
+        from pq_engine.pipeline.curation import quota_sample
+
+        out = quota_sample(
+            _read(spark, sf_dir, "documents"), ["lang", "source"], cap=3, salt="q"
+        )
+        return out.select("doc_id", "lang", "source")
+
+    def curation_stratified(spark, sf_dir):
+        """Stratified downsampling: keep 25% of 'en' (the dominant stratum),
+        100% of everything else — deterministic, shuffle-free."""
+        from pq_engine.pipeline.curation import stratified_sample
+
+        out = stratified_sample(
+            _read(spark, sf_dir, "documents"), "lang", {"en": 0.25},
+            default_fraction=1.0, salt="st",
+        )
+        return out.select("doc_id", "lang")
+
     def dedup_clusters(spark, sf_dir):
         """Transitive closure of near-dup pairs — min-label propagation with
         pointer jumping (O(log n) joins), the stage that turns the pair
@@ -1128,6 +1161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_top10": ann_ivf10,  # rows-only (IVF scale path, approximate)
         "minhash_pairs": minhash_pairs,  # rows-only (LSH banding)
         "jaccard_verify": jaccard_verify,
+        "curation_split": curation_split,
+        "curation_quota": curation_quota,
+        "curation_stratified": curation_stratified,
         "dedup_clusters": dedup_clusters,
         "dedup_canonical": dedup_canonical,
         "simhash_pairs": simhash_pairs,  # rows-only (LSH banding)
@@ -1384,6 +1420,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "curation_split": """
+            SELECT CASE
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR) || 's'), 1, 4) < 'cccd' THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR) || 's'), 1, 4) < 'e666' THEN 'val'
+                     ELSE 'test'
+                   END AS split,
+                   lang, COUNT(*)::BIGINT AS n
+            FROM documents GROUP BY 1, 2
+        """,
+        "curation_quota": """
+            SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'q'), 1, 4),
+                                doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 3
+        """,
+        "curation_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE lang <> 'en'
+               OR substr(md5(CAST(doc_id AS VARCHAR) || 'st'), 1, 4) < '4000'
+        """,
         "dedup_clusters": """
             WITH RECURSIVE
             d AS (

@@ -293,3 +293,47 @@ def test_connected_components_isolated_and_selfloop(spark):
     assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5}
     canon = {r["comp"]: (r["keep_id"], r["n_members"]) for r in canonical_docs(comp).collect()}
     assert canon == {1: (1, 2), 3: (3, 1), 4: (4, 1), 5: (5, 1)}
+
+
+# ------------------------------------------------------------------ curation
+
+
+def test_hash_split_deterministic_and_complete(spark, docs):
+    from pq_engine.pipeline.curation import hash_split
+
+    out = hash_split(docs, splits=[("train", 0.8), ("val", 0.1), ("test", 0.1)], salt="s1")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n
+    assert abs(counts["train"] / n - 0.8) < 0.1
+    # rerun → identical assignment
+    again = hash_split(docs, splits=[("train", 0.8), ("val", 0.1), ("test", 0.1)], salt="s1")
+    assert out.select("doc_id", "split").exceptAll(again.select("doc_id", "split")).count() == 0
+    # different salt → different assignment
+    other = hash_split(docs, splits=[("train", 0.8), ("val", 0.1), ("test", 0.1)], salt="s2")
+    assert out.select("doc_id", "split").exceptAll(other.select("doc_id", "split")).count() > 0
+
+
+def test_quota_sample_cap(spark, docs):
+    from pq_engine.pipeline.curation import quota_sample
+
+    out = quota_sample(docs, ["lang", "source"], cap=3, salt="q")
+    mx = out.groupBy("lang", "source").agg(F.count("*").alias("n")).agg(F.max("n")).first()[0]
+    assert mx <= 3
+    # deterministic
+    again = quota_sample(docs, ["lang", "source"], cap=3, salt="q")
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+
+
+def test_stratified_sample_fractions(spark, docs):
+    from pq_engine.pipeline.curation import stratified_sample
+
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    big = langs[0]
+    out = stratified_sample(docs, "lang", {big: 0.25}, default_fraction=1.0, salt="st")
+    n_big_in = docs.filter(F.col("lang") == big).count()
+    n_big_out = out.filter(F.col("lang") == big).count()
+    assert abs(n_big_out / max(n_big_in, 1) - 0.25) < 0.2
+    rest_in = docs.filter(F.col("lang") != big).count()
+    rest_out = out.filter(F.col("lang") != big).count()
+    assert rest_in == rest_out
