@@ -170,7 +170,10 @@ def _leaf_keys(leaf: Leaf, pages: DataFrame) -> DataFrame:
     if kind == "never":
         return _keys(pages).limit(0)
     if kind == "udp":
-        return _stats_keep(pages, col, leaf.exprs[0])
+        # omitted stats must keep the chunk — the user expression is only
+        # consulted when min/max exist (canDrop contract: prove absence)
+        no_stats = F.col("min").isNull() | F.col("max").isNull()
+        return _stats_keep(pages, col, no_stats | leaf.exprs[0])
     if kind == "isnull":
         return _stats_keep(pages, col, F.col("null_count") > 0)
     if kind == "notnull":

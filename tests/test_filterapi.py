@@ -111,3 +111,22 @@ def test_in_batched_dict_bloom_disproof(table):
     inv = ~P.in_("name", ["alpha", "beta"])
     assert isinstance(inv, P.And)
     _check_exact(df, pages, inv)
+
+
+def test_udp_keeps_omitted_stats_chunks(spark):
+    from pq_engine.spark.engine import encode_table
+
+    # blob-sized values exceed the stats cutoff → min/max omitted; a udp
+    # whose stats expression would evaluate NULL must still keep the chunk
+    df = spark.createDataFrame(
+        [(i, "x" * 900) for i in range(50)], "id long, blob string"
+    ).coalesce(1)
+    pages = encode_table(df).cache()
+    probe = pages.filter((F.col("column") == "blob") & (F.col("page") >= 0))
+    if probe.filter(F.col("min").isNull()).count() == 0:
+        import pytest as _pt
+
+        _pt.skip("fixture did not trigger stats omission")
+    pred = P.udp("blob", stats_keep=F.col("max") >= "zzz", row=F.col("blob") >= "zzz")
+    kept = P.filter_pages(pages, pred)
+    assert kept.filter((F.col("column") == "blob") & (F.col("page") >= 0)).count() > 0
