@@ -24,7 +24,8 @@ works on any machine that can see the files.
     python -m pq_engine.cli size-stats <pages_dir>
     python -m pq_engine.cli check-stats <pages_dir>
     python -m pq_engine.cli rewrite <pages_dir> --out DIR [--columns a,b]
-                                    [--mask-column C --mode hash|nullify] [--to zstd]
+                                    [--mask-column C --mode hash|nullify]
+                                    [--rename old=new[,..]] [--to zstd]
     python -m pq_engine.cli to-parquet <pages_dir> --out FILE [--to snappy]
     python -m pq_engine.cli geospatial-stats <pages_dir> [--column C]
 """
