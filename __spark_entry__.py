@@ -374,6 +374,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.filter(P.residual_expr(pred))
 
+    def contains_pushdown(spark, sf_dir):
+        """contains(eq) pushdown over a repeated field (FilterApi.java:298 /
+        ContainsRewriter analog): LIST pages carry element-level stats and
+        list-child chunk dictionaries, so membership prunes chunks without
+        decoding; exact residual = array_contains."""
+        from pq_engine.spark import filterapi as P
+        from pq_engine.spark.engine import decode_table, encode_table, table_ptypes
+
+        df = _read(spark, sf_dir, "documents").select(
+            "doc_id", F.array("lang", "source").alias("tags")
+        ).repartitionByRange(8, "doc_id")
+        pages = encode_table(df)
+        pred = P.contains_eq("tags", "de")
+        kept = P.filter_pages(pages, pred)
+        out = decode_table(kept, ["doc_id", "tags"], ptypes=table_ptypes(df))
+        return out.filter(P.residual_expr(pred)).select(
+            "doc_id",
+            F.col("tags")[0].alias("lang"),
+            F.col("tags")[1].alias("source"),
+        )
+
     def bloom_pushdown(spark, sf_dir):
         from pq_engine.spark.engine import (
             decode_table,
@@ -1142,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rewrite_mask_hash": rewrite_mask_hash,
         "pushdown_stats": pushdown_stats,
         "pushdown_predicate": pushdown_predicate,
+        "contains_pushdown": contains_pushdown,
         "size_stats": size_stats,
         "bloom_pushdown": bloom_pushdown,
         "dict_pushdown": dict_pushdown,
@@ -1319,6 +1341,10 @@ def oracle_sql() -> dict[str, str]:
         "rewrite_prune": "SELECT doc_id, lang FROM documents",
         "rewrite_mask_hash": "SELECT doc_id, md5(text) AS text FROM documents",
         "pushdown_stats": "SELECT doc_id, lang FROM documents WHERE lang >= 'de' AND lang <= 'en'",
+        "contains_pushdown": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE lang = 'de' OR source = 'de'
+        """,
         "size_stats": """
             SELECT 'doc_id' AS col_name, COUNT(*)::BIGINT AS rep0,
                    0::BIGINT AS rep1, COUNT(doc_id)::BIGINT AS present,

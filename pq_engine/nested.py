@@ -222,6 +222,13 @@ def encode_list_column(
             + def_b
             + body
         )
+        # ELEMENT-level min/max/ndv (stats over the page's non-null child
+        # values — ColumnIndex semantics for repeated fields: stats are over
+        # values, not records), enabling contains(eq) pushdown on list
+        # columns; null_count stays the LIST null count (def-level 0)
+        from .pages import _page_stats
+
+        est = _page_stats(cp, vals, 0)
         meta = {
             "page": pi,
             "codec": codec,
@@ -233,10 +240,9 @@ def encode_list_column(
             "encoded_bytes": len(blob),
             "crc32": zlib.crc32(blob) & 0xFFFFFFFF,
             "compression": page_compression or "none",
-            "min": None,
-            "max": None,
-            "ndv": -1,
-            **{},
+            "min": est["min"],
+            "max": est["max"],
+            "ndv": est["ndv"],
         }
         out.append((meta, blob))
     # SizeStatistics row (SizeStatistics.java analog): the one place the

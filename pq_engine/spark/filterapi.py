@@ -106,6 +106,17 @@ def notnull(col: str) -> Pred:
     return Leaf("notnull", col)
 
 
+def contains_eq(col: str, v) -> Pred:
+    """``array_contains(col, v)`` over a LIST column — the reference's
+    ``contains(eq(...))`` predicate on repeated fields (FilterApi.java:298,
+    ContainsRewriter). List pages carry ELEMENT-level min/max/ndv (stats
+    over values, not records — ColumnIndex semantics for repeated fields),
+    and list-child chunk dictionaries disprove membership exactly like flat
+    columns. Not invertible (NOT contains is never provable from stats —
+    same restriction as the reference)."""
+    return Leaf("contains_eq", col, (v,))
+
+
 def udp(col: str, stats_keep: Column, row: Column) -> Pred:
     """UserDefinedPredicate analog: ``stats_keep`` is a Catalyst boolean over
     the chunk-stats columns (`min`, `max`, `null_count`, `n_rows`) that must
@@ -133,6 +144,8 @@ def _invert(p: Pred) -> Pred:
     assert isinstance(p, Leaf)
     if p.kind == "udp":
         raise TypeError("cannot invert a user-defined predicate (FilterApi parity)")
+    if p.kind == "contains_eq":
+        raise TypeError("cannot invert contains (stats can never prove NOT-contains)")
     if p.kind == "in":
         return And([noteq(p.col, v) for v in p.args[0]])
     return Leaf(_NEG[p.kind], p.col, p.args)
@@ -191,6 +204,19 @@ def _leaf_keys(leaf: Leaf, pages: DataFrame) -> DataFrame:
         keys = keys.join(_keys(prune_pages_by_dictionary(pages, col, values)),
                          ["split_id", "batch_id"], "left_semi")
         return keys.join(_keys(prune_pages_by_bloom(pages, col, values)),
+                         ["split_id", "batch_id"], "left_semi")
+    if kind == "contains_eq":
+        from .engine import prune_pages_by_dictionary
+
+        v = leaf.args[0]
+        mn, mx = _cmp_cols(v)
+        no_stats = F.col("min").isNull() | F.col("max").isNull()
+        keys = _stats_keep(
+            pages, col, no_stats | ((mn <= F.lit(v)) & (mx >= F.lit(v)))
+        )
+        # list-child chunk dictionaries hold CHILD values — membership
+        # disproof works exactly like a flat column
+        return keys.join(_keys(prune_pages_by_dictionary(pages, col, v)),
                          ["split_id", "batch_id"], "left_semi")
     v = leaf.args[0]
     mn, mx = _cmp_cols(v)
@@ -275,6 +301,8 @@ def residual_expr(p: Pred) -> Column:
         return c.isNotNull()
     if kind == "in":
         return c.isin(list(p.args[0]))
+    if kind == "contains_eq":
+        return F.array_contains(c, F.lit(p.args[0]))
     v = p.args[0]
     return {
         "eq": c == F.lit(v),

@@ -130,3 +130,35 @@ def test_udp_keeps_omitted_stats_chunks(spark):
     pred = P.udp("blob", stats_keep=F.col("max") >= "zzz", row=F.col("blob") >= "zzz")
     kept = P.filter_pages(pages, pred)
     assert kept.filter((F.col("column") == "blob") & (F.col("page") >= 0)).count() > 0
+
+
+def test_contains_eq_on_list_column(spark):
+    """contains(eq) over a repeated field: element-level page stats prune
+    by range; list-child chunk dictionaries disprove membership exactly."""
+    from pq_engine.spark.engine import decode_table, encode_table, table_ptypes
+
+    df = spark.createDataFrame(
+        [
+            (i, [["alpha", "beta"], ["gamma", "delta"], ["mu", "nu"], ["x", "y"]][i // 500])
+            for i in range(2000)
+        ],
+        "id long, tags array<string>",
+    ).repartitionByRange(4, "id")
+    pages = encode_table(df, page_rows=250).cache()
+    # stats-range disproof: 'zzz' is above every chunk's element max
+    assert P.filter_pages(pages, P.contains_eq("tags", "zzz")) \
+        .select("split_id", "batch_id").distinct().count() == 0
+    # dictionary disproof: in-range value present in no chunk's dictionary
+    assert P.filter_pages(pages, P.contains_eq("tags", "bz")) \
+        .select("split_id", "batch_id").distinct().count() == 0
+    # real value: prunes to its chunk, exact after residual
+    pred = P.contains_eq("tags", "gamma")
+    kept = P.filter_pages(pages, pred)
+    n_chunks = kept.select("split_id", "batch_id").distinct().count()
+    assert n_chunks < pages.select("split_id", "batch_id").distinct().count()
+    out = decode_table(kept, ["id", "tags"], ptypes=table_ptypes(df))
+    got = sorted(r["id"] for r in out.filter(P.residual_expr(pred)).collect())
+    want = sorted(r["id"] for r in df.filter(F.array_contains("tags", "gamma")).collect())
+    assert got == want
+    with pytest.raises(TypeError):
+        ~pred
