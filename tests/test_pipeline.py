@@ -41,6 +41,18 @@ def test_minhash_detects_planted_dup(spark, docs):
     assert any({p.id_a, p.id_b} == {0, 999999} for p in pairs), pairs
 
 
+def test_minhash_signature_udf_runs_once(spark, docs):
+    """The signature frame is checkpointed (VERDICT r3 #2): even though it
+    feeds banding AND both sides of the candidate re-join, the shingle UDF
+    must process each row exactly once — counted with an accumulator."""
+    from pq_engine.pipeline.dedup import minhash_lsh_pairs
+
+    n = docs.count()
+    acc = spark.sparkContext.accumulator(0)
+    minhash_lsh_pairs(docs, threshold=0.3, row_counter=acc).collect()
+    assert acc.value == n, f"signature UDF processed {acc.value} rows for {n} docs"
+
+
 def test_simhash_identical_distance_zero(spark, docs):
     from pq_engine.pipeline.dedup import simhash_near_pairs
 
