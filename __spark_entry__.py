@@ -331,11 +331,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def size_stats(spark, sf_dir):
         """SizeStatistics rows (PARQUET-2261 / SizeStatistics.java analog):
-        per-chunk unencoded byte-array bytes + rep/def level histograms,
-        persisted at encode (page = -6) and verified value-for-value against
-        SQL aggregates of the raw tables — including the repetition-level
-        histogram of a LIST column, which SQL reproduces from element
-        counts."""
+        unencoded byte-array bytes + rep/def level histograms, persisted at
+        encode (page = -6) and verified value-for-value against SQL aggregates
+        of the raw tables — including the repetition-level histogram of a LIST
+        column, which SQL reproduces from element counts. The pg_* columns
+        aggregate the PER-PAGE lists (r4: page granularity, one entry per data
+        page as OffsetIndexBuilder records them) INDEPENDENTLY of the chunk
+        rollup — both must match the same SQL totals."""
         from pq_engine.spark.engine import encode_table
 
         docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
@@ -344,6 +346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             encode_table(docs).filter(F.col("page") == -6)
             .unionByName(encode_table(embs).filter(F.col("page") == -6))
         )
+        pg_schema = ("array<struct<page:long, unencoded_bytes:long, "
+                     "rep_hist:array<long>, def_hist:array<long>>>")
         parsed = pages.select(
             F.col("column").alias("col_name"),
             F.from_json(
@@ -353,12 +357,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.get_json_object("min", "$.def_hist"), "array<long>"
             ).alias("defs"),
             F.get_json_object("min", "$.unencoded_bytes").cast("long").alias("ub"),
+            F.from_json(F.get_json_object("min", "$.pages"), pg_schema).alias("pg"),
         )
+        agg = lambda expr: F.aggregate("pg", F.lit(0).cast("long"), expr)  # noqa: E731
         return parsed.groupBy("col_name").agg(
             F.sum(F.element_at("rep", 1)).alias("rep0"),
             F.sum(F.coalesce(F.try_element_at("rep", F.lit(2)), F.lit(0))).alias("rep1"),
             F.sum(F.element_at("defs", -1)).alias("present"),
             F.sum("ub").alias("unencoded_bytes"),
+            F.sum(agg(lambda a, p: a + F.coalesce(p["unencoded_bytes"], F.lit(0)))
+                  ).alias("pg_unencoded"),
+            F.sum(agg(lambda a, p: a + F.element_at(p["rep_hist"], 1))
+                  ).alias("pg_rep0"),
+            F.sum(agg(lambda a, p: a + F.element_at(p["def_hist"], -1))
+                  ).alias("pg_present"),
         )
 
     def pushdown_predicate(spark, sf_dir):
@@ -1370,18 +1382,26 @@ def oracle_sql() -> dict[str, str]:
         "size_stats": """
             SELECT 'doc_id' AS col_name, COUNT(*)::BIGINT AS rep0,
                    0::BIGINT AS rep1, COUNT(doc_id)::BIGINT AS present,
-                   CAST(NULL AS BIGINT) AS unencoded_bytes FROM documents
+                   CAST(NULL AS BIGINT) AS unencoded_bytes,
+                   0::BIGINT AS pg_unencoded, COUNT(*)::BIGINT AS pg_rep0,
+                   COUNT(doc_id)::BIGINT AS pg_present FROM documents
             UNION ALL
             SELECT 'lang', COUNT(*)::BIGINT, 0::BIGINT, COUNT(lang)::BIGINT,
-                   SUM(octet_length(encode(lang)))::BIGINT FROM documents
+                   SUM(octet_length(encode(lang)))::BIGINT,
+                   SUM(octet_length(encode(lang)))::BIGINT,
+                   COUNT(*)::BIGINT, COUNT(lang)::BIGINT FROM documents
             UNION ALL
             SELECT 'text', COUNT(*)::BIGINT, 0::BIGINT, COUNT(text)::BIGINT,
-                   SUM(octet_length(encode(text)))::BIGINT FROM documents
+                   SUM(octet_length(encode(text)))::BIGINT,
+                   SUM(octet_length(encode(text)))::BIGINT,
+                   COUNT(*)::BIGINT, COUNT(text)::BIGINT FROM documents
             UNION ALL
             SELECT 'embedding', COUNT(*)::BIGINT,
                    (SUM(len(embedding)) - COUNT(*))::BIGINT,
                    SUM(len(embedding))::BIGINT,
-                   CAST(NULL AS BIGINT) FROM embeddings
+                   CAST(NULL AS BIGINT),
+                   0::BIGINT, COUNT(*)::BIGINT,
+                   SUM(len(embedding))::BIGINT FROM embeddings
         """,
         "pushdown_predicate": """
             SELECT doc_id, lang, source, n_chars FROM documents

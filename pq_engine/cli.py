@@ -615,6 +615,23 @@ def cmd_size_stats(tbl, args):
             a = agg[c]
             print(f"{c:12s} unencoded={a['unencoded_bytes']:>12d} "
                   f"rep={a['rep_hist']} def={a['def_hist']}")
+    if getattr(args, "pages", False):
+        # per-page lists (PARQUET-2261 page granularity: one entry per data
+        # page, as OffsetIndexBuilder / ColumnIndexBuilder record them)
+        print("\nSizeStatistics per page:")
+        for i in range(tbl.num_rows):
+            if tbl["page"][i].as_py() != -6 or tbl["min"][i].as_py() is None:
+                continue
+            s = _json.loads(tbl["min"][i].as_py())
+            for p in s.get("pages") or []:
+                ub = p.get("unencoded_bytes")
+                print(
+                    f"{tbl['column'][i].as_py():12s} "
+                    f"split={tbl['split_id'][i].as_py()} "
+                    f"batch={tbl['batch_id'][i].as_py()} page={p['page']:<4d} "
+                    f"unencoded={'-' if ub is None else ub:>10} "
+                    f"rep={p['rep_hist']} def={p['def_hist']}"
+                )
 
 
 def cmd_check_stats(tbl, args):
@@ -824,6 +841,8 @@ def main(argv=None):
     ap.add_argument("--split", type=int, default=0)
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--limit", type=int, default=20)
+    ap.add_argument("--pages", action="store_true",
+                    help="size-stats: print the per-page SizeStatistics lists")
     ap.add_argument("--out")
     ap.add_argument("--to")
     ap.add_argument("--value")

@@ -192,6 +192,9 @@ def encode_list_column(
                 blob,
             )
         )
+    from .pages import RAGGED_TYPES as _RT, _sizestats_row
+
+    page_sizestats = []  # per-page SizeStatistics (PARQUET-2261 page lists)
     for pi, r0 in enumerate(range(0, max(n, 1), page_rows)):
         r1 = min(r0 + page_rows, n)
         if r1 <= r0:
@@ -229,6 +232,20 @@ def encode_list_column(
         from .pages import _page_stats
 
         est = _page_stats(cp, vals, 0)
+        p_null_lists = int((~lv).sum()) if lv is not None else 0
+        p_empty = int((plens == 0).sum()) - p_null_lists
+        p_null_elems = int((~cv).sum()) if cv is not None else 0
+        p_elems = int(plens.sum())
+        p_entries = int(np.maximum(plens, 1).sum())
+        page_sizestats.append(
+            {
+                "page": pi,
+                "unencoded_bytes": int(len(vals.data)) if kp in _RT else None,
+                "rep_hist": [r1 - r0, p_entries - (r1 - r0)],
+                "def_hist": [p_null_lists, p_empty, p_null_elems,
+                             p_elems - p_null_elems],
+            }
+        )
         meta = {
             "page": pi,
             "codec": codec,
@@ -247,9 +264,8 @@ def encode_list_column(
         out.append((meta, blob))
     # SizeStatistics row (SizeStatistics.java analog): the one place the
     # repetition-level histogram is non-trivial — each record contributes
-    # max(1, n_elements) level entries (null/empty lists carry one entry)
-    from .pages import RAGGED_TYPES as _RT, _sizestats_row
-
+    # max(1, n_elements) level entries (null/empty lists carry one entry).
+    # Chunk rollup + the per-page lists collected above.
     lens_all = col.lengths.astype(np.int64)
     lv_all = col.list_validity
     null_lists = int((~lv_all).sum()) if lv_all is not None else 0
@@ -266,6 +282,7 @@ def encode_list_column(
             ),
             rep_hist=[n, entries - n],
             def_hist=[null_lists, empty_lists, null_elems, elem_total - null_elems],
+            pages=page_sizestats,
         )
     )
     return out

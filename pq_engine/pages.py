@@ -404,6 +404,7 @@ def encode_column(
         )
 
     vpos = 0  # position in the values (non-null) domain
+    page_sizestats = []  # per-page SizeStatistics (PARQUET-2261 page lists)
     for pi in range(len(bounds) - 1):
         r0, r1 = bounds[pi], bounds[pi + 1]
         if validity is not None:
@@ -416,6 +417,14 @@ def encode_column(
             v0, v1 = r0, r1
         vals = _slice_values(values, ptype, v0, v1)
         vpos = v1
+        page_sizestats.append(
+            {
+                "page": pi,
+                "unencoded_bytes": int(len(vals.data)) if kp in RAGGED_TYPES else None,
+                "rep_hist": [r1 - r0],
+                "def_hist": [nnull, r1 - r0 - nnull],
+            }
+        )
 
         if chunk_codes is not None:
             body = dictionary.encode_dict_data_page(
@@ -510,8 +519,10 @@ def encode_column(
             )
         )
     # SizeStatistics row (PARQUET-2261 / SizeStatistics.java analog):
-    # unencoded byte-array data bytes + rep/def level histograms per chunk,
-    # so size planning and level-aware readers never decode a page.
+    # unencoded byte-array data bytes + rep/def level histograms — the chunk
+    # rollup plus PER-PAGE lists (OffsetIndexBuilder.add(unencoded) /
+    # ColumnIndexBuilder level histograms record one entry per page), so size
+    # planning and level-aware readers never decode a page.
     if n_rows:
         out.append(
             _sizestats_row(
@@ -522,22 +533,33 @@ def encode_column(
                     int(n_rows - (len(values) if validity is not None else n_rows)),
                     int(len(values) if validity is not None else n_rows),
                 ],
+                pages=page_sizestats,
             )
         )
     return out
 
 
-def _sizestats_row(ptype: str, unencoded, rep_hist, def_hist):
+def _sizestats_row(ptype: str, unencoded, rep_hist, def_hist, pages=None):
     import json as _json
 
-    payload = _json.dumps(
-        {
-            "unencoded_bytes": unencoded,
-            "rep_hist": [int(x) for x in rep_hist],
-            "def_hist": [int(x) for x in def_hist],
-        },
-        sort_keys=True,
-    )
+    body = {
+        "unencoded_bytes": unencoded,
+        "rep_hist": [int(x) for x in rep_hist],
+        "def_hist": [int(x) for x in def_hist],
+    }
+    if pages is not None:
+        body["pages"] = [
+            {
+                "page": int(p["page"]),
+                "unencoded_bytes": (
+                    None if p["unencoded_bytes"] is None else int(p["unencoded_bytes"])
+                ),
+                "rep_hist": [int(x) for x in p["rep_hist"]],
+                "def_hist": [int(x) for x in p["def_hist"]],
+            }
+            for p in pages
+        ]
+    payload = _json.dumps(body, sort_keys=True)
     return (
         {
             "page": SIZESTATS_PAGE,

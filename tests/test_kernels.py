@@ -220,6 +220,38 @@ def test_dict_trailing_nul_disambiguation():
     assert uniques.to_pylist() == vals
 
 
+def test_dict_multiword_matches_object_path():
+    """8-31 B values take the vectorized multiword path (no per-row Python,
+    VERDICT r3 #3) — codes and first-seen order must be identical to the
+    object fallback, including trailing-NUL and boundary widths."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    pool = (
+        [b"h%011d.com" % i for i in range(40)]           # 16 B (W=3)
+        + [b"label-%02d" % i for i in range(10)]          # 8 B (W=2 boundary)
+        + [b"x" * 31, b"x" * 30, b"y" * 24, b"y" * 23]    # width edges
+        + [b"pad\x00\x00\x00\x00\x00tail", b"pad\x00\x00\x00\x00\x00tai"]
+    )
+    vals = [pool[i] for i in rng.integers(0, len(pool), 5000)]
+    col = RaggedBytes.from_pylist(vals)
+    codes, uniques = dictionary.factorize_bytes(col)
+    exp_codes, exp_uniques = pd.factorize(
+        pd.Series(vals, dtype=object), use_na_sentinel=False
+    )
+    np.testing.assert_array_equal(codes, exp_codes.astype(np.int64))
+    assert uniques.to_pylist() == list(exp_uniques)
+
+
+def test_dict_multiword_mixed_short_long():
+    """A batch mixing <=7 B and 8-31 B values still factorizes correctly
+    (the whole batch takes the widest-value word count)."""
+    vals = [b"a", b"abcdefgh" * 2, b"a", b"b" * 31, b"", b"abcdefgh" * 2]
+    codes, uniques = dictionary.factorize_bytes(RaggedBytes.from_pylist(vals))
+    np.testing.assert_array_equal(codes, [0, 1, 0, 2, 3, 1])
+    assert uniques.to_pylist() == [b"a", b"abcdefgh" * 2, b"b" * 31, b""]
+
+
 def test_dict_numeric_roundtrip():
     vals = np.array([5, 5, 7, 5, 9, 7] * 100, dtype=np.int64)
     codes, uniques = dictionary.factorize_numeric(vals)

@@ -211,7 +211,12 @@ def test_sizestats_row_scalar_and_list():
     ss = [m for m, _ in pages if m["page"] == SIZESTATS_PAGE]
     assert len(ss) == 1
     s = json.loads(ss[0]["min"])
-    assert s == {"unencoded_bytes": 6, "rep_hist": [4], "def_hist": [1, 3]}
+    assert s["unencoded_bytes"] == 6
+    assert s["rep_hist"] == [4] and s["def_hist"] == [1, 3]
+    # per-page list (PARQUET-2261 page granularity): single page == rollup
+    assert s["pages"] == [
+        {"page": 0, "unencoded_bytes": 6, "rep_hist": [4], "def_hist": [1, 3]}
+    ]
 
     # list<string>: 3 rows — ["x","yy"], null list, [] ; one null element
     offs = np.array([0, 2, 2, 2], dtype=np.int64)
@@ -224,3 +229,51 @@ def test_sizestats_row_scalar_and_list():
     assert s2["unencoded_bytes"] == 3
     assert s2["rep_hist"] == [3, 1]          # 3 records, 4 level entries
     assert s2["def_hist"] == [1, 1, 0, 2]    # 1 null list, 1 empty, 2 present
+    assert s2["pages"] == [
+        {"page": 0, "unencoded_bytes": 3, "rep_hist": [3, 1],
+         "def_hist": [1, 1, 0, 2]}
+    ]
+
+
+def test_sizestats_per_page_sums_to_chunk():
+    """Multi-page chunks: the per-page SizeStatistics lists must have one
+    entry per data page and sum component-wise to the chunk rollup (flat
+    string with nulls AND a list column)."""
+    import json
+
+    from pq_engine.kernels.ragged import RaggedBytes
+    from pq_engine.nested import ListColumn, encode_list_column
+    from pq_engine.pages import SIZESTATS_PAGE, encode_column
+
+    rng = np.random.default_rng(3)
+    n = 1000
+    validity = rng.random(n) > 0.1
+    vals = RaggedBytes.from_pylist(
+        [b"v%05d" % i for i in np.arange(int(validity.sum()))]
+    )
+    pages = encode_column(vals, "string", validity=validity, page_rows=100)
+    n_data = sum(1 for m, _ in pages if m["page"] >= 0 and m["codec"] != "dictpage")
+    s = json.loads([m for m, _ in pages if m["page"] == SIZESTATS_PAGE][0]["min"])
+    assert len(s["pages"]) == n_data > 1
+    assert sum(p["unencoded_bytes"] for p in s["pages"]) == s["unencoded_bytes"]
+    assert sum(p["rep_hist"][0] for p in s["pages"]) == s["rep_hist"][0]
+    for k in range(len(s["def_hist"])):
+        assert sum(p["def_hist"][k] for p in s["pages"]) == s["def_hist"][k]
+
+    lens = rng.integers(0, 5, n)
+    lv = rng.random(n) > 0.1
+    lens[~lv] = 0
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    ne = int(offs[-1])
+    cv = rng.random(ne) > 0.2
+    child = np.arange(int(cv.sum()), dtype=np.int64)
+    col = ListColumn(offs, lv, child, cv)
+    lpages = encode_list_column(col, "list<int64>", codec="plain", page_rows=100)
+    s2 = json.loads([m for m, _ in lpages if m["page"] == SIZESTATS_PAGE][0]["min"])
+    assert len(s2["pages"]) == 10
+    for k in (0, 1):
+        assert sum(p["rep_hist"][k] for p in s2["pages"]) == s2["rep_hist"][k]
+    for k in range(4):
+        assert sum(p["def_hist"][k] for p in s2["pages"]) == s2["def_hist"][k]
+    assert all(p["unencoded_bytes"] is None for p in s2["pages"])

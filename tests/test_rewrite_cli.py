@@ -90,7 +90,8 @@ def test_cli_smoke(spark, pages, tmp_path):
     out = str(tmp_path / "cli_pages")
     pages.write.parquet(out)
     for cmd in (["meta"], ["schema"], ["pages", "--limit", "5"], ["stats", "--limit", "5"],
-                ["dictionary", "--column", "lang"], ["cat", "--limit", "3"]):
+                ["dictionary", "--column", "lang"], ["cat", "--limit", "3"],
+                ["size-stats", "--pages"]):
         r = subprocess.run(
             [sys.executable, "-m", "pq_engine.cli", cmd[0], out, *cmd[1:]],
             capture_output=True, text=True, timeout=120, cwd="/root/repo",
