@@ -12,9 +12,14 @@ bottom-up over a few generations of pair-merging on a sample.
 Everything is vectorized NumPy:
 
 * the greedy parse advances every string one token per "wave"; the longest
-  match is evaluated LAZILY only at wave frontiers (1-/2-byte LUT gathers +
-  one sorted probe for 3..8-byte symbols), so total match work scales with
-  the TOKEN count, not the byte count — 25+ MB/s/core on web text;
+  match is evaluated LAZILY only at wave frontiers (one combined code+len
+  LUT gather for 1-/2-byte symbols, one sorted probe + split-u32 verify
+  against a per-batch 4-byte prefix array for 3..8-byte symbols), so total
+  match work scales with the TOKEN count, not the byte count — ~45 MB/s/core
+  on web text with a prebuilt table (page encode amortizes the table build
+  at chunk level, like the chunk dictionary);
+* wave output reassembles to position order by SCATTER (rank-of-token ==
+  wave index), not argsort;
 * decode expands tokens with one ragged gather.
 
 Matches never cross string boundaries, so any slice of encoded strings decodes
@@ -80,41 +85,52 @@ class SymbolTable:
 
     def lut(self):
         """Cached lookup tables for the fast match path (the paper's
-        shortCodes + one-symbol-per-bucket idea, vectorized):
-        - code1[256] / code2[65536]: codes for 1- and 2-byte symbols (-1 none);
-        - long symbols (3..8 bytes) are keyed by their first 3 bytes, at most
-          one per 3-byte prefix (build_table enforces this), giving a single
-          sorted-probe + verify per position instead of a pass per length."""
+        shortCodes + one-symbol-per-bucket idea, vectorized, tuned so a wave
+        costs the fewest possible numpy calls):
+        - code12[65536] / len12[65536]: best SHORT code (2-byte symbol if
+          present, else the 1-byte code of the window's first byte, else -1
+          escape) and its length — one gather yields both code AND step;
+        - code1[256] kept for the end-of-string fixup (r < 2);
+        - long symbols (3..8 bytes) keyed by their first 3 bytes, at most one
+          per 3-byte prefix (build_table enforces this): one sorted probe,
+          then ONE structured-record gather (split u32 key/mask halves +
+          length + code in a single 19-byte row) verifies the full match."""
         if self._lut is None:
             code1 = np.full(256, -1, dtype=np.int16)
-            code2 = np.full(65536, -1, dtype=np.int16)
+            two = []  # (k2, code)
             longs = []  # (k3, code)
             for i, s in enumerate(self.symbols):
                 if len(s) == 1:
                     code1[s[0]] = i
                 elif len(s) == 2:
-                    code2[s[0] | (s[1] << 8)] = i
+                    two.append((s[0] | (s[1] << 8), i))
                 else:
                     longs.append((s[0] | (s[1] << 8) | (s[2] << 16), i))
-            if longs:
-                longs.sort()
-                k3 = np.array([k for k, _ in longs], dtype=np.uint32)
-                c3 = np.array([c for _, c in longs], dtype=np.int16)
-                l3 = self.sym_lens[c3].astype(np.uint8)
-                key3 = np.array(
-                    [int.from_bytes(self.symbols[c], "little") for c in c3],
-                    dtype=np.uint64,
-                )
-                mask3 = np.array(
-                    [(1 << (8 * int(l))) - 1 for l in l3], dtype=np.uint64
-                )
-            else:
-                k3 = np.zeros(0, np.uint32)
-                c3 = np.zeros(0, np.int16)
-                l3 = np.zeros(0, np.uint8)
-                key3 = np.zeros(0, np.uint64)
-                mask3 = np.zeros(0, np.uint64)
-            self._lut = (code1, code2, k3, c3, l3, key3, mask3)
+            code12 = code1[np.arange(65536, dtype=np.uint32) & 0xFF]
+            len12 = np.ones(65536, dtype=np.uint8)
+            for k2, c in two:
+                code12[k2] = c
+                len12[k2] = 2
+            longs.sort()
+            k3 = np.array([k for k, _ in longs], dtype=np.uint32)
+            nl = len(longs)
+            klo = np.zeros(nl, np.uint32)
+            khi = np.zeros(nl, np.uint32)
+            mlo = np.zeros(nl, np.uint32)
+            mhi = np.zeros(nl, np.uint32)
+            l3 = np.zeros(nl, np.uint8)
+            c3 = np.zeros(nl, np.int16)
+            for row, (_, c) in enumerate(longs):
+                s = self.symbols[c]
+                key = int.from_bytes(s, "little")
+                mask = (1 << (8 * len(s))) - 1
+                klo[row] = key & 0xFFFFFFFF
+                khi[row] = (key >> 32) & 0xFFFFFFFF
+                mlo[row] = mask & 0xFFFFFFFF
+                mhi[row] = (mask >> 32) & 0xFFFFFFFF
+                l3[row] = len(s)
+                c3[row] = c
+            self._lut = (code1, code12, len12, k3, klo, khi, mlo, mhi, l3, c3)
         return self._lut
 
     @staticmethod
@@ -202,41 +218,62 @@ def _rem8(col: RaggedBytes) -> np.ndarray:
     return rem
 
 
-def _match_at(padded: np.ndarray, rem8: np.ndarray, table: SymbolTable, P: np.ndarray):
+def _prefix4(padded: np.ndarray, n: int) -> np.ndarray:
+    """4-byte little-endian key at every position 0..n+7 (padded must hold
+    n+16 bytes), precomputed ONCE per batch (4 full passes). Each wave then
+    derives byte/2-byte/3-byte prefixes by masking ONE gather, and the
+    long-symbol verify composes the full 8-byte window from TWO entries
+    (k4[P] | k4[P+4] << 32) instead of eight byte gathers — per-wave numpy
+    call count is the tokenizer's budget on a memory-bandwidth-bound host."""
+    m = n + MAX_SYM_LEN
+    k4 = padded[:m].astype(np.uint32)
+    k4 |= padded[1 : m + 1].astype(np.uint32) << np.uint32(8)
+    k4 |= padded[2 : m + 2].astype(np.uint32) << np.uint32(16)
+    k4 |= padded[3 : m + 3].astype(np.uint32) << np.uint32(24)
+    return k4
+
+
+def _match_at(padded: np.ndarray, rem8: np.ndarray, table: SymbolTable,
+              P: np.ndarray, k4_all: np.ndarray | None = None):
     """Longest symbol match at the given positions only, evaluated lazily
     (the paper's shortCodes + one-long-symbol-per-3-byte-prefix scheme,
     vectorized over the frontier): the greedy parse visits
     ~1/avg_token_len of all byte positions, so matching only at parse
     frontiers cuts the full-array passes (the budget on a memory-bandwidth-
-    bound host) by that factor."""
-    code1, code2, k3tab, c3, l3, key3, mask3 = table.lut()
+    bound host) by that factor. Narrow dtypes (int16 codes, uint8 steps)
+    keep wave temporaries cache-resident; the verify runs at every
+    prefix-candidate position from two u32 gathers (prefix hit rate on web
+    text is ~1, so subsetting first would cost more than it saves)."""
+    code1, code12, len12, k3tab, klo, khi, mlo, mhi, l3, c3 = table.lut()
     r = rem8[P]
-    b0 = padded[P].astype(np.uint32)
-    b1 = padded[P + 1].astype(np.uint32)
-    c1 = code1[padded[P]]
-    c2 = code2[(b0 | (b1 << np.uint32(8))).astype(np.uint16)]
-    use2 = (c2 >= 0) & (r >= 2)
-    code = np.where(use2, c2, c1).astype(np.int64)
-    mlen = np.where(use2, 2, 1).astype(np.int64)
+    k4 = k4_all[P]
+    k16 = k4.astype(np.uint16)
+    code = code12[k16]  # own buffers (gather output):
+    mlen = len12[k16]   # in-place fixups below are safe
+    bad = mlen > r  # 2-byte short match hanging over the string end
+    if bad.any():
+        rows = np.flatnonzero(bad)
+        code[rows] = code1[k4[rows].astype(np.uint8)]
+        mlen[rows] = 1
     if len(k3tab):
-        k3 = b0 | (b1 << np.uint32(8)) | (padded[P + 2].astype(np.uint32) << np.uint32(16))
+        k3 = k4 & np.uint32(0xFFFFFF)
         j = np.searchsorted(k3tab, k3)
-        j[j == len(k3tab)] = 0
-        cand = np.flatnonzero((k3tab[j] == k3) & (r >= 3))
-        if len(cand):
-            Pc = P[cand]
-            jj = j[cand]
-            keys = padded[Pc].astype(np.uint64)
-            for k in range(1, MAX_SYM_LEN):
-                keys |= padded[Pc + k].astype(np.uint64) << np.uint64(8 * k)
-            ok = ((keys & mask3[jj]) == key3[jj]) & (l3[jj] <= r[cand])
-            rows = cand[ok]
-            code[rows] = c3[jj[ok]]
-            mlen[rows] = l3[jj[ok]].astype(np.int64)
-    return code, mlen
+        np.minimum(j, len(k3tab) - 1, out=j)
+        ok = (
+            (k3tab[j] == k3)
+            & (l3[j] <= r)
+            & ((k4 & mlo[j]) == klo[j])
+            & ((k4_all[P + 4] & mhi[j]) == khi[j])
+        )
+        rows = np.flatnonzero(ok)
+        jr = j[rows]
+        code[rows] = c3[jr]
+        mlen[rows] = l3[jr]
+    return code, mlen  # int16 codes, uint8 steps — callers widen once
 
 
-def encode_fsst_tokens(col: RaggedBytes, table: SymbolTable):
+def encode_fsst_tokens(col: RaggedBytes, table: SymbolTable,
+                       with_string_id: bool = True):
     """Tokenize a ragged column. Returns (positions, codes, string_id) where
     codes == -1 marks escaped literal bytes.
 
@@ -246,8 +283,9 @@ def encode_fsst_tokens(col: RaggedBytes, table: SymbolTable):
     n = len(col.data)
     lens = col.lengths
     rem8 = _rem8(col)
-    padded = np.zeros(n + MAX_SYM_LEN, dtype=np.uint8)
+    padded = np.zeros(n + 2 * MAX_SYM_LEN, dtype=np.uint8)
     padded[:n] = col.data
+    k4_all = _prefix4(padded, n)
     nz = lens > 0
     frontier = col.offsets[:-1][nz]
     fends = col.offsets[1:][nz]
@@ -255,12 +293,23 @@ def encode_fsst_tokens(col: RaggedBytes, table: SymbolTable):
         # few long strings: the wave frontier is too small to amortize a
         # NumPy call per round (measured 90 s on 200x64 KiB blobs) — match
         # every position in ONE vectorized call and parse over the result
-        code, mlen = _match_at(padded, rem8, table, np.arange(n, dtype=np.int64))
+        code, mlen = _match_at(padded, rem8, table, np.arange(n, dtype=np.int64), k4_all)
         positions = _parse(mlen, frontier, fends, n)
-        codes = code[positions]
-        string_id = np.searchsorted(col.offsets, positions, side="right") - 1
+        codes = code[positions].astype(np.int64)
+        string_id = (
+            np.searchsorted(col.offsets, positions, side="right") - 1
+            if with_string_id else None
+        )
         return positions, codes, string_id
-    pos_waves, code_waves = [], []
+    # Wave-to-sorted reassembly WITHOUT a global argsort: the frontier only
+    # ever shrinks, so a string active at wave w was active at every earlier
+    # wave — its token at wave w has within-string rank exactly w. Scattering
+    # each token to tok_start[string] + rank yields position-sorted output in
+    # a few linear passes (the argsort alone cost ~80% of a wave's budget).
+    nstr = len(col)
+    sid = np.flatnonzero(nz)  # string index per frontier entry
+    pos_waves, code_waves, sid_waves = [], [], []
+    straggler = None
     while len(frontier):
         if len(frontier) < 256 and int((fends - frontier).max()) > 256:
             # the frontier has shrunk to a few LONG stragglers (e.g. blobs in
@@ -272,31 +321,62 @@ def encode_fsst_tokens(col: RaggedBytes, table: SymbolTable):
             P = np.repeat(frontier - np.concatenate(([0], np.cumsum(spans)[:-1])), spans) + np.arange(
                 total, dtype=np.int64
             )
-            c, m = _match_at(padded, rem8, table, P)
+            c, m = _match_at(padded, rem8, table, P, k4_all)
             step = np.ones(n, dtype=np.int64)
             step[P] = m
             code_full = np.full(n, -1, dtype=np.int64)
             code_full[P] = c
             positions = _parse(step, frontier, fends, n)
-            pos_waves.append(positions)
-            code_waves.append(code_full[positions])
+            # per-straggler-string token counts + local ranks (positions are
+            # sorted; string byte ranges are disjoint ascending)
+            first = np.searchsorted(positions, frontier)
+            cs = np.diff(np.append(first, len(positions)))
+            local = np.arange(len(positions), dtype=np.int64) - np.repeat(first, cs)
+            straggler = (positions, code_full[positions],
+                         np.repeat(sid, cs), local)
             break
-        c, m = _match_at(padded, rem8, table, frontier)
+        c, m = _match_at(padded, rem8, table, frontier, k4_all)
         pos_waves.append(frontier)
         code_waves.append(c)
+        sid_waves.append(sid)
         nxt = frontier + m
         keep = nxt < fends
         frontier = nxt[keep]
         fends = fends[keep]
-    if not pos_waves:
+        sid = sid[keep]
+    w0 = len(pos_waves)
+    if not pos_waves and straggler is None:
         e = np.zeros(0, dtype=np.int64)
         return e, e, e
-    positions = np.concatenate(pos_waves)
-    codes = np.concatenate(code_waves)
-    order = np.argsort(positions, kind="stable")
-    positions = positions[order]
-    codes = codes[order]
-    string_id = np.searchsorted(col.offsets, positions, side="right") - 1
+    pos_cat = np.concatenate(pos_waves) if pos_waves else np.zeros(0, np.int64)
+    sid_cat = np.concatenate(sid_waves) if sid_waves else np.zeros(0, np.int64)
+    code_cat = (
+        np.concatenate(code_waves).astype(np.int64)
+        if code_waves else np.zeros(0, np.int64)
+    )
+    rank_cat = np.repeat(
+        np.arange(w0, dtype=np.int64),
+        [len(p) for p in pos_waves],
+    )
+    if straggler is not None:
+        sp, sc, ss, sl = straggler
+        pos_cat = np.concatenate((pos_cat, sp))
+        code_cat = np.concatenate((code_cat, sc))
+        sid_cat = np.concatenate((sid_cat, ss))
+        rank_cat = np.concatenate((rank_cat, sl + w0))
+    counts = np.bincount(sid_cat, minlength=nstr)
+    tok_start = np.zeros(nstr + 1, dtype=np.int64)
+    np.cumsum(counts, out=tok_start[1:])
+    idx = tok_start[sid_cat] + rank_cat
+    total_tok = len(pos_cat)
+    positions = np.empty(total_tok, dtype=np.int64)
+    codes = np.empty(total_tok, dtype=np.int64)
+    positions[idx] = pos_cat
+    codes[idx] = code_cat
+    string_id = (
+        np.repeat(np.arange(nstr, dtype=np.int64), counts)
+        if with_string_id else None
+    )
     return positions, codes, string_id
 
 
@@ -304,7 +384,7 @@ def encode_fsst(col: RaggedBytes, table: SymbolTable) -> bytes:
     """Page body: [table][uvarint n_strings][u32 len of delta(lengths)]
     [delta-packed per-string encoded byte lengths][token stream]."""
     nstr = len(col)
-    positions, codes, string_id = encode_fsst_tokens(col, table)
+    positions, codes, _ = encode_fsst_tokens(col, table, with_string_id=False)
     esc = codes < 0
     out_len = np.where(esc, 2, 1).astype(np.int64)
     total = int(out_len.sum())
@@ -316,8 +396,11 @@ def encode_fsst(col: RaggedBytes, table: SymbolTable) -> bytes:
         e = out_pos[:-1][esc]
         stream[e] = ESCAPE
         stream[e + 1] = col.data[positions[esc]]
-    # per-string encoded byte length
-    enc_lens = np.bincount(string_id, weights=out_len, minlength=nstr).astype(np.int64)
+    # per-string encoded byte length: token ranges per string from ONE
+    # small searchsorted (nstr probes into the sorted positions) — cheaper
+    # than a weighted bincount + a per-token string_id searchsorted
+    bounds = np.searchsorted(positions, col.offsets)
+    enc_lens = out_pos[bounds[1:]] - out_pos[bounds[:-1]]
     head = encode_delta(enc_lens.astype(np.int32) if enc_lens.max(initial=0) < 2**31 else enc_lens)
     out = bytearray(table.serialize())
     out += encode_uvarint(nstr)

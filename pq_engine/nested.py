@@ -165,6 +165,15 @@ def encode_list_column(
                 chunk_codes = chunk_uniques = None
 
     lens = col.lengths
+    # chunk-level FSST symbol table for list children (see pages.py)
+    from .pages import RAGGED_TYPES as _RT0
+    from .kernels import fsst as _fsst
+
+    fsst_table = (
+        _fsst.build_table(col.child_values)
+        if codec == "fsst" and kp in _RT0 and len(col.child_values)
+        else None
+    )
     # value index (non-null element count) at each element position
     if col.child_validity is not None:
         vcum = np.zeros(len(col.child_validity) + 1, dtype=np.int64)
@@ -216,7 +225,7 @@ def encode_list_column(
                 chunk_codes[v0:v1], max(len(chunk_uniques) - 1, 0)
             )
         else:
-            body = _encode_values(codec, cp, vals)
+            body = _encode_values(codec, cp, vals, fsst_table)
         body = pagecomp.compress(body, page_compression)
         blob = (
             bytes([2])

@@ -194,10 +194,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # stages read ~n_hashes*8 B/doc signature blocks. Reliable checkpoint when
     # the session has a checkpoint dir (cluster: survives executor loss),
     # localCheckpoint otherwise (local mode: executor == driver anyway).
+    # lazy (eager=False): the blocks materialize inside the FIRST consuming
+    # job's map stage instead of a dedicated barrier job — the banding stage
+    # completes before the candidate re-join stages start, so the re-joins
+    # read checkpoint blocks (the accumulator test asserts exactly-once)
     if sigs.sparkSession.sparkContext.getCheckpointDir() is not None:
-        sigs = sigs.checkpoint(eager=True)
+        sigs = sigs.checkpoint(eager=False)
     else:
-        sigs = sigs.localCheckpoint(eager=True)
+        sigs = sigs.localCheckpoint(eager=False)
     # the banded frame is SLIM — (id, band, bucket) only. Carrying the
     # n_hashes*8-byte signature through explode(bands) + self-join multiplies
     # shuffle volume ~100x; signatures are re-joined per deduped candidate id
