@@ -418,6 +418,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("tags")[1].alias("source"),
         )
 
+    def map_contains_pushdown(spark, sf_dir):
+        """contains over MAP KEYS (r4; reference ContainsRewriter covers the
+        key field of the map group): the shredded key leaf carries
+        element-level stats + child chunk dictionaries, so key membership
+        prunes chunks before any decode; residual = map_contains_key."""
+        from pq_engine.spark import filterapi as P
+        from pq_engine.spark.engine import table_ptypes
+        from pq_engine.spark.shred import decode_shredded, encode_shredded, shred
+
+        df = _read(spark, sf_dir, "documents").select(
+            "doc_id", F.create_map(F.col("lang"), F.col("n_chars")).alias("m")
+        ).repartitionByRange(8, "doc_id")
+        flat, _ = shred(df)
+        pages, spec = encode_shredded(df)
+        pred = P.contains_key_eq("m", "de")
+        kept = P.filter_pages(pages, pred)
+        out = decode_shredded(kept, spec, table_ptypes(flat))
+        return out.filter(P.residual_expr(pred)).select(
+            "doc_id", F.explode("m").alias("mk", "mv")
+        )
+
     def bloom_pushdown(spark, sf_dir):
         from pq_engine.spark.engine import (
             decode_table,
@@ -1288,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_delta_nchars": _rt("documents", "n_chars", "delta", ["doc_id"]),
         "rt_list_list": rt_list_list,
         "geo_multipolygon_filter": geo_multipolygon_filter,
+        "map_contains_pushdown": map_contains_pushdown,
         "variant_nested_get": variant_nested_get,
         "variant_residual_rt": variant_residual_rt,
         "variant_binary_decode": variant_binary_decode,
@@ -1387,6 +1409,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "variant_binary_decode":
             "SELECT doc_id, lang AS lang2, n_chars AS n2 FROM documents",
+        "map_contains_pushdown":
+            "SELECT doc_id, lang AS mk, n_chars AS mv FROM documents WHERE lang = 'de'",
         "geo_multipolygon_filter": """
             SELECT doc_id,
                    CAST(doc_id % 50 AS DOUBLE) AS px,

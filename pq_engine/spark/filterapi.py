@@ -117,6 +117,16 @@ def contains_eq(col: str, v) -> Pred:
     return Leaf("contains_eq", col, (v,))
 
 
+def contains_key_eq(col: str, v) -> Pred:
+    """``map_contains_key(col, v)`` over a MAP column — the reference's
+    ContainsRewriter covers the KEY field of the map group too
+    (contains(eq(...)) addressed at ``col.key_value.key``). The shredded key
+    leaf ``{col}#key_value#key`` is a repeated column carrying element-level
+    stats and child chunk dictionaries, so the same disprover stack applies.
+    Not invertible, like contains_eq."""
+    return Leaf("contains_key", col, (v,))
+
+
 def udp(col: str, stats_keep: Column, row: Column) -> Pred:
     """UserDefinedPredicate analog: ``stats_keep`` is a Catalyst boolean over
     the chunk-stats columns (`min`, `max`, `null_count`, `n_rows`) that must
@@ -144,7 +154,7 @@ def _invert(p: Pred) -> Pred:
     assert isinstance(p, Leaf)
     if p.kind == "udp":
         raise TypeError("cannot invert a user-defined predicate (FilterApi parity)")
-    if p.kind == "contains_eq":
+    if p.kind in ("contains_eq", "contains_key"):
         raise TypeError("cannot invert contains (stats can never prove NOT-contains)")
     if p.kind == "in":
         return And([noteq(p.col, v) for v in p.args[0]])
@@ -205,9 +215,13 @@ def _leaf_keys(leaf: Leaf, pages: DataFrame) -> DataFrame:
                          ["split_id", "batch_id"], "left_semi")
         return keys.join(_keys(prune_pages_by_bloom(pages, col, values)),
                          ["split_id", "batch_id"], "left_semi")
-    if kind == "contains_eq":
+    if kind in ("contains_eq", "contains_key"):
         from .engine import prune_pages_by_dictionary
 
+        if kind == "contains_key":
+            # contains over MAP KEYS targets the shredded key leaf (the
+            # parquet map group's repeated key field)
+            col = f"{col}#key_value#key"
         v = leaf.args[0]
         mn, mx = _cmp_cols(v)
         no_stats = F.col("min").isNull() | F.col("max").isNull()
@@ -303,6 +317,8 @@ def residual_expr(p: Pred) -> Column:
         return c.isin(list(p.args[0]))
     if kind == "contains_eq":
         return F.array_contains(c, F.lit(p.args[0]))
+    if kind == "contains_key":
+        return F.map_contains_key(c, F.lit(p.args[0]))
     v = p.args[0]
     return {
         "eq": c == F.lit(v),

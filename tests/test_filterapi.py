@@ -162,3 +162,76 @@ def test_contains_eq_on_list_column(spark):
     assert got == want
     with pytest.raises(TypeError):
         ~pred
+
+
+def test_contains_key_on_map_column(spark):
+    """contains over MAP KEYS (r4, ContainsRewriter covers keys too): the
+    shredded key leaf `{col}#key_value#key` carries element-level stats and
+    child dictionaries — pruning and residual work end-to-end through the
+    shred/assemble path."""
+    from pq_engine.spark.engine import table_ptypes
+    from pq_engine.spark.shred import decode_shredded, encode_shredded, shred
+
+    df = spark.createDataFrame(
+        [
+            (i, {["alpha", "beta", "gamma", "delta"][i // 500]: i})
+            for i in range(2000)
+        ],
+        "id long, m map<string,bigint>",
+    ).repartitionByRange(4, "id")
+    flat, _ = shred(df)
+    pages, spec = encode_shredded(df)
+    pages = pages.cache()
+    # stats-range disproof on the key leaf
+    assert P.filter_pages(pages, P.contains_key_eq("m", "zzz")) \
+        .select("split_id", "batch_id").distinct().count() == 0
+    # in-range but absent key: dictionary disproof
+    assert P.filter_pages(pages, P.contains_key_eq("m", "bz")) \
+        .select("split_id", "batch_id").distinct().count() == 0
+    pred = P.contains_key_eq("m", "gamma")
+    kept = P.filter_pages(pages, pred)
+    assert kept.select("split_id", "batch_id").distinct().count() \
+        < pages.select("split_id", "batch_id").distinct().count()
+    out = decode_shredded(kept, spec, table_ptypes(flat))
+    got = sorted(r["id"] for r in out.filter(P.residual_expr(pred)).collect())
+    want = sorted(r["id"] for r in df.filter(F.map_contains_key("m", "gamma")).collect())
+    assert got == want and len(got) == 500
+    with pytest.raises(TypeError):
+        ~pred
+
+
+def test_in_with_flba_probe_list(spark):
+    """Batched in-predicate over an FLBA (UUID) column (r4): probe lists
+    convert to stored 16-byte rows for the dictionary level and to bloom
+    keys for the bloom level — one job per level regardless of probe count;
+    FLBA chunks omit min/max so the stats level never wrongly drops."""
+    import uuid as uuidlib
+
+    from pq_engine.spark.engine import decode_table, encode_table, table_ptypes
+
+    us = [str(uuidlib.uuid5(uuidlib.NAMESPACE_DNS, str(i // 500))) for i in range(2000)]
+    df = spark.createDataFrame(
+        [(i, us[i]) for i in range(2000)], "id long, u string"
+    ).repartitionByRange(4, "id")
+    pages = encode_table(
+        df, ptype_overrides={"u": "uuid"}, codec={"u": "dict", "id": "auto"},
+        with_bloom=True, page_rows=250,
+    ).cache()
+    present = us[0]
+    present2 = us[1999]
+    absent = str(uuidlib.uuid5(uuidlib.NAMESPACE_DNS, "nope"))
+    # absent probes: every chunk disproved by dictionary/bloom
+    assert P.filter_pages(pages, P.in_("u", [absent])) \
+        .select("split_id", "batch_id").distinct().count() == 0
+    # mixed probe list keeps exactly the chunks holding either value
+    pred = P.in_("u", [present, present2, absent])
+    kept = P.filter_pages(pages, pred)
+    n_all = pages.select("split_id", "batch_id").distinct().count()
+    n_kept = kept.select("split_id", "batch_id").distinct().count()
+    assert 0 < n_kept < n_all
+    ptypes = table_ptypes(df)
+    ptypes["u"] = "uuid"
+    out = decode_table(kept, ["id", "u"], ptypes=ptypes)
+    got = sorted(r["id"] for r in out.filter(P.residual_expr(pred)).collect())
+    want = sorted(r["id"] for r in df.filter(F.col("u").isin([present, present2])).collect())
+    assert got == want and len(got) == 1000
