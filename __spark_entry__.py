@@ -93,7 +93,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         # stats-bearing columns only: blob columns (text at larger SFs)
         # exceed BLOB_STATS_CUTOFF and omit NDV by design, which the SQL
-        # side can't express — the bounded columns make the check SF-invariant
+        # side can't express. NDV is asserted exactly ONLY for the unique
+        # key: sum-of-per-chunk-NDVs == row count holds for ANY chunking,
+        # whereas low-cardinality columns repeat values across chunks (the
+        # sf1 rehearsal splits 50k rows into multiple Arrow batches — r4).
         df = _read(spark, sf_dir, "documents").select(
             "doc_id", "lang", "source", "n_chars"
         ).coalesce(1)
@@ -103,7 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pages.groupBy(F.col("column").alias("col_name")).agg(
             F.sum("n_rows").alias("n_rows"),
             F.sum("null_count").alias("null_count"),
-            F.sum("ndv").alias("ndv"),
+            F.when(F.col("column") == "doc_id", F.sum("ndv")).alias("ndv"),
         )
 
     def encode_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1471,13 +1474,13 @@ def oracle_sql() -> dict[str, str]:
                      COUNT(DISTINCT doc_id)::BIGINT AS ndv FROM documents
               UNION ALL
               SELECT 'lang', COUNT(*)::BIGINT, (COUNT(*) - COUNT(lang))::BIGINT,
-                     COUNT(DISTINCT lang)::BIGINT FROM documents
+                     CAST(NULL AS BIGINT) FROM documents
               UNION ALL
               SELECT 'source', COUNT(*)::BIGINT, (COUNT(*) - COUNT(source))::BIGINT,
-                     COUNT(DISTINCT source)::BIGINT FROM documents
+                     CAST(NULL AS BIGINT) FROM documents
               UNION ALL
               SELECT 'n_chars', COUNT(*)::BIGINT, (COUNT(*) - COUNT(n_chars))::BIGINT,
-                     COUNT(DISTINCT n_chars)::BIGINT FROM documents
+                     CAST(NULL AS BIGINT) FROM documents
             )
         """,
         "rewrite_prune": "SELECT doc_id, lang FROM documents",
