@@ -27,6 +27,7 @@ works on any machine that can see the files.
                                     [--mask-column C --mode hash|nullify]
                                     [--rename old=new[,..]] [--to zstd]
     python -m pq_engine.cli to-parquet <pages_dir> --out FILE [--to snappy]
+    python -m pq_engine.cli to-avro <pages_dir> --out FILE [--to deflate]
     python -m pq_engine.cli geospatial-stats <pages_dir> [--column C]
 """
 
@@ -824,6 +825,64 @@ def cmd_to_parquet(tbl, args):
     print(f"wrote {n_rows} rows x {len(cols_out)} columns → {args.out}")
 
 
+def cmd_to_avro(tbl, args):
+    """ToAvroCommand analog: decode the page table and write an Avro object
+    container file via the from-scratch spec-based writer (interop/avro.py —
+    no avro lib in the container, so the binary encoding is implemented
+    directly from the public Avro 1.11 spec). Supported: flat primitives +
+    date/timestamp/decimal/uuid logical types, nullable as unions."""
+    from .interop.avro import write_avro
+    from .pages import _concat_ragged
+
+    if not args.out:
+        sys.exit("--out required")
+    keys = sorted(
+        {(tbl["split_id"][i].as_py(), tbl["batch_id"][i].as_py()) for i in range(tbl.num_rows)}
+    )
+    columns = sorted({tbl["column"][i].as_py() for i in range(tbl.num_rows)})
+    cols_out = []
+    n_rows = 0
+    for c in columns:
+        vals_parts, valid_parts, ptype = [], [], None
+        for split, batch in keys:
+            pages = _page_dicts(tbl, split, batch, c)
+            if not pages:
+                continue
+            ptype = next(p[0]["ptype"] for p in pages if p[0]["page"] >= 0)
+            values, validity = decode_column(pages)
+            n = len(validity) if validity is not None else len(values)
+            vals_parts.append(values)
+            valid_parts.append(
+                validity if validity is not None else np.ones(n, dtype=bool)
+            )
+        if ptype is None:
+            continue
+        supported = ptype in (
+            "string", "binary", "int32", "int64", "float32", "float64", "bool",
+            "timestamp_us", "timestamp_ntz_us", "date32", "uuid",
+        ) or ptype.startswith("decimal64[")
+        if not supported:
+            print(f"skipping column {c}: {ptype} not supported by to-avro")
+            continue
+        if ptype in RAGGED_TYPES:
+            values = _concat_ragged(vals_parts)
+        else:
+            values = np.concatenate(vals_parts)
+        validity = np.concatenate(valid_parts)
+        n_rows = len(validity)
+        cols_out.append(
+            {
+                "name": c,
+                "ptype": ptype,
+                "values": values,
+                "validity": None if validity.all() else validity,
+            }
+        )
+    write_avro(args.out, "pq_table", cols_out, n_rows,
+               codec=("deflate" if args.to == "deflate" else "null"))
+    print(f"wrote {n_rows} rows x {len(cols_out)} columns → {args.out} (avro)")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="pq_engine.cli")
     ap.add_argument(
@@ -832,7 +891,7 @@ def main(argv=None):
             "meta", "schema", "pages", "stats", "dictionary", "cat", "scan",
             "column-size", "column-index", "bloom-filter", "prune", "mask",
             "trans-compression", "from-csv", "version", "footer", "size-stats",
-            "check-stats", "rewrite", "to-parquet", "geospatial-stats",
+            "check-stats", "rewrite", "to-parquet", "to-avro", "geospatial-stats",
         ],
     )
     ap.add_argument("path", nargs="?")
@@ -881,6 +940,7 @@ def main(argv=None):
         "check-stats": cmd_check_stats,
         "rewrite": cmd_rewrite,
         "to-parquet": cmd_to_parquet,
+        "to-avro": cmd_to_avro,
         "geospatial-stats": cmd_geospatial_stats,
     }[args.command](tbl, args)
 
