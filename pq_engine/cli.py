@@ -19,6 +19,7 @@ works on any machine that can see the files.
     python -m pq_engine.cli mask   <pages_dir> --out DIR --column C [--mode hash|nullify]
     python -m pq_engine.cli trans-compression <pages_dir> --out DIR --to zstd
     python -m pq_engine.cli from-csv <file.csv> --out DIR
+    python -m pq_engine.cli from-avro <file.avro> --out DIR
     python -m pq_engine.cli version
     python -m pq_engine.cli footer <job_dir> [--key HEX]
     python -m pq_engine.cli size-stats <pages_dir>
@@ -530,6 +531,66 @@ def cmd_from_csv(args):
     print(f"encoded {len(src)} csv rows, {len(src.column_names)} columns → {args.out}")
 
 
+def cmd_from_avro(args):
+    """Avro import (parquet-avro AvroParquetWriter direction): object
+    container file → encoded page table, via the from-scratch spec reader."""
+    import os
+
+    import pyarrow as pa
+
+    from .interop.avro import read_avro
+    from .kernels.ragged import RaggedBytes
+    from .pages import encode_column
+
+    if not args.out:
+        sys.exit("--out required")
+    os.makedirs(args.out, exist_ok=True)
+    schema, records = read_avro(args.path)
+    rows = []
+    n = len(records)
+    for fld in schema["fields"]:
+        name = fld["name"]
+        t = fld["type"]
+        nullable = isinstance(t, list)
+        if nullable:
+            t = next(x for x in t if x != "null")
+        base = t["type"] if isinstance(t, dict) else t
+        logical = t.get("logicalType") if isinstance(t, dict) else None
+        vals = [r[name] for r in records]
+        validity = None
+        if nullable and any(v is None for v in vals):
+            validity = np.array([v is not None for v in vals])
+            vals = [v for v in vals if v is not None]
+        if base in ("long", "int"):
+            pt = {"date": "date32", "timestamp-micros": "timestamp_us",
+                  "local-timestamp-micros": "timestamp_ntz_us"}.get(logical,
+                  "int64" if base == "long" else "int32")
+            values = np.array(vals, dtype=np.int64)
+        elif base == "double":
+            pt, values = "float64", np.array(vals, dtype=np.float64)
+        elif base == "float":
+            pt, values = "float32", np.array(vals, dtype=np.float32)
+        elif base == "boolean":
+            pt, values = "bool", np.array(vals, dtype=bool)
+        elif base == "string":
+            pt = "string"
+            values = RaggedBytes.from_pylist([v.encode() for v in vals])
+        elif base == "bytes":
+            pt = "binary"
+            values = RaggedBytes.from_pylist([bytes(v) for v in vals])
+        elif base == "fixed" and logical == "decimal":
+            pt = f"decimal64[{t['precision']},{t['scale']}]"
+            values = np.array(vals, dtype=np.int64)
+        else:
+            print(f"skipping field {name}: avro type {t!r} unsupported")
+            continue
+        rows += _rebuild_rows(None, 0, 0, name,
+                              encode_column(values, pt, validity=validity), None)
+    tbl = pa.Table.from_pylist(rows)
+    _write_pages(tbl, args.out)
+    print(f"encoded {n} avro records, {len(schema['fields'])} fields → {args.out}")
+
+
 def cmd_version(args=None):
     """VersionCommand analog."""
     from . import __version__
@@ -890,7 +951,7 @@ def main(argv=None):
         choices=[
             "meta", "schema", "pages", "stats", "dictionary", "cat", "scan",
             "column-size", "column-index", "bloom-filter", "prune", "mask",
-            "trans-compression", "from-csv", "version", "footer", "size-stats",
+            "trans-compression", "from-csv", "from-avro", "version", "footer", "size-stats",
             "check-stats", "rewrite", "to-parquet", "to-avro", "geospatial-stats",
         ],
     )
@@ -917,6 +978,9 @@ def main(argv=None):
         sys.exit("path required")
     if args.command == "from-csv":
         cmd_from_csv(args)
+        return
+    if args.command == "from-avro":
+        cmd_from_avro(args)
         return
     if args.command == "footer":
         cmd_footer(args)

@@ -130,7 +130,20 @@ class SymbolTable:
                 mhi[row] = (mask >> 32) & 0xFFFFFFFF
                 l3[row] = len(s)
                 c3[row] = c
-            self._lut = (code1, code12, len12, k3, klo, khi, mlo, mhi, l3, c3)
+            # 2-byte-prefix bucket index over the k3-sorted long table: k3 is
+            # little-endian (b0 | b1<<8 | b2<<16), so rows sharing (b0,b1) are
+            # NOT contiguous — bucket16 maps each 16-bit prefix to its single
+            # row when unique (the overwhelmingly common case: one sorted
+            # probe gather replaces a binary search), -1 = empty, -2 = multi
+            # (fall back to searchsorted for just those positions)
+            bucket16 = np.full(65536, -1, dtype=np.int32)
+            b2tab = np.zeros(max(nl, 1), dtype=np.uint8)
+            for row in range(nl):
+                k16 = int(k3[row]) & 0xFFFF
+                b2tab[row] = (int(k3[row]) >> 16) & 0xFF
+                bucket16[k16] = -2 if bucket16[k16] >= 0 else row
+            self._lut = (code1, code12, len12, k3, klo, khi, mlo, mhi, l3, c3,
+                         bucket16, b2tab)
         return self._lut
 
     @staticmethod
@@ -244,7 +257,8 @@ def _match_at(padded: np.ndarray, rem8: np.ndarray, table: SymbolTable,
     keep wave temporaries cache-resident; the verify runs at every
     prefix-candidate position from two u32 gathers (prefix hit rate on web
     text is ~1, so subsetting first would cost more than it saves)."""
-    code1, code12, len12, k3tab, klo, khi, mlo, mhi, l3, c3 = table.lut()
+    (code1, code12, len12, k3tab, klo, khi, mlo, mhi, l3, c3,
+     bucket16, b2tab) = table.lut()
     r = rem8[P]
     k4 = k4_all[P]
     k16 = k4.astype(np.uint16)
@@ -256,11 +270,19 @@ def _match_at(padded: np.ndarray, rem8: np.ndarray, table: SymbolTable,
         code[rows] = code1[k4[rows].astype(np.uint8)]
         mlen[rows] = 1
     if len(k3tab):
-        k3 = k4 & np.uint32(0xFFFFFF)
-        j = np.searchsorted(k3tab, k3)
-        np.minimum(j, len(k3tab) - 1, out=j)
+        # long-symbol probe: one bucket gather resolves unique 2-byte
+        # prefixes (the common case); only multi-symbol buckets (-2) pay a
+        # searchsorted, on just their positions
+        j = bucket16[k16]
+        multi = j == -2
+        if multi.any():
+            rows = np.flatnonzero(multi)
+            jm = np.searchsorted(k3tab, k4[rows] & np.uint32(0xFFFFFF))
+            np.minimum(jm, len(k3tab) - 1, out=jm)
+            j[rows] = jm
+        np.maximum(j, 0, out=j)  # empty buckets probe row 0; k3 check rejects
         ok = (
-            (k3tab[j] == k3)
+            (k3tab[j] == (k4 & np.uint32(0xFFFFFF)))
             & (l3[j] <= r)
             & ((k4 & mlo[j]) == klo[j])
             & ((k4_all[P + 4] & mhi[j]) == khi[j])

@@ -345,6 +345,39 @@ def obj_to_variant(v) -> tuple[bytes, bytes]:
 # ------------------------------------------------------------ Spark surface
 
 
+def variant_encode_binary(df, json_col: str, metadata_out: str = "vm",
+                          value_out: str = "vv"):
+    """Inverse bridge: a JSON string column → spec-shaped binary variant
+    (metadata, value) columns, one Arrow-batched UDF. JSON numbers map to
+    the narrowest int / double; objects/arrays/strings/bools/null per the
+    spec. Rows that fail to parse yield null buffers."""
+    from pyspark.sql import functions as F, types as T
+
+    @F.pandas_udf(T.StructType([
+        T.StructField(metadata_out, T.BinaryType()),
+        T.StructField(value_out, T.BinaryType()),
+    ]))
+    def enc(js: pandas.Series) -> pandas.DataFrame:
+        ms, vs = [], []
+        for s in js:
+            if s is None:
+                ms.append(None)
+                vs.append(None)
+                continue
+            try:
+                m, v = obj_to_variant(json.loads(s))
+            except (ValueError, TypeError):
+                m, v = None, None
+            ms.append(m)
+            vs.append(v)
+        return pandas.DataFrame({metadata_out: ms, value_out: vs})
+
+    tmp = f"__vb_{json_col}"
+    res = df.withColumn(tmp, enc(F.col(json_col)))
+    return res.withColumn(metadata_out, F.col(f"{tmp}.{metadata_out}")) \
+              .withColumn(value_out, F.col(f"{tmp}.{value_out}")).drop(tmp)
+
+
 def variant_decode_json(df, metadata_col: str, value_col: str,
                         out: str = "vjson"):
     """Adds ``out``: canonical JSON decoded from binary variant columns —

@@ -130,3 +130,61 @@ def test_cli_to_avro(spark, tmp_path):
     want = {r2["url"]: r2["text"] for r2 in df.collect()}
     got = {r2["url"]: r2["text"] for r2 in recs}
     assert got == want
+
+
+def test_cli_from_avro_roundtrip(spark, tmp_path):
+    """to-avro then from-avro: the re-encoded page table decodes to the
+    original values (the parquet-avro import direction)."""
+    from pq_engine.datagen import webpages_df
+    from pq_engine.spark.engine import encode_table
+
+    pages_dir = str(tmp_path / "pages")
+    df = webpages_df(spark, 300, partitions=1, seed=11).select("url", "lang", "text")
+    encode_table(df).write.parquet(pages_dir)
+    avro_path = str(tmp_path / "t.avro")
+    back_dir = str(tmp_path / "back")
+    for cmd in (["to-avro", pages_dir, "--out", avro_path],
+                ["from-avro", avro_path, "--out", back_dir]):
+        r = subprocess.run(
+            [sys.executable, "-m", "pq_engine.cli", *cmd],
+            capture_output=True, text=True, timeout=180, cwd="/root/repo",
+        )
+        assert r.returncode == 0, (cmd, r.stderr[-800:])
+    back = spark.read.parquet(back_dir)
+    from pq_engine.spark.engine import decode_table
+
+    out = decode_table(back, ["url", "lang", "text"],
+                       ptypes={"url": "string", "lang": "string", "text": "string"})
+    got = {r2["url"]: (r2["lang"], r2["text"]) for r2 in out.collect()}
+    want = {r2["url"]: (r2["lang"], r2["text"]) for r2 in df.collect()}
+    assert got == want
+
+
+def test_variant_encode_binary_bridge(spark):
+    """JSON column -> binary variant columns -> decode back: both Spark-side
+    bridges compose to identity on JSON-expressible values."""
+    from pyspark.sql import functions as F
+
+    from pq_engine.spark.variant_binary import (
+        variant_decode_json,
+        variant_encode_binary,
+    )
+
+    df = spark.range(40).select(
+        "id",
+        F.to_json(F.struct(
+            F.col("id").alias("i"),
+            (F.col("id") * 0.5).alias("x"),
+            F.concat(F.lit("n"), F.col("id")).alias("s"),
+        )).alias("js"),
+    )
+    enc = variant_encode_binary(df, "js")
+    dec = variant_decode_json(enc, "vm", "vv", out="js2")
+    got = dec.select(
+        "id",
+        F.get_json_object("js2", "$.i").cast("long").alias("i"),
+        F.get_json_object("js2", "$.x").cast("double").alias("x"),
+        F.get_json_object("js2", "$.s").alias("s"),
+    ).orderBy("id").collect()
+    assert got[7]["i"] == 7 and got[7]["x"] == 3.5 and got[7]["s"] == "n7"
+    assert len(got) == 40
