@@ -143,3 +143,34 @@ def test_spark_decode_bridge(spark):
     shredded, _info = variant_shred(out, "vjson", spec)
     cols = set(shredded.columns)
     assert any("name" in c for c in cols), cols
+
+
+# ------------------------------------------------------------ property test
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _scalars = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.text(max_size=80),
+        st.binary(max_size=40),
+    )
+    _values = st.recursive(
+        _scalars,
+        lambda children: st.one_of(
+            st.lists(children, max_size=6),
+            st.dictionaries(st.text(min_size=1, max_size=8), children, max_size=6),
+        ),
+        max_leaves=25,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(_values)
+    def test_variant_binary_property_roundtrip(v):
+        m, val = obj_to_variant(v)
+        out = variant_to_obj(m, val)
+        assert out == v
+except ImportError:  # hypothesis gated behind import-try
+    pass
