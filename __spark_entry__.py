@@ -127,6 +127,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_tokens"
         )
 
+    def tok_count_bpe(spark, sf_dir):
+        """BPE-ish pre-tokenizer counting (mission brief: whitespace + a
+        BPE-ish regex) — the oracle runs the IDENTICAL RE2-safe pattern."""
+        return textops.token_count_bpe(_read(spark, sf_dir, "documents")).select(
+            "doc_id", "n_bpe_tokens"
+        )
+
     def quality(spark, sf_dir):
         return textops.quality_metrics(_read(spark, sf_dir, "documents")).select(
             "doc_id", "n_chars_m", "punct_ratio", "stopword_ratio", "mean_token_len"
@@ -1321,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": quality,
         "quality_filter": qfilter,
         "lang_id": langid,
+        "token_count_bpe": tok_count_bpe,
         "fingerprint_md5": fp_md5,
         "ann_lsh_top10": ann_lsh10,  # rows-only (approximate by design)
         "ann_ivf_top10": ann_ivf10,  # rows-only (IVF scale path, approximate)
@@ -1599,6 +1607,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "token_count_bpe": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|''| ?\s+'))::BIGINT AS n_bpe_tokens
+            FROM documents
+        """,
         "curation_split": """
             SELECT CASE
                      WHEN substr(md5(CAST(doc_id AS VARCHAR) || 's'), 1, 4) < 'cccd' THEN 'train'

@@ -30,6 +30,23 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs RE2 also
+# supports (no lookahead) so the SQL oracle tokenizes IDENTICALLY: English
+# contractions, space-prefixed letter/digit runs, space-prefixed punctuation
+# runs, bare apostrophes, whitespace runs.
+BPE_TOKEN_PATTERN = r"'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|'| ?\s+"
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token count: one regexp_extract_all per row (JVM-side, no
+    Python) over a GPT-2-style pre-tokenizer pattern — the pre-merge token
+    stream a byte-pair encoder would start from. Adds ``n_bpe_tokens``."""
+    return df.withColumn(
+        "n_bpe_tokens",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), F.lit(0))),
+    )
+
+
 def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation-ratio / stopword-ratio / mean-token-length —
     standard web-text quality heuristics (C4/Gopher-style rules)."""

@@ -349,3 +349,21 @@ def test_stratified_sample_fractions(spark, docs):
     rest_in = docs.filter(F.col("lang") != big).count()
     rest_out = out.filter(F.col("lang") != big).count()
     assert rest_in == rest_out
+
+
+def test_token_count_bpe_edge_cases(spark):
+    """GPT-2-style pre-tokenizer counting: contractions, punctuation runs,
+    number runs, whitespace runs, empty strings."""
+    from pq_engine.pipeline.text import token_count_bpe
+
+    rows = [
+        (0, "it's a well-tested test, 3.14 apples!", 13),
+        (1, "hello   world", 3),
+        (2, "don't stop... 42x", 6),
+        (3, "", 0),
+        (4, "   ", 1),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows], "doc_id long, text string")
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in token_count_bpe(df).collect()}
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)
