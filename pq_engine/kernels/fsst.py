@@ -137,13 +137,14 @@ class SymbolTable:
             # probe gather replaces a binary search), -1 = empty, -2 = multi
             # (fall back to searchsorted for just those positions)
             bucket16 = np.full(65536, -1, dtype=np.int32)
-            b2tab = np.zeros(max(nl, 1), dtype=np.uint8)
             for row in range(nl):
                 k16 = int(k3[row]) & 0xFFFF
-                b2tab[row] = (int(k3[row]) >> 16) & 0xFF
-                bucket16[k16] = -2 if bucket16[k16] >= 0 else row
+                # once a bucket holds 2+ rows it must STAY -2; comparing
+                # against -1 (empty) only — `>= 0` would let a third row
+                # overwrite the multi marker and shadow its bucket-mates
+                bucket16[k16] = row if bucket16[k16] == -1 else -2
             self._lut = (code1, code12, len12, k3, klo, khi, mlo, mhi, l3, c3,
-                         bucket16, b2tab)
+                         bucket16)
         return self._lut
 
     @staticmethod
@@ -258,7 +259,7 @@ def _match_at(padded: np.ndarray, rem8: np.ndarray, table: SymbolTable,
     prefix-candidate position from two u32 gathers (prefix hit rate on web
     text is ~1, so subsetting first would cost more than it saves)."""
     (code1, code12, len12, k3tab, klo, khi, mlo, mhi, l3, c3,
-     bucket16, b2tab) = table.lut()
+     bucket16) = table.lut()
     r = rem8[P]
     k4 = k4_all[P]
     k16 = k4.astype(np.uint16)

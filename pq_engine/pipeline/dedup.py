@@ -190,16 +190,23 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # candidate re-join). persist() alone does NOT bound the shingle-UDF cost:
     # eviction under memory pressure silently re-runs the UDF, and at 100 TB
     # the signature pass is the dominant map cost (VERDICT r3 "what's wrong"
-    # #2). Checkpoint instead — the UDF provably runs ONCE and downstream
-    # stages read ~n_hashes*8 B/doc signature blocks. Reliable checkpoint when
-    # the session has a checkpoint dir (cluster: survives executor loss),
-    # localCheckpoint otherwise (local mode: executor == driver anyway).
-    # lazy (eager=False): the blocks materialize inside the FIRST consuming
-    # job's map stage instead of a dedicated barrier job — the banding stage
-    # completes before the candidate re-join stages start, so the re-joins
-    # read checkpoint blocks (the accumulator test asserts exactly-once)
+    # #2). Checkpoint instead — the UDF runs ONCE and downstream stages read
+    # ~n_hashes*8 B/doc signature blocks.
+    # Cluster branch (checkpoint dir set): a reliable checkpoint RECOMPUTES
+    # the uncached lineage in a second job to write its files, so the UDF
+    # would run twice without a cache — persist first, checkpoint eagerly
+    # (the materializing job fills the cache, the checkpoint write reads
+    # cache blocks), then drop the cache: downstream reads checkpoint files
+    # that survive executor loss. Local branch: lazy localCheckpoint stores
+    # the blocks directly from the first consuming job — no recompute, no
+    # extra job (executor == driver anyway).
     if sigs.sparkSession.sparkContext.getCheckpointDir() is not None:
-        sigs = sigs.checkpoint(eager=False)
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        ck = sigs.checkpoint(eager=True)
+        sigs.unpersist(blocking=False)
+        sigs = ck
     else:
         sigs = sigs.localCheckpoint(eager=False)
     # the banded frame is SLIM — (id, band, bucket) only. Carrying the

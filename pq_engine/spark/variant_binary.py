@@ -53,6 +53,12 @@ _VERSION = 1
 
 
 def _read_uint(buf: bytes, pos: int, n: int) -> int:
+    # an out-of-range slice silently yields fewer bytes (worst case b"" -> 0),
+    # turning a corrupt variant into silently-wrong structure — fail instead
+    if pos < 0 or pos + n > len(buf):
+        raise ValueError(
+            f"variant buffer truncated: need bytes [{pos},{pos + n}) of {len(buf)}"
+        )
     return int.from_bytes(buf[pos : pos + n], "little")
 
 
@@ -134,8 +140,18 @@ def decode_value(value: bytes, keys: list[str], pos: int = 0):
         data0 = off0 + (n + 1) * osz
         obj = {}
         end = data0 + _read_uint(value, off0 + n * osz, osz)
+        if data0 > len(value) or end > len(value):
+            raise ValueError(
+                f"variant object overruns value buffer (data at {data0}, "
+                f"end {end}, buffer {len(value)})"
+            )
         for i in range(n):
             fid = _read_uint(value, ids0 + i * idsz, idsz)
+            if fid >= len(keys):
+                raise ValueError(
+                    f"variant field id {fid} out of range (metadata has "
+                    f"{len(keys)} keys)"
+                )
             o = _read_uint(value, off0 + i * osz, osz)
             v, _ = decode_value(value, keys, data0 + o)
             obj[keys[fid]] = v
@@ -148,6 +164,11 @@ def decode_value(value: bytes, keys: list[str], pos: int = 0):
     off0 = pos + 1 + szb
     data0 = off0 + (n + 1) * osz
     end = data0 + _read_uint(value, off0 + n * osz, osz)
+    if data0 > len(value) or end > len(value):
+        raise ValueError(
+            f"variant array overruns value buffer (data at {data0}, "
+            f"end {end}, buffer {len(value)})"
+        )
     arr = []
     for i in range(n):
         o = _read_uint(value, off0 + i * osz, osz)

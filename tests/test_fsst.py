@@ -85,6 +85,21 @@ def test_fsst_longest_match_wins():
     assert codes.tolist() == [3, 3]  # two "abc" tokens, not six singles
 
 
+def test_fsst_three_long_symbols_sharing_2byte_prefix():
+    # bucket16 regression: with 3+ long symbols sharing a 16-bit prefix the
+    # bucket must stay -2 (multi) — a buggy `>= 0` check let the third row
+    # overwrite the marker, so its bucket-mates fell back to escapes
+    table = fsst.SymbolTable([b"abcXYZ", b"abdXYZ", b"abeXYZ"])
+    col = RaggedBytes.from_pylist([b"abcXYZ", b"abdXYZ", b"abeXYZ"] * 3)
+    positions, codes, _ = fsst.encode_fsst_tokens(col, table)
+    # every string is exactly one long-symbol token — no escapes at all
+    assert codes.tolist() == [0, 1, 2] * 3
+    buf = fsst.encode_fsst(col, table)
+    assert fsst.decode_fsst(buf).to_pylist() == col.to_pylist()
+    raw = int(col.lengths.sum())
+    assert len(buf) < raw  # must actually compress, not escape 2 of 3
+
+
 def test_fsst_unicode_text():
     vals = ["héllo wörld".encode(), "日本語のテキスト".encode(), "مرحبا".encode()] * 20
     _rt(vals)

@@ -53,6 +53,26 @@ def test_minhash_signature_udf_runs_once(spark, docs):
     assert acc.value == n, f"signature UDF processed {acc.value} rows for {n} docs"
 
 
+def test_minhash_signature_udf_runs_once_reliable_checkpoint(spark, docs, tmp_path):
+    """Cluster branch (checkpoint dir set): reliable checkpoint re-runs the
+    uncached lineage to write its files, so without the persist-then-eager-
+    checkpoint pattern the UDF would run TWICE (ADVICE r4). The accumulator
+    must still count each row exactly once."""
+    from pq_engine.pipeline.dedup import minhash_lsh_pairs
+
+    sc = spark.sparkContext
+    prev = sc.getCheckpointDir()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        n = docs.count()
+        acc = sc.accumulator(0)
+        minhash_lsh_pairs(docs, threshold=0.3, row_counter=acc).collect()
+        assert acc.value == n, f"signature UDF processed {acc.value} rows for {n} docs"
+    finally:
+        # pyspark has no unset; restore prior dir or point at a scratch dir
+        sc.setCheckpointDir(prev if prev else str(tmp_path / "ckpt_restore"))
+
+
 def test_simhash_identical_distance_zero(spark, docs):
     from pq_engine.pipeline.dedup import simhash_near_pairs
 

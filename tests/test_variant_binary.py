@@ -117,6 +117,24 @@ def test_malformed_raises():
         variant_to_obj(good_m, b"")  # empty value
 
 
+def test_corrupt_variant_raises_valueerror_not_indexerror():
+    """ADVICE r4: a corrupt (metadata, value) pair must fail with a clear
+    ValueError, not IndexError / silently-wrong structure."""
+    good_m, good_v = obj_to_variant({"a": 1, "b": "xy"})
+    # truncated value: offsets point past the buffer
+    with pytest.raises(ValueError):
+        variant_to_obj(good_m, good_v[: len(good_v) - 2])
+    # bad field id: metadata with fewer keys than the object references
+    small_m, _ = obj_to_variant({"a": 1})
+    _, two_field_v = obj_to_variant({"a": 1, "b": 2})
+    with pytest.raises(ValueError, match="field id"):
+        variant_to_obj(small_m, two_field_v)
+    # truncated primitive payload inside an object
+    m, v = obj_to_variant({"a": 123456789})
+    with pytest.raises(ValueError):
+        variant_to_obj(m, v[:-1])
+
+
 def test_spark_decode_bridge(spark):
     """Binary variant columns decode to JSON in a vectorized batch UDF and
     feed the existing typed-shred path end-to-end."""
