@@ -201,9 +201,9 @@ def main() -> None:
         }
         return decode_table(pages, ptypes=wp_ptypes).count()
 
-    timed("decode_webpages", decode_job, reps=2)
-    timed("encode_lineitem", lambda: run_encode(spark, f"{SF_DIR}/lineitem.parquet"), reps=2)
-    timed("encode_events", lambda: run_encode(spark, f"{SF_DIR}/events.parquet"), reps=2)
+    timed("decode_webpages", decode_job, reps=3)
+    timed("encode_lineitem", lambda: run_encode(spark, f"{SF_DIR}/lineitem.parquet"), reps=3)
+    timed("encode_events", lambda: run_encode(spark, f"{SF_DIR}/events.parquet"), reps=3)
 
     def _docs():
         return spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -226,9 +226,9 @@ def main() -> None:
             spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), q, 10
         ).collect()
 
-    timed("dedup_exact", _dedup, reps=2)
-    timed("minhash_pairs", _minhash, reps=2)
-    timed("ann_top10", _ann, reps=2)
+    timed("dedup_exact", _dedup, reps=3)
+    timed("minhash_pairs", _minhash, reps=3)
+    timed("ann_top10", _ann, reps=3)
     spark.stop()
 
     if os.environ.get("PQ_BENCH_SCALING", "1") != "0":
