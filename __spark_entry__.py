@@ -1093,6 +1093,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.get_json_object("vjson", "$.n").cast("long").alias("n2"),
         )
 
+    def variant_parquet_interop(spark, sf_dir):
+        """r5 (VERDICT r4 #2): the interop writer emits a real unshredded
+        VARIANT parquet column — (metadata, value) binary group annotated
+        with LogicalType VARIANT (parquet-variant Variant.java layout,
+        LogicalTypeAnnotation.java:1189). Distributed sink shape: every
+        partition writes its own file through our from-scratch thrift writer
+        (mapInPandas, no driver collect); Spark's own JVM reader then loads
+        the directory as a native `variant` column and variant_get() extracts
+        typed paths — proving footer bytes AND variant value bytes against an
+        independent reader, oracled on the source columns."""
+        import os as _os
+        import tempfile as _tmp
+        import uuid as _uuid_mod
+
+        from pyspark.sql import types as T_
+
+        out_dir = _tmp.mkdtemp(prefix="pq_variant_interop_")
+
+        def write_part(batches):
+            import numpy as _np
+
+            from pq_engine.interop.parquet_writer import write_parquet
+            from pq_engine.kernels.ragged import RaggedBytes
+            from pq_engine.spark.variant_binary import obj_to_variant
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ms, vs = [], []
+                for i, l, n in zip(pdf["doc_id"], pdf["lang"], pdf["n_chars"]):
+                    m, v = obj_to_variant({"lang": str(l), "n": int(n)})
+                    ms.append(m)
+                    vs.append(v)
+                path = _os.path.join(
+                    out_dir, f"part-{_uuid_mod.uuid4().hex}.parquet"
+                )
+                write_parquet(
+                    path,
+                    [
+                        {"name": "doc_id", "ptype": "int64", "codec": "delta",
+                         "values": _np.asarray(pdf["doc_id"], dtype=_np.int64)},
+                        {"name": "v", "ptype": "variant", "codec": "plain",
+                         "values": (RaggedBytes.from_pylist(ms),
+                                    RaggedBytes.from_pylist(vs))},
+                    ],
+                    len(pdf),
+                )
+                yield pandas.DataFrame({"path": [path], "rows": [len(pdf)]})
+
+        src = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        manifest = src.mapInPandas(
+            write_part, "path string, rows long"
+        ).collect()
+        assert sum(r.rows for r in manifest) == src.count()
+        return (
+            spark.read.parquet(out_dir)
+            .selectExpr(
+                "doc_id",
+                "variant_get(v, '$.lang', 'string') AS lang",
+                "variant_get(v, '$.n', 'long') AS n",
+            )
+        )
+
     def geo_multipolygon_filter(spark, sf_dir):
         """r4 shape breadth: GEOMETRY column of WKB MultiPolygons (two unit
         squares per doc) — the bbox walk now covers Multi* shapes, so chunk
@@ -1260,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_nested_get": variant_nested_get,
         "variant_residual_rt": variant_residual_rt,
         "variant_binary_decode": variant_binary_decode,
+        "variant_parquet_interop": variant_parquet_interop,  # new in r5
         "analytics_on_decoded": analytics_on_decoded,
         "analytics_join_region": analytics_join_region,
         "text_quality": quality,
@@ -1279,7 +1343,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_bss_value": _rt("events", "value", "bss", ["event_id"]),
         "rt_auto_text": _rt("documents", "text", "auto", ["doc_id"]),
         "rt_date_orderdate": rt_date,
-        "rt_ts_ntz": rt_ts_ntz,
         "rt_decimal_wide": rt_decimal_wide,
         "rt_interval": rt_interval,
         "rt_uuid": rt_uuid,
@@ -1306,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_delta_orderkey": _rt("lineitem", "l_orderkey", "delta", ["l_linenumber"], out_cols=["l_linenumber", "l_orderkey"]),
         "rt_delta_ts": _rt_ts("events", "ts", "delta", ["event_id"]),
         "rt_decimal_nchars": rt_decimal,
+        "rt_ts_ntz": rt_ts_ntz,
         "rt_struct_order": rt_struct,
         "rt_map_langlen": rt_map,
         "rt_list_struct_items": rt_list_struct,
@@ -1412,6 +1476,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "variant_binary_decode":
             "SELECT doc_id, lang AS lang2, n_chars AS n2 FROM documents",
+        "variant_parquet_interop":
+            "SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n FROM documents",
         "map_contains_pushdown":
             "SELECT doc_id, lang AS mk, n_chars AS mv FROM documents WHERE lang = 'de'",
         "geo_multipolygon_filter": """

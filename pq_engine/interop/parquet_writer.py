@@ -216,6 +216,9 @@ def write_parquet(path: str, columns: list[dict], n_rows: int,
                 )
             chunks.append(_write_list_chunk(out, col, n_rows, compression))
             continue
+        if ptype == "variant":
+            chunks.extend(_write_variant_chunks(out, col, n_rows, compression))
+            continue
         vals, validity = col["values"], col.get("validity")
         chunk_start = len(out)
         dict_off = None
@@ -298,6 +301,25 @@ def write_parquet(path: str, columns: list[dict], n_rows: int,
     )  # repetition REQUIRED(0) is ignored on root but duckdb wants it present
     schema = [root]
     for col in columns:
+        if col["ptype"] == "variant":
+            # unshredded VARIANT group (parquet-format VariantEncoding.md /
+            # LogicalTypeAnnotation.java:1189): required group name (VARIANT)
+            # { required binary metadata; required binary value; }. LogicalType
+            # union field 16 = VariantType{1: specification_version(i8)}.
+            group = StructWriter().i32(3, 0).string(4, col["name"]).i32(5, 2)
+            if col.get("annotate", True):
+                group.struct(10, StructWriter().struct(16, StructWriter().i8(1, 1)))
+            else:
+                # legacy readers (pyarrow <18 thrift) reject UNKNOWN LogicalType
+                # union members outright; annotate=False keeps the same
+                # (metadata, value) group readable as a plain struct there
+                pass
+            schema.append(group)
+            for leaf in ("metadata", "value"):
+                schema.append(
+                    StructWriter().i32(1, TYPE["binary"]).i32(3, 0).string(4, leaf)
+                )
+            continue
         if col["ptype"].startswith("list<"):
             cp = col["ptype"][5:-1]
             # optional group name (LIST) / repeated group list / optional element
@@ -393,6 +415,41 @@ def _write_list_chunk(out: bytearray, col: dict, n_rows: int,
     )
     cc = StructWriter().i64(2, chunk_start).struct(3, meta)
     return (cc, len(out) - chunk_start)
+
+
+def _write_variant_chunks(out: bytearray, col: dict, n_rows: int,
+                          compression: str | None):
+    """Two column chunks for an unshredded VARIANT group: the binary
+    ``metadata`` and ``value`` leaves, each one V1 PLAIN byte-array data page
+    with no level streams (required group, required leaves). ``values`` is a
+    (metadata RaggedBytes, value RaggedBytes) pair from
+    variant_binary.obj_to_variant — the layout parquet-variant's Variant.java
+    consumes."""
+    name = col["name"]
+    meta_col, value_col = col["values"]
+    chunks = []
+    for leaf, rb in (("metadata", meta_col), ("value", value_col)):
+        if len(rb) != n_rows:
+            raise ValueError(f"variant {leaf} count {len(rb)} != n_rows {n_rows}")
+        body = plain.encode_plain_bytes(rb)
+        comp_body = _compress_body(body, compression)
+        chunk_start = len(out)
+        out += _page_header(PAGE_DATA, n_rows, ENC_PLAIN, len(body), len(comp_body))
+        out += comp_body
+        meta = (
+            StructWriter()
+            .i32(1, TYPE["binary"])
+            .list_i32(2, sorted({ENC_RLE, ENC_PLAIN}))
+            .list_string(3, [name, leaf])
+            .i32(4, CODEC_ENUM[compression])
+            .i64(5, n_rows)
+            .i64(6, len(body))
+            .i64(7, len(out) - chunk_start)
+            .i64(9, chunk_start)
+        )
+        cc = StructWriter().i64(2, chunk_start).struct(3, meta)
+        chunks.append((cc, len(out) - chunk_start))
+    return chunks
 
 
 def _page_header_v2(n_values: int, n_nulls: int, enc: int, def_len: int,

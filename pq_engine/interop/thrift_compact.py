@@ -54,6 +54,13 @@ class StructWriter:
             self.buf += _uvarint(_zigzag(fid, 16))
         self.last_id = fid
 
+    def i8(self, fid: int, v: int) -> "StructWriter":
+        # compact BYTE: one raw signed byte (no zigzag/varint) — used by
+        # VariantType.specification_version
+        self._header(fid, CT_BYTE)
+        self.buf.append(v & 0xFF)
+        return self
+
     def i32(self, fid: int, v: int) -> "StructWriter":
         self._header(fid, CT_I32)
         self.buf += _uvarint(_zigzag(v, 32))

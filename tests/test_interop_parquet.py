@@ -372,3 +372,87 @@ def test_typed_logical_columns_interop(tmp_path):
         f"SELECT CAST(u AS VARCHAR), CAST(d AS VARCHAR), CAST(dt AS VARCHAR), CAST(iv AS VARCHAR) FROM read_parquet('{path}') WHERE CAST(dt AS VARCHAR) = '2022-01-08'"
     ).fetchone()
     assert vals is not None
+
+
+def _variant_cols(n=20):
+    from pq_engine.spark.variant_binary import obj_to_variant
+
+    objs = [
+        {"id": i, "lang": "en" if i % 2 else "fr", "n": i * 10,
+         "tags": ["a", "b"] if i % 3 == 0 else []}
+        for i in range(n)
+    ]
+    ms, vs = zip(*(obj_to_variant(o) for o in objs))
+    return objs, [
+        {"name": "doc_id", "ptype": "int64", "codec": "plain",
+         "values": np.arange(n, dtype=np.int64)},
+        {"name": "v", "ptype": "variant", "codec": "plain",
+         "values": (RaggedBytes.from_pylist(list(ms)),
+                    RaggedBytes.from_pylist(list(vs)))},
+    ]
+
+
+def test_variant_column_read_by_spark_natively(tmp_path, spark):
+    """The interop writer emits an unshredded VARIANT group (required binary
+    metadata/value + LogicalType union field 16, VariantEncoding.md shape;
+    /root/reference/parquet-variant/.../Variant.java consumes this layout).
+    Spark's own JVM parquet reader must see a `variant` column and
+    variant_get() must extract typed paths — end-to-end interop proof that
+    both our thrift footer and our variant binary bytes match the spec."""
+    path = str(tmp_path / "v.parquet")
+    objs, cols = _variant_cols()
+    write_parquet(path, cols, len(objs))
+    df = spark.read.parquet(path)
+    assert df.schema["v"].dataType.typeName() == "variant"
+    got = df.selectExpr(
+        "doc_id",
+        "variant_get(v, '$.lang', 'string') AS lang",
+        "variant_get(v, '$.n', 'long') AS n",
+    ).orderBy("doc_id").collect()
+    for r, o in zip(got, objs):
+        assert r.lang == o["lang"] and r.n == o["n"]
+
+
+def test_variant_column_read_by_duckdb_structurally(tmp_path):
+    """DuckDB (no variant support) skips the unknown LogicalType and exposes
+    the group structurally; the raw bytes must round-trip bit-identically
+    through variant_to_obj."""
+    import duckdb
+
+    from pq_engine.spark.variant_binary import variant_to_obj
+
+    path = str(tmp_path / "v.parquet")
+    objs, cols = _variant_cols()
+    write_parquet(path, cols, len(objs))
+    rows = duckdb.sql(
+        f"SELECT doc_id, v.metadata AS m, v.value AS val FROM read_parquet('{path}') ORDER BY doc_id"
+    ).fetchall()
+    assert len(rows) == len(objs)
+    for (doc_id, m, val), o in zip(rows, objs):
+        assert variant_to_obj(bytes(m), bytes(val)) == o
+
+
+def test_variant_column_unannotated_read_by_pyarrow(tmp_path):
+    """annotate=False: same chunks, no LogicalType — pyarrow 16 (strict
+    thrift: rejects unknown union members) reads the group as a plain
+    struct<metadata: binary, value: binary>."""
+    from pq_engine.spark.variant_binary import variant_to_obj
+
+    path = str(tmp_path / "v_legacy.parquet")
+    objs, cols = _variant_cols()
+    cols[1]["annotate"] = False
+    write_parquet(path, cols, len(objs))
+    tbl = pq.read_table(path)
+    assert str(tbl.schema.field("v").type).startswith("struct<metadata")
+    for rec, o in zip(tbl["v"].to_pylist(), objs):
+        assert variant_to_obj(rec["metadata"], rec["value"]) == o
+
+
+def test_variant_column_compressed(tmp_path, spark):
+    path = str(tmp_path / "v_zstd.parquet")
+    objs, cols = _variant_cols(50)
+    write_parquet(path, cols, len(objs), compression="zstd")
+    got = spark.read.parquet(path).selectExpr(
+        "variant_get(v, '$.id', 'long') AS id"
+    ).orderBy("id").collect()
+    assert [r.id for r in got] == [o["id"] for o in objs]
