@@ -2,10 +2,11 @@
 
 Media travel as opaque ``binary`` columns with typed metadata structs; the
 Spark side — schema, batching, partition sizing, UDF signatures — is real and
-tested. The actual pixel/sample decoding is STUBBED (this container has no
-image/audio libraries): ``decode_image`` raises ``NotImplementedError`` unless
-``deterministic_fake=True``, which produces a seeded fake feature vector so
-the downstream plumbing can be exercised end-to-end.
+tested. PNG decoding is REAL (r5): :mod:`pq_engine.pipeline.png` is a pure
+NumPy+zlib codec, so ``extract_features(deterministic_fake=False)`` returns
+true pixel statistics for PNG blobs. Other formats (jpeg/audio/video — no
+codec libraries in this container) fall back to a seeded deterministic
+hash-projection so the downstream plumbing still exercises end-to-end.
 """
 
 from __future__ import annotations
@@ -64,16 +65,42 @@ def extract_features(
     deterministic_fake: bool = True,
 ) -> DataFrame:
     """Feature extraction over binary media via mapInPandas: batch shape,
-    Arrow transfer and output schema are the real production plumbing; the
-    decode itself is a stub.
+    Arrow transfer and output schema are the real production plumbing.
 
-    ``deterministic_fake=True`` → feature = seeded hash-projection of the raw
-    bytes (repeatable across runs/workers). ``False`` → NotImplementedError,
-    marking exactly where a real decoder (PIL/ffmpeg) plugs in.
+    ``deterministic_fake=False`` (r5): PNG blobs decode FOR REAL through the
+    pure-NumPy codec in :mod:`pq_engine.pipeline.png` (zlib inflate + all
+    five row filters) — features = [height, width, channels,
+    mean_ch0..ch3, std_ch0..ch3] zero-padded to ``feature_dim``. Non-PNG
+    blobs (no decoder in this container for jpeg/audio/video) fall back to
+    the deterministic hash-projection, same as the fake path.
+
+    ``deterministic_fake=True`` → every blob gets the seeded hash-projection
+    of its raw bytes (repeatable across runs/workers), decoding nothing.
     """
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("features", T.ArrayType(T.FloatType()), True)]
     )
+
+    def _fake(v) -> np.ndarray:
+        raw = np.frombuffer(bytes(v[:4096]), dtype=np.uint8)
+        acc = np.zeros(feature_dim, dtype=np.float64)
+        if len(raw):
+            idx = np.arange(len(raw)) % feature_dim
+            np.add.at(acc, idx, raw.astype(np.float64))
+            acc = acc / max(len(raw), 1)
+        return acc.astype(np.float32)
+
+    def _png_features(v) -> np.ndarray:
+        from .png import decode_png
+
+        img = decode_png(bytes(v))
+        h, w, c = img.shape
+        px = img.reshape(-1, c).astype(np.float64)
+        out = np.zeros(feature_dim, dtype=np.float64)
+        out[0], out[1], out[2] = h, w, c
+        out[3 : 3 + c] = px.mean(axis=0)
+        out[7 : 7 + c] = px.std(axis=0)
+        return out.astype(np.float32)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -81,19 +108,10 @@ def extract_features(
             for v in pdf[bin_col]:
                 if v is None:
                     feats.append(None)
-                    continue
-                if not deterministic_fake:
-                    raise NotImplementedError(
-                        "media decode requires an image/audio library not present "
-                        "in this container; plug a real decoder in here"
-                    )
-                raw = np.frombuffer(bytes(v[:4096]), dtype=np.uint8)
-                acc = np.zeros(feature_dim, dtype=np.float64)
-                if len(raw):
-                    idx = np.arange(len(raw)) % feature_dim
-                    np.add.at(acc, idx, raw.astype(np.float64))
-                    acc = acc / max(len(raw), 1)
-                feats.append(acc.astype(np.float32))
+                elif not deterministic_fake and bytes(v[:4]) == b"\x89PNG":
+                    feats.append(_png_features(v))
+                else:
+                    feats.append(_fake(v))
             pdf = pdf.copy()
             pdf["features"] = feats
             yield pdf
