@@ -29,6 +29,8 @@ works on any machine that can see the files.
                                     [--rename old=new[,..]] [--to zstd]
     python -m pq_engine.cli to-parquet <pages_dir> --out FILE [--to snappy]
     python -m pq_engine.cli to-avro <pages_dir> --out FILE [--to deflate]
+    python -m pq_engine.cli to-protobuf <pages_dir> --out FILE
+    python -m pq_engine.cli from-protobuf <file.pb> --out DIR
     python -m pq_engine.cli geospatial-stats <pages_dir> [--column C]
 """
 
@@ -591,6 +593,56 @@ def cmd_from_avro(args):
     print(f"encoded {n} avro records, {len(schema['fields'])} fields → {args.out}")
 
 
+def cmd_from_protobuf(args):
+    """Protobuf import (parquet-protobuf ProtoParquetWriter direction):
+    delimited proto3 stream + generated .proto schema → encoded page table,
+    via the from-scratch wire-format reader (interop/protobuf.py)."""
+    import os
+
+    import pyarrow as pa
+
+    from .interop.protobuf import read_protobuf
+    from .kernels.ragged import RaggedBytes
+    from .pages import encode_column
+
+    if not args.out:
+        sys.exit("--out required")
+    os.makedirs(args.out, exist_ok=True)
+    name, fields, records = read_protobuf(args.path)
+    rows = []
+    n = len(records)
+    for fld in fields:
+        col, pt_proto = fld["name"], fld["proto_type"]
+        vals = [r[col] for r in records]
+        validity = None
+        if fld["optional"] and any(v is None for v in vals):
+            validity = np.array([v is not None for v in vals])
+            vals = [v for v in vals if v is not None]
+        if pt_proto in ("sint64", "sint32", "int64", "int32"):
+            pt = "int64" if "64" in pt_proto else "int32"
+            values = np.array(vals, dtype=np.int64)
+        elif pt_proto == "double":
+            pt, values = "float64", np.array(vals, dtype=np.float64)
+        elif pt_proto == "float":
+            pt, values = "float32", np.array(vals, dtype=np.float32)
+        elif pt_proto == "bool":
+            pt, values = "bool", np.array(vals, dtype=bool)
+        elif pt_proto == "string":
+            pt = "string"
+            values = RaggedBytes.from_pylist([v.encode() for v in vals])
+        elif pt_proto == "bytes":
+            pt = "binary"
+            values = RaggedBytes.from_pylist([bytes(v) for v in vals])
+        else:
+            print(f"skipping field {col}: proto type {pt_proto!r} unsupported")
+            continue
+        rows += _rebuild_rows(None, 0, 0, col,
+                              encode_column(values, pt, validity=validity), None)
+    tbl = pa.Table.from_pylist(rows)
+    _write_pages(tbl, args.out)
+    print(f"encoded {n} protobuf records ({name}), {len(fields)} fields → {args.out}")
+
+
 def cmd_version(args=None):
     """VersionCommand analog."""
     from . import __version__
@@ -944,6 +996,65 @@ def cmd_to_avro(tbl, args):
     print(f"wrote {n_rows} rows x {len(cols_out)} columns → {args.out} (avro)")
 
 
+def cmd_to_protobuf(tbl, args):
+    """ProtoParquetWriter-direction analog (reference parquet-protobuf/...
+    /ProtoParquetWriter.java binds proto messages to parquet; this is the
+    reverse surface): decode the page table and write a delimited proto3
+    stream + generated .proto schema via the from-scratch wire-format
+    writer. Supported: flat primitives + date/timestamp/decimal/uuid
+    (sint64 with comments), nullable as proto3 optional presence."""
+    from .interop.protobuf import write_protobuf
+    from .pages import _concat_ragged
+
+    if not args.out:
+        sys.exit("--out required")
+    keys = sorted(
+        {(tbl["split_id"][i].as_py(), tbl["batch_id"][i].as_py()) for i in range(tbl.num_rows)}
+    )
+    columns = sorted({tbl["column"][i].as_py() for i in range(tbl.num_rows)})
+    cols_out = []
+    n_rows = 0
+    for c in columns:
+        vals_parts, valid_parts, ptype = [], [], None
+        for split, batch in keys:
+            pages = _page_dicts(tbl, split, batch, c)
+            if not pages:
+                continue
+            ptype = next(p[0]["ptype"] for p in pages if p[0]["page"] >= 0)
+            values, validity = decode_column(pages)
+            n = len(validity) if validity is not None else len(values)
+            vals_parts.append(values)
+            valid_parts.append(
+                validity if validity is not None else np.ones(n, dtype=bool)
+            )
+        if ptype is None:
+            continue
+        supported = ptype in (
+            "string", "binary", "int32", "int64", "float32", "float64", "bool",
+            "timestamp_us", "timestamp_ntz_us", "date32", "uuid",
+        ) or ptype.startswith("decimal64[")
+        if not supported:
+            print(f"skipping column {c}: {ptype} not supported by to-protobuf")
+            continue
+        if ptype in RAGGED_TYPES:
+            values = _concat_ragged(vals_parts)
+        else:
+            values = np.concatenate(vals_parts)
+        validity = np.concatenate(valid_parts)
+        n_rows = len(validity)
+        cols_out.append(
+            {
+                "name": c,
+                "ptype": ptype,
+                "values": values,
+                "validity": None if validity.all() else validity,
+            }
+        )
+    schema_path = write_protobuf(args.out, "PqTable", cols_out, n_rows)
+    print(f"wrote {n_rows} rows x {len(cols_out)} columns → {args.out} "
+          f"(proto3 delimited; schema {schema_path})")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="pq_engine.cli")
     ap.add_argument(
@@ -953,6 +1064,7 @@ def main(argv=None):
             "column-size", "column-index", "bloom-filter", "prune", "mask",
             "trans-compression", "from-csv", "from-avro", "version", "footer", "size-stats",
             "check-stats", "rewrite", "to-parquet", "to-avro", "geospatial-stats",
+            "to-protobuf", "from-protobuf",
         ],
     )
     ap.add_argument("path", nargs="?")
@@ -982,6 +1094,9 @@ def main(argv=None):
     if args.command == "from-avro":
         cmd_from_avro(args)
         return
+    if args.command == "from-protobuf":
+        cmd_from_protobuf(args)
+        return
     if args.command == "footer":
         cmd_footer(args)
         return
@@ -1005,6 +1120,7 @@ def main(argv=None):
         "rewrite": cmd_rewrite,
         "to-parquet": cmd_to_parquet,
         "to-avro": cmd_to_avro,
+        "to-protobuf": cmd_to_protobuf,
         "geospatial-stats": cmd_geospatial_stats,
     }[args.command](tbl, args)
 
