@@ -1093,6 +1093,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.get_json_object("vjson", "$.n").cast("long").alias("n2"),
         )
 
+    def table_time_travel(spark, sf_dir):
+        """r5 (VERDICT r4 #8, north star "Iceberg-style" batches): snapshot
+        table layer — two appends build snapshots 1 and 2; reading AT
+        snapshot 1 must return exactly the first append's rows while the
+        current snapshot has both (manifest file lists + version-hint
+        commit, pq_engine/spark/table.py). Output = both reads unioned,
+        tagged by snapshot id — the oracle reconstructs each from SQL."""
+        import tempfile as _tmp
+
+        from pq_engine.spark.table import table_append, table_read
+
+        td = _tmp.mkdtemp(prefix="pq_table_tt_")
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        table_append(spark, docs.filter("doc_id < 250"), td)
+        table_append(spark, docs.filter("doc_id >= 250"), td)
+        snap1 = table_read(spark, td, snapshot_id=1).withColumn("snap", F.lit(1))
+        cur = table_read(spark, td).withColumn("snap", F.lit(2))
+        return snap1.unionByName(cur).select("doc_id", "n_chars", "snap")
+
     def variant_parquet_interop(spark, sf_dir):
         """r5 (VERDICT r4 #2): the interop writer emits a real unshredded
         VARIANT parquet column — (metadata, value) binary group annotated
@@ -1367,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_residual_rt": variant_residual_rt,
         "variant_binary_decode": variant_binary_decode,
         "variant_parquet_interop": variant_parquet_interop,  # new in r5
+        "table_time_travel": table_time_travel,  # new in r5
         "analytics_on_decoded": analytics_on_decoded,
         "analytics_join_region": analytics_join_region,
         "text_quality": quality,
@@ -1389,7 +1409,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_date_orderdate": rt_date,
         "rt_decimal_wide": rt_decimal_wide,
         "rt_uuid": rt_uuid,
-        "rt_float16": rt_float16,
         "rt_int96_ts": rt_int96_ts,
         "rt_fixed_md5": rt_fixed_md5,
         "rt_list_embedding": rt_list,
@@ -1414,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_decimal_nchars": rt_decimal,
         "rt_ts_ntz": rt_ts_ntz,
         "rt_interval": rt_interval,
+        "rt_float16": rt_float16,
         "rt_struct_order": rt_struct,
         "rt_map_langlen": rt_map,
         "rt_list_struct_items": rt_list_struct,
@@ -1522,6 +1542,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang AS lang2, n_chars AS n2 FROM documents",
         "variant_parquet_interop":
             "SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n FROM documents",
+        "table_time_travel": """
+            SELECT doc_id, n_chars, 1 AS snap FROM documents WHERE doc_id < 250
+            UNION ALL
+            SELECT doc_id, n_chars, 2 AS snap FROM documents
+        """,
         "media_png_features": """
             SELECT doc_id,
                    8.0 AS h, 16.0 AS w, 3.0 AS c,
