@@ -478,6 +478,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = decode_table(pruned, ["event_id", "event_type"], ptypes=table_ptypes(df))
         return out.filter(F.col("event_type") == "signup")
 
+    def fixed_dict_pushdown(spark, sf_dir):
+        """r5 (VERDICT r4 #9): dictionary + bloom pruning on a FIXED[8]
+        (FLBA) leaf through the batched in-list path — probes are raw md5
+        prefixes mapped by value_to_fixed, the same encoding the dict page
+        stores (DictionaryFilter.java L2 + BloomFilterImpl L3 over
+        FIXED_LEN_BYTE_ARRAY). Chunks are range-partitioned by lang, so
+        pruning provably drops chunks (asserted); residual keeps exactness."""
+        import hashlib as _hl
+
+        from pq_engine.spark import filterapi as fa
+        from pq_engine.spark.engine import decode_table, encode_table
+
+        df = _read(spark, sf_dir, "documents").select(
+            "doc_id", "lang",
+            F.unhex(F.substring(F.md5("lang"), 1, 16)).alias("fx"),
+        ).repartitionByRange(8, "lang").drop("lang")
+        pages = encode_table(
+            df, codec={"fx": "dict", "doc_id": "auto"}, with_bloom=True,
+            ptype_overrides={"fx": "fixed[8]"},
+        ).persist()
+        probes = [_hl.md5(s.encode()).digest()[:8] for s in ("en", "de")]
+        pred = fa.in_("fx", probes)
+        kept = fa.filter_pages(pages, pred)
+        n_all = pages.select("split_id", "batch_id").distinct().count()
+        n_kept = kept.select("split_id", "batch_id").distinct().count()
+        assert n_kept < n_all, f"FLBA dict/bloom pruning dropped nothing ({n_kept}/{n_all})"
+        out = decode_table(kept, ["doc_id", "fx"],
+                           ptypes={"doc_id": "int64", "fx": "fixed[8]"})
+        pages.unpersist()
+        return out.filter(fa.residual_expr(pred)).select(
+            "doc_id", F.hex("fx").alias("fx_hex")
+        )
+
     def analytics_on_decoded(spark, sf_dir):
         """TPC-H-Q1-style aggregation over a decoded round-trip: proves the
         encoded tables compose with ordinary Spark SQL analytics."""
@@ -1387,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_binary_decode": variant_binary_decode,
         "variant_parquet_interop": variant_parquet_interop,  # new in r5
         "table_time_travel": table_time_travel,  # new in r5
+        "fixed_dict_pushdown": fixed_dict_pushdown,  # new in r5
         "analytics_on_decoded": analytics_on_decoded,
         "analytics_join_region": analytics_join_region,
         "text_quality": quality,
@@ -1412,7 +1446,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_int96_ts": rt_int96_ts,
         "rt_fixed_md5": rt_fixed_md5,
         "rt_list_embedding": rt_list,
-        "rt_map_struct": rt_map_struct,
         "manifest_stats": manifest_stats,
         "rewrite_mask_hash": rewrite_mask_hash,
         "pushdown_stats": pushdown_stats,
@@ -1436,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_float16": rt_float16,
         "rt_struct_order": rt_struct,
         "rt_map_langlen": rt_map,
+        "rt_map_struct": rt_map_struct,
         "rt_list_struct_items": rt_list_struct,
         "rt_dict_list_tags": rt_dict_list_tags,
         "rt_list_list_struct": rt_list_list_struct,
@@ -1542,6 +1576,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang AS lang2, n_chars AS n2 FROM documents",
         "variant_parquet_interop":
             "SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n FROM documents",
+        "fixed_dict_pushdown": """
+            SELECT doc_id, upper(substr(md5(lang), 1, 16)) AS fx_hex
+            FROM documents WHERE lang IN ('en', 'de')
+        """,
         "table_time_travel": """
             SELECT doc_id, n_chars, 1 AS snap FROM documents WHERE doc_id < 250
             UNION ALL

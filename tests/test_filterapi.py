@@ -235,3 +235,33 @@ def test_in_with_flba_probe_list(spark):
     got = sorted(r["id"] for r in out.filter(P.residual_expr(pred)).collect())
     want = sorted(r["id"] for r in df.filter(F.col("u").isin([present, present2])).collect())
     assert got == want and len(got) == 1000
+
+
+def test_fixed_dict_pruning_in_list(spark):
+    """FLBA fixed[8] leaf, dict-encoded, low NDV: the batched in-list path
+    must disprove chunks from the CHUNK DICTIONARY alone (L2) — probes map
+    through value_to_fixed exactly like the dict page rows (VERDICT r4 #9)."""
+    import hashlib
+
+    rows = [(i, hashlib.md5(str(i // 1000).encode()).digest()[:8])
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, fx binary").repartitionByRange(4, "id")
+    pages = encode_table(
+        df, codec={"fx": "dict", "id": "auto"},
+        ptype_overrides={"fx": "fixed[8]"},
+    ).cache()
+    # no blooms here: any pruning is the dictionary's doing
+    assert pages.filter("page = -1").count() == 0
+    assert pages.filter("page = -2 AND column = 'fx'").count() == 4
+    p0 = hashlib.md5(b"0").digest()[:8]
+    p3 = hashlib.md5(b"3").digest()[:8]
+    absent = hashlib.md5(b"nope").digest()[:8]
+    assert P.filter_pages(pages, P.eq("fx", absent)) \
+        .select("split_id", "batch_id").distinct().count() == 0
+    kept = P.filter_pages(pages, P.in_("fx", [p0, p3, absent]))
+    assert kept.select("split_id", "batch_id").distinct().count() == 2
+    out = decode_table(kept, ["id", "fx"],
+                       ptypes={"id": "int64", "fx": "fixed[8]"})
+    pred = P.in_("fx", [p0, p3, absent])
+    got = sorted(r["id"] for r in out.filter(P.residual_expr(pred)).collect())
+    assert got == list(range(1000)) + list(range(3000, 4000))
