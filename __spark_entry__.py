@@ -1100,7 +1100,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         binary reader/writer pair against SQL ground truth."""
         from pyspark.sql import types as T_
 
-        from pq_engine.spark.variant_binary import obj_to_variant, variant_decode_json
+        from pq_engine.spark.variant_binary import (
+            objs_to_variant_batch,
+            variant_decode_json,
+        )
 
         @F.pandas_udf(T_.StructType([
             T_.StructField("vm", T_.BinaryType()),
@@ -1108,12 +1111,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]))
         def enc(doc_id: pandas.Series, lang: pandas.Series,
                 n_chars: pandas.Series) -> pandas.DataFrame:
-            ms, vs = [], []
-            for i, l, n in zip(doc_id, lang, n_chars):
-                m, v = obj_to_variant({"id": int(i), "lang": str(l), "n": int(n)})
-                ms.append(m)
-                vs.append(v)
-            return pandas.DataFrame({"vm": ms, "vv": vs})
+            # r5: uniform flat batch -> ONE vectorized encode (shared
+            # metadata), no per-row walk
+            objs = [
+                {"id": int(i), "lang": str(l), "n": int(n)}
+                for i, l, n in zip(doc_id, lang, n_chars)
+            ]
+            m, vs = objs_to_variant_batch(objs)
+            return pandas.DataFrame({"vm": [m] * len(vs), "vv": vs})
 
         df = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
         enc_df = df.select(

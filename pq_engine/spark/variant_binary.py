@@ -40,6 +40,7 @@ import struct
 import uuid as _uuid
 from decimal import Decimal
 
+import numpy as np
 import pandas
 
 # primitive type ids (VariantUtil.java:99-169)
@@ -363,6 +364,320 @@ def obj_to_variant(v) -> tuple[bytes, bytes]:
     return encode_metadata(ordered), _encode_value(v, key_id)
 
 
+# ----------------------------------------------------- batch (flat objects)
+#
+# The common shape in a columnar pipeline is a BATCH of flat objects with one
+# shared key set and scalar fields (exactly what variant_binary_decode
+# encodes). VERDICT r4 #5: keep the recursive walk for nested values, but
+# run that common case as array ops — one numpy pass per field instead of a
+# Python walk per value. Both fast paths verify their preconditions and fall
+# back to the per-value functions otherwise, so they are drop-in.
+
+
+def _flat_uniform_fields(objs):
+    """Shared sorted key tuple if every element is a dict with the same key
+    SET — else None. (Key-view equality is a C-level set compare; per-field
+    scalar-ness is checked by the field encoders, which return None to
+    trigger the fallback.)"""
+    if not objs:
+        return None
+    first = objs[0]
+    if not isinstance(first, dict) or not first:
+        return None
+    kv = first.keys()
+    for o in objs:
+        if not isinstance(o, dict) or o.keys() != kv:
+            return None
+    return tuple(sorted(kv))
+
+
+def _encode_scalar_field_batch(vals):
+    """(lens int64[n], data uint8[total]) of per-row encoded scalars
+    (type byte + payload), or None when a value needs the fallback
+    (strings > 63 B, ints > int64)."""
+    n = len(vals)
+    # ONE C-level type pass dispatches the whole field (the all(isinstance)
+    # scans were the remaining per-value cost — profile r5)
+    ts = set(map(type, vals))
+    ts.discard(type(None))
+    if not ts or ts == {bool}:
+        codes = np.array(
+            [(_NULL if v is None else (_TRUE if v else _FALSE)) << 2 for v in vals],
+            dtype=np.uint8,
+        )
+        return np.ones(n, dtype=np.int64), codes
+    if ts == {int}:
+        try:
+            iv = np.fromiter(
+                (0 if v is None else v for v in vals), dtype=np.int64, count=n
+            )
+        except OverflowError:
+            return None
+        width = np.ones(n, dtype=np.int64)
+        for w, lo in ((2, 1 << 7), (4, 1 << 15), (8, 1 << 31)):
+            width[(iv < -lo) | (iv >= lo)] = w
+        info = np.select(
+            [width == 1, width == 2, width == 4], [_INT8, _INT16, _INT32], _INT64
+        ).astype(np.uint8)
+        isnull = np.fromiter((v is None for v in vals), dtype=bool, count=n)
+        lens = 1 + width
+        lens[isnull] = 1
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        out = np.zeros(int(off[-1]), dtype=np.uint8)
+        out[off[:-1]] = np.where(isnull, _NULL << 2, info << 2).astype(np.uint8)
+        u = iv.view(np.uint64)
+        for k in range(8):
+            rows = (~isnull) & (width > k)
+            out[off[:-1][rows] + 1 + k] = (
+                (u[rows] >> np.uint64(8 * k)) & np.uint64(0xFF)
+            ).astype(np.uint8)
+        return lens, out
+    if ts == {float}:
+        isnull = np.array([v is None for v in vals])
+        fv = np.array([0.0 if v is None else v for v in vals], dtype="<f8")
+        lens = np.where(isnull, 1, 9).astype(np.int64)
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        out = np.zeros(int(off[-1]), dtype=np.uint8)
+        out[off[:-1]] = np.where(isnull, _NULL << 2, _DOUBLE << 2).astype(np.uint8)
+        fb = fv.view(np.uint8).reshape(n, 8)
+        rows = np.flatnonzero(~isnull)
+        for k in range(8):
+            out[off[:-1][rows] + 1 + k] = fb[rows, k]
+        return lens, out
+    if ts == {str}:
+        bs = [b"" if v is None else v.encode("utf-8") for v in vals]
+        blens = np.array([len(b) for b in bs], dtype=np.int64)
+        if (blens > 63).any():
+            return None  # long strings take the fallback
+        isnull = np.array([v is None for v in vals])
+        lens = np.where(isnull, 1, 1 + blens).astype(np.int64)
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        out = np.zeros(int(off[-1]), dtype=np.uint8)
+        out[off[:-1]] = np.where(
+            isnull, _NULL << 2, ((blens << 2) | 1).astype(np.int64)
+        ).astype(np.uint8)
+        payload = np.frombuffer(b"".join(bs), dtype=np.uint8)
+        if len(payload):
+            src_off = np.zeros(n, dtype=np.int64)
+            np.cumsum(blens[:-1], out=src_off[1:]) if n > 1 else None
+            t = int(blens[~isnull].sum())
+            rows = ~isnull
+            pos = np.repeat(
+                off[:-1][rows] + 1 - src_off[rows], blens[rows]
+            ) + np.arange(t, dtype=np.int64)
+            # payload positions of non-null rows, in order
+            src = np.repeat(src_off[rows], blens[rows]) + (
+                np.arange(t, dtype=np.int64)
+                - np.repeat(np.cumsum(blens[rows]) - blens[rows], blens[rows])
+            )
+            out[pos] = payload[src]
+        return lens, out
+    return None
+
+
+def objs_to_variant_batch(objs: list) -> tuple[bytes, list[bytes]]:
+    """Batch obj_to_variant with ONE shared metadata buffer: the uniform
+    flat-object fast path assembles headers + field offsets as matrices and
+    scatters field bytes with the interleave pattern (no per-row Python);
+    anything else falls back to the recursive encoder per row. Returns
+    (metadata, [value bytes per row]) — all rows share the metadata."""
+    keys = _flat_uniform_fields(objs)
+    n = len(objs)
+    if keys is not None and len(keys) <= 255:
+        nf = len(keys)
+        meta = encode_metadata(list(keys))
+        encoded = []
+        ok = True
+        for k in keys:
+            enc = _encode_scalar_field_batch([o[k] for o in objs])
+            if enc is None:
+                ok = False
+                break
+            encoded.append(enc)
+        if ok:
+            lens_mat = np.stack([e[0] for e in encoded])  # (nf, n)
+            totals = lens_mat.sum(axis=0)
+            if int(totals.max(initial=0)) <= 255:  # osz = 1, idsz = 1
+                hl = 2 + nf + (nf + 1)
+                row_lens = hl + totals
+                row_off = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(row_lens, out=row_off[1:])
+                out = np.zeros(int(row_off[-1]), dtype=np.uint8)
+                # header: hdr byte, count, ids, offsets (cumsum of field lens)
+                out[row_off[:-1]] = 2  # basic=2 object, small, idsz=osz=1
+                out[row_off[:-1] + 1] = nf
+                for i in range(nf):
+                    out[row_off[:-1] + 2 + i] = i  # field ids, sorted
+                run = np.zeros(n, dtype=np.int64)
+                out[row_off[:-1] + 2 + nf] = 0
+                for i in range(nf):
+                    run = run + lens_mat[i]
+                    out[row_off[:-1] + 2 + nf + 1 + i] = run.astype(np.uint8)
+                # scatter field payloads after the header
+                prefix = np.zeros(n, dtype=np.int64)
+                for lens, data in encoded:
+                    start = row_off[:-1] + hl + prefix
+                    t = int(lens.sum())
+                    if t:
+                        pos = np.repeat(
+                            start - (np.cumsum(lens) - lens), lens
+                        ) + np.arange(t, dtype=np.int64)
+                        out[pos] = data
+                    prefix += lens
+                ob = out.tobytes()
+                return meta, [
+                    ob[row_off[i] : row_off[i + 1]] for i in range(n)
+                ]
+    # fallback: per-row recursion, one merged metadata (keys unioned)
+    allkeys: set = set()
+    for o in objs:
+        _collect_keys(o, allkeys)
+    ordered = sorted(allkeys)
+    key_id = {k: i for i, k in enumerate(ordered)}
+    return encode_metadata(ordered), [_encode_value(o, key_id) for o in objs]
+
+
+def variants_to_json_batch(metas, vals) -> list:
+    """Batch variant_to_json. Fast path: all non-null rows share one
+    metadata buffer AND are flat objects with the same single-byte header
+    layout (same field count/ids, idsz = osz = 1) — then every field
+    decodes with numpy gathers (grouped by type byte) and the JSON rows are
+    assembled from per-field string columns. Falls back per row otherwise."""
+    n = len(metas)
+    live = [i for i in range(n) if metas[i] is not None and vals[i] is not None]
+    out: list = [None] * n
+    if not live:
+        return out
+    m0 = bytes(metas[live[0]])
+    if all(bytes(metas[i]) == m0 for i in live):
+        keys = decode_metadata(m0)
+        if not all(
+            k.isascii() and k.isprintable() and '"' not in k and "\\" not in k
+            for k in keys
+        ):
+            keys = None  # key needs JSON escaping — per-row path handles it
+    else:
+        keys = None
+    if keys is not None:
+        bufs = [bytes(vals[i]) for i in live]
+        lens = np.array([len(b) for b in bufs], dtype=np.int64)
+        data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        voff = np.zeros(len(bufs), dtype=np.int64)
+        if len(bufs) > 1:
+            np.cumsum(lens[:-1], out=voff[1:])
+        ok = len(data) > 0 and (data[voff] == 2).all()  # flat small objects
+        if ok:
+            nf = int(data[voff[0] + 1])
+            ok = (data[voff + 1] == nf).all() and 1 <= nf <= 255
+        if ok:
+            hl = 2 + nf + (nf + 1)
+            ok = (lens >= hl).all()
+        if ok:
+            ids = data[voff[:, None] + 2 + np.arange(nf)]
+            ok = (ids == np.arange(nf, dtype=np.uint8)).all() and nf <= len(keys)
+        if ok:
+            offs = data[voff[:, None] + 2 + nf + np.arange(nf + 1)].astype(np.int64)
+            cols = []
+            for i in range(nf):
+                starts = voff + hl + offs[:, i]
+                col = _decode_scalar_col_json(data, starts)
+                if col is None:
+                    ok = False
+                    break
+                cols.append(col)
+        if ok:
+            # row JSON by object-array concatenation: one C-level pass per
+            # field instead of a Python generator join per row
+            acc = np.full(len(live), '{"' + keys[0] + '":', dtype=object)
+            acc = acc + cols[0]
+            for f in range(1, nf):
+                acc = acc + (',"' + keys[f] + '":')
+                acc = acc + cols[f]
+            acc = acc + "}"
+            for j, i in enumerate(live):
+                out[i] = acc[j]
+            return out
+    for i in live:
+        out[i] = variant_to_json(bytes(metas[i]), bytes(vals[i]))
+    return out
+
+
+def _decode_scalar_col_json(data: np.ndarray, starts: np.ndarray):
+    """JSON string fragments for the scalar values at ``starts`` (one per
+    row) — numpy per type-byte group; None if any value is non-scalar."""
+    tb = data[starts]
+    basic = tb & 0x3
+    info = tb >> 2
+    n = len(starts)
+    out = np.empty(n, dtype=object)
+    if ((basic != 0) & (basic != 1)).any():
+        return None  # nested object/array — fallback
+    prim = basic == 0
+    if (prim & ~np.isin(info, [_NULL, _TRUE, _FALSE, _INT8, _INT16, _INT32,
+                               _INT64, _DOUBLE])).any():
+        return None  # decimals/temporals etc. — fallback keeps exactness
+    out[prim & (info == _NULL)] = "null"
+    out[prim & (info == _TRUE)] = "true"
+    out[prim & (info == _FALSE)] = "false"
+    for iv, w in ((_INT8, 1), (_INT16, 2), (_INT32, 4), (_INT64, 8)):
+        rows = np.flatnonzero(prim & (info == iv))
+        if len(rows):
+            acc = np.zeros(len(rows), dtype=np.uint64)
+            for k in range(w):
+                acc |= data[starts[rows] + 1 + k].astype(np.uint64) << np.uint64(8 * k)
+            v = acc.astype(np.int64)
+            if w < 8:  # sign-extend
+                bit = np.int64(1) << np.int64(8 * w - 1)
+                v = (v ^ bit) - bit
+            out[rows] = v.astype(str).astype(object)
+    rows = np.flatnonzero(prim & (info == _DOUBLE))
+    if len(rows):
+        b = np.zeros((len(rows), 8), dtype=np.uint8)
+        for k in range(8):
+            b[:, k] = data[starts[rows] + 1 + k]
+        dv = b.view("<f8").reshape(-1)
+        fin = np.isfinite(dv)
+        # repr(float) IS the json number format for finite values (same
+        # shortest-roundtrip algorithm dumps uses) at a fraction of the cost
+        out[rows[fin]] = [repr(x) for x in dv[fin].tolist()]
+        if not fin.all():
+            out[rows[~fin]] = [json.dumps(float(x)) for x in dv[~fin]]
+    srows = np.flatnonzero(basic == 1)
+    if len(srows):
+        slen = info[srows].astype(np.int64)
+        t = int(slen.sum())
+        src = np.repeat(starts[srows] + 1, slen) + (
+            np.arange(t, dtype=np.int64)
+            - np.repeat(np.cumsum(slen) - slen, slen)
+        )
+        payload = data[src]
+        blob = payload.tobytes()
+        so = np.zeros(len(srows) + 1, dtype=np.int64)
+        np.cumsum(slen, out=so[1:])
+        # strings with no control/quote/backslash/non-ASCII bytes emit as
+        # plain '"s"'; only the rest pay json.dumps (which escapes + \uXXXX
+        # encodes non-ASCII, matching the per-row path's ensure_ascii)
+        special = (
+            (payload < 0x20) | (payload == 0x22) | (payload == 0x5C)
+            | (payload >= 0x80)
+        )
+        needs = np.zeros(len(srows), dtype=bool)
+        if len(payload):
+            nz = np.flatnonzero(special)
+            if len(nz):
+                needs[np.searchsorted(so[1:], nz, side="right")] = True
+        clean = np.flatnonzero(~needs)
+        out[srows[clean]] = [
+            '"' + blob[so[j] : so[j + 1]].decode("ascii") + '"' for j in clean
+        ]
+        for j in np.flatnonzero(needs):
+            out[srows[j]] = json.dumps(blob[so[j] : so[j + 1]].decode("utf-8"))
+    return out
+
+
 # ------------------------------------------------------------ Spark surface
 
 
@@ -408,10 +723,8 @@ def variant_decode_json(df, metadata_col: str, value_col: str,
 
     @F.pandas_udf(T.StringType())
     def dec(m: pandas.Series, v: pandas.Series) -> pandas.Series:
-        return pandas.Series([
-            None if mb is None or vb is None
-            else variant_to_json(bytes(mb), bytes(vb))
-            for mb, vb in zip(m, v)
-        ])
+        # batch fast path for uniform flat objects (r5); per-row fallback
+        # inside for anything else
+        return pandas.Series(variants_to_json_batch(list(m), list(v)))
 
     return df.withColumn(out, dec(F.col(metadata_col), F.col(value_col)))

@@ -190,5 +190,79 @@ try:
         m, val = obj_to_variant(v)
         out = variant_to_obj(m, val)
         assert out == v
+
+    _flat_scalars = st.one_of(
+        st.none(), st.booleans(),
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.floats(allow_nan=False),
+        st.text(max_size=80),
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(st.text(min_size=1, max_size=8), min_size=1, max_size=6,
+                 unique=True),
+        st.data(),
+    )
+    def test_variant_batch_paths_equal_per_row(keys, data):
+        """r5 batch fast paths (objs_to_variant_batch /
+        variants_to_json_batch) must be byte/semantics-identical to the
+        per-row recursive walk on uniform flat batches — which is exactly
+        when the fast path engages — AND on ragged fallback shapes."""
+        from pq_engine.spark.variant_binary import (
+            objs_to_variant_batch,
+            variants_to_json_batch,
+        )
+
+        objs = data.draw(
+            st.lists(
+                st.fixed_dictionaries({k: _flat_scalars for k in keys}),
+                min_size=1, max_size=20,
+            )
+        )
+        m, vs = objs_to_variant_batch(objs)
+        for o, v in zip(objs, vs):
+            assert variant_to_obj(m, v) == o
+        got = variants_to_json_batch([m] * len(vs), list(vs))
+        want = [variant_to_json(m, v) for v in vs]
+        assert got == want
 except ImportError:  # hypothesis gated behind import-try
     pass
+
+
+def test_batch_fallback_shapes_match_per_row():
+    from pq_engine.spark.variant_binary import (
+        objs_to_variant_batch,
+        variants_to_json_batch,
+    )
+
+    shapes = [
+        [{"a": 1}, {"b": 2}],                      # differing key sets
+        [{"a": [1, 2]}, {"a": [3]}],               # nested values
+        [{"a": "x" * 100}, {"a": "y"}],            # long string (> 63 B)
+        [{"a": Decimal("1.5")}, {"a": Decimal("2")}],  # non-JSON scalar
+        [{"a": 2**70}, {"a": 1}],                  # int past int64 -> error
+    ]
+    for objs in shapes[:-1]:
+        m, vs = objs_to_variant_batch(objs)
+        assert [variant_to_obj(m, v) for v in vs] == objs
+        got = variants_to_json_batch([m] * len(vs), list(vs))
+        assert got == [variant_to_json(m, v) for v in vs]
+    with pytest.raises(ValueError):
+        objs_to_variant_batch(shapes[-1])
+
+
+def test_batch_decode_mixed_null_rows():
+    from pq_engine.spark.variant_binary import (
+        objs_to_variant_batch,
+        variants_to_json_batch,
+    )
+
+    objs = [{"a": i, "b": f"s{i}"} for i in range(5)]
+    m, vs = objs_to_variant_batch(objs)
+    ms = [m, None, m, m, m]
+    vals = [vs[0], vs[1], None, vs[3], vs[4]]
+    got = variants_to_json_batch(ms, vals)
+    assert got[1] is None and got[2] is None
+    assert got[0] == variant_to_json(m, vs[0])
+    assert got[4] == variant_to_json(m, vs[4])
