@@ -87,14 +87,17 @@ class SymbolTable:
         """Cached lookup tables for the fast match path (the paper's
         shortCodes + one-symbol-per-bucket idea, vectorized, tuned so a wave
         costs the fewest possible numpy calls):
-        - code12[65536] / len12[65536]: best SHORT code (2-byte symbol if
-          present, else the 1-byte code of the window's first byte, else -1
-          escape) and its length — one gather yields both code AND step;
+        - cl12[65536]: ONE combined u32 LUT per 16-bit window — step length
+          (bits 0-7), best short code + 1 (bits 8-16: 2-byte symbol if
+          present, else the 1-byte code, else 0 = escape), and the
+          long-symbol bucket hint + 2 (bits 17-26: 0 = multi, 1 = empty,
+          else row) — one gather yields code, step AND long-probe hint;
         - code1[256] kept for the end-of-string fixup (r < 2);
-        - long symbols (3..8 bytes) keyed by their first 3 bytes, at most one
-          per 3-byte prefix (build_table enforces this): one sorted probe,
-          then ONE structured-record gather (split u32 key/mask halves +
-          length + code in a single 19-byte row) verifies the full match."""
+        - long symbols (3..8 bytes) keyed by their first 3 bytes, at most
+          one per 3-byte prefix (build_table enforces this); multi buckets
+          resolve via hash24 (24-bit prefix hash; false candidates die in
+          the verify), and ONE masked u64 window compare against
+          key64/mask64 verifies the match with lc32 giving length+code."""
         if self._lut is None:
             code1 = np.full(256, -1, dtype=np.int16)
             two = []  # (k2, code)
@@ -114,22 +117,20 @@ class SymbolTable:
             longs.sort()
             k3 = np.array([k for k, _ in longs], dtype=np.uint32)
             nl = len(longs)
-            klo = np.zeros(nl, np.uint32)
-            khi = np.zeros(nl, np.uint32)
-            mlo = np.zeros(nl, np.uint32)
-            mhi = np.zeros(nl, np.uint32)
-            l3 = np.zeros(nl, np.uint8)
-            c3 = np.zeros(nl, np.int16)
+            # packed verify tables (r5): the full 8-byte masked compare is
+            # (win64 & mask64[row]) == key64[row] — ONE u64 gather per table
+            # instead of split lo/hi u32 pairs; length+code pack into one
+            # u32 gather. (The 24-bit k3 equality check is implied by the
+            # masked compare — masks cover >= 3 bytes — so it is dropped
+            # from the verify; k3 stays as the sorted probe key.)
+            key64 = np.zeros(nl, np.uint64)
+            mask64 = np.zeros(nl, np.uint64)
+            lc32 = np.zeros(nl, np.uint32)  # len | code << 8
             for row, (_, c) in enumerate(longs):
                 s = self.symbols[c]
-                key = int.from_bytes(s, "little")
-                mask = (1 << (8 * len(s))) - 1
-                klo[row] = key & 0xFFFFFFFF
-                khi[row] = (key >> 32) & 0xFFFFFFFF
-                mlo[row] = mask & 0xFFFFFFFF
-                mhi[row] = (mask >> 32) & 0xFFFFFFFF
-                l3[row] = len(s)
-                c3[row] = c
+                key64[row] = int.from_bytes(s, "little")
+                mask64[row] = (1 << (8 * len(s))) - 1
+                lc32[row] = len(s) | (c << 8)
             # 2-byte-prefix bucket index over the k3-sorted long table: k3 is
             # little-endian (b0 | b1<<8 | b2<<16), so rows sharing (b0,b1) are
             # NOT contiguous — bucket16 maps each 16-bit prefix to its single
@@ -143,8 +144,25 @@ class SymbolTable:
                 # against -1 (empty) only — `>= 0` would let a third row
                 # overwrite the multi marker and shadow its bucket-mates
                 bucket16[k16] = row if bucket16[k16] == -1 else -2
-            self._lut = (code1, code12, len12, k3, klo, khi, mlo, mhi, l3, c3,
-                         bucket16)
+            # multi buckets resolve through a HASH of the full 24-bit
+            # prefix (r5, replaces a per-wave searchsorted): collisions may
+            # shadow a symbol (strictly a ratio concern, never correctness
+            # — the masked window compare rejects any false candidate), and
+            # with <= 255 rows in 65536 slots shadowing is rare
+            hash24 = np.zeros(65536, dtype=np.int32)
+            if nl:
+                h = ((k3.astype(np.uint64) * np.uint64(0x9E3779B1))
+                     >> np.uint64(16)).astype(np.uint32) & np.uint32(0xFFFF)
+                hash24[h] = np.arange(nl, dtype=np.int32)
+            # ONE combined 16-bit LUT (r5): len (bits 0-7) | code+1 (8-16) |
+            # bucket+2 (17-26) — short code, step AND long-bucket hint come
+            # from a single gather instead of three
+            cl12 = (
+                len12.astype(np.uint32)
+                | ((code12.astype(np.int32) + 1).astype(np.uint32) << np.uint32(8))
+                | ((bucket16 + 2).astype(np.uint32) << np.uint32(17))
+            )
+            self._lut = (code1, cl12, k3, key64, mask64, lc32, hash24)
         return self._lut
 
     @staticmethod
@@ -258,40 +276,47 @@ def _match_at(padded: np.ndarray, rem8: np.ndarray, table: SymbolTable,
     keep wave temporaries cache-resident; the verify runs at every
     prefix-candidate position from two u32 gathers (prefix hit rate on web
     text is ~1, so subsetting first would cost more than it saves)."""
-    (code1, code12, len12, k3tab, klo, khi, mlo, mhi, l3, c3,
-     bucket16) = table.lut()
+    (code1, cl12, k3tab, key64, mask64, lc32, hash24) = table.lut()
     r = rem8[P]
     k4 = k4_all[P]
     k16 = k4.astype(np.uint16)
-    code = code12[k16]  # own buffers (gather output):
-    mlen = len12[k16]   # in-place fixups below are safe
+    cl = cl12[k16]  # ONE gather: step | short code | long-bucket hint
+    mlen = (cl & np.uint32(0xFF)).astype(np.uint8)
+    code = ((cl >> np.uint32(8)) & np.uint32(0x1FF)).astype(np.int16)
+    code -= 1
     bad = mlen > r  # 2-byte short match hanging over the string end
     if bad.any():
         rows = np.flatnonzero(bad)
         code[rows] = code1[k4[rows].astype(np.uint8)]
         mlen[rows] = 1
     if len(k3tab):
-        # long-symbol probe: one bucket gather resolves unique 2-byte
-        # prefixes (the common case); only multi-symbol buckets (-2) pay a
-        # searchsorted, on just their positions
-        j = bucket16[k16]
+        # long-symbol probe: bucket hint from the combined LUT resolves
+        # unique 2-byte prefixes; multi buckets (-2) resolve via the 24-bit
+        # prefix hash (false candidates die in the masked compare)
+        j = (cl >> np.uint32(17)).astype(np.int32)
+        j -= 2
         multi = j == -2
         if multi.any():
             rows = np.flatnonzero(multi)
-            jm = np.searchsorted(k3tab, k4[rows] & np.uint32(0xFFFFFF))
-            np.minimum(jm, len(k3tab) - 1, out=jm)
-            j[rows] = jm
-        np.maximum(j, 0, out=j)  # empty buckets probe row 0; k3 check rejects
-        ok = (
-            (k3tab[j] == (k4 & np.uint32(0xFFFFFF)))
-            & (l3[j] <= r)
-            & ((k4 & mlo[j]) == klo[j])
-            & ((k4_all[P + 4] & mhi[j]) == khi[j])
+            p24 = (k4[rows] & np.uint32(0xFFFFFF)).astype(np.uint64)
+            h = ((p24 * np.uint64(0x9E3779B1)) >> np.uint64(16)).astype(
+                np.uint32
+            ) & np.uint32(0xFFFF)
+            j[rows] = hash24[h]
+        np.maximum(j, 0, out=j)  # empty buckets probe row 0; the masked
+        # window compare rejects (a full match at row 0 would imply a
+        # non-empty bucket for this k16)
+        # ONE masked u64 compare verifies the whole match (r5): window =
+        # two u32 halves composed once; key/mask/len+code each one gather
+        win64 = k4.astype(np.uint64) | (
+            k4_all[P + 4].astype(np.uint64) << np.uint64(32)
         )
+        lc = lc32[j]
+        sl = (lc & np.uint32(0xFF)).astype(np.uint8)
+        ok = ((win64 & mask64[j]) == key64[j]) & (sl <= r)
         rows = np.flatnonzero(ok)
-        jr = j[rows]
-        code[rows] = c3[jr]
-        mlen[rows] = l3[jr]
+        code[rows] = (lc[rows] >> np.uint32(8)).astype(np.int16)
+        mlen[rows] = sl[rows]
     return code, mlen  # int16 codes, uint8 steps — callers widen once
 
 
@@ -331,10 +356,17 @@ def encode_fsst_tokens(col: RaggedBytes, table: SymbolTable,
     # a few linear passes (the argsort alone cost ~80% of a wave's budget).
     nstr = len(col)
     sid = np.flatnonzero(nz)  # string index per frontier entry
+    if n < 2**31:
+        # narrow wave state (r5): the per-round cost is pure memory traffic
+        # over frontier-sized arrays — int32 positions halve it (chunk
+        # batches are far below 2 GiB; the int64 path remains for safety)
+        frontier = frontier.astype(np.int32)
+        fends = fends.astype(np.int32)
+        sid = sid.astype(np.int32)
     pos_waves, code_waves, sid_waves = [], [], []
     straggler = None
     while len(frontier):
-        if len(frontier) < 256 and int((fends - frontier).max()) > 256:
+        if len(frontier) < 256 and int((fends - frontier).max()) > 64:
             # the frontier has shrunk to a few LONG stragglers (e.g. blobs in
             # a mixed batch): per-round overhead would dominate — match every
             # remaining position of those strings in one call and parse over
