@@ -18,10 +18,10 @@ survives. This module supplies that last stage:
   deterministic, join-free tie-break).
 
 Scale shape: every round is two hash joins + one groupBy on ``id`` —
-bounded-key equi-joins, no driver-side data. ``localCheckpoint`` truncates
-the growing lineage each round (on a real cluster use
-``spark.sparkContext.setCheckpointDir`` + reliable checkpoints every ~5
-rounds instead; the cut-points are marked below). Label payload is one
+bounded-key equi-joins, no driver-side data. Lineage is cut each round:
+reliable checkpoints when the session has a checkpoint dir (cluster —
+persist-then-eager-checkpoint so nothing recomputes), ``localCheckpoint``
+otherwise (local mode). Label payload is one
 long per node: 16 B/doc in shuffle, ~16 TB/round at 10^12 docs — the same
 order as one LSH banding pass, and rounds are logarithmic.
 
@@ -33,6 +33,23 @@ surface the mission brief adds on top.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _cut_lineage(df: DataFrame) -> DataFrame:
+    """Truncate lineage at an iteration boundary. Reliable checkpoint when
+    the session has a checkpoint dir (cluster: survives executor loss;
+    persist first so the checkpoint write reads cache blocks instead of
+    recomputing the round — the minhash r5 fix), localCheckpoint otherwise
+    (local mode: executor == driver anyway)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        ck = df.checkpoint(eager=True)
+        df.unpersist(blocking=False)
+        return ck
+    return df.localCheckpoint()
 
 
 def connected_components(
@@ -56,7 +73,7 @@ def connected_components(
         .filter(F.col("s") != F.col("d"))
     )
     e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
-    e = e.localCheckpoint()  # cluster: reliable checkpoint — edges are reused every round
+    e = _cut_lineage(e)  # edges are reused every round
 
     lab = e.groupBy(F.col("s").alias("id")).agg(F.min("d").alias("comp"))
     lab = lab.withColumn("comp", F.least("id", "comp"))
@@ -66,7 +83,7 @@ def connected_components(
             ids.join(lab, "id", "left")
             .select("id", F.coalesce("comp", "id").alias("comp"))
         )
-    lab = lab.localCheckpoint()
+    lab = _cut_lineage(lab)
     prev = lab.agg(F.sum("comp")).first()[0]
 
     for _ in range(max_iter):
@@ -86,7 +103,7 @@ def connected_components(
             lab.join(l2, lab["comp"] == l2["jid"], "left")
             .select("id", F.coalesce("jcomp", "comp").alias("comp"))
         )
-        lab = lab.localCheckpoint()  # cluster: reliable checkpoint every ~5 rounds
+        lab = _cut_lineage(lab)  # every round: lineage growth is exponential in rounds
         cur = lab.agg(F.sum("comp")).first()[0]
         if cur == prev:
             break

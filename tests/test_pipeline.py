@@ -315,6 +315,25 @@ def test_connected_components_long_chain(spark):
     assert {r["comp"] for r in out} == {0}
 
 
+def test_connected_components_reliable_checkpoint_branch(spark, tmp_path):
+    """With a checkpoint dir set (the cluster deployment contract), every
+    pointer-jumping round cuts lineage through the persist-then-eager-
+    checkpoint path — results must be identical to the local branch."""
+    from pq_engine.pipeline.cluster import connected_components
+
+    sc = spark.sparkContext
+    prev = sc.getCheckpointDir()
+    sc.setCheckpointDir(str(tmp_path / "cc_ckpt"))
+    try:
+        edges = [(i, i + 1) for i in range(99)] + [(200, 201)]
+        edf = spark.createDataFrame(edges, "id_a long, id_b long")
+        out = {r["id"]: r["comp"] for r in connected_components(edf).collect()}
+        assert all(out[i] == 0 for i in range(100))
+        assert out[200] == out[201] == 200
+    finally:
+        sc.setCheckpointDir(prev if prev else str(tmp_path / "restore"))
+
+
 def test_connected_components_isolated_and_selfloop(spark):
     from pq_engine.pipeline.cluster import canonical_docs, connected_components
 
