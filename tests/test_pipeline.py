@@ -165,15 +165,19 @@ def test_extract_features_deterministic_and_null_safe(spark, docs):
     assert all(len(v) == 8 for k, v in ra.items() if k % 7 != 0)
 
 
-def test_extract_features_real_decode_is_declared_stub(spark, docs):
-    import pytest as _pt
-
+def test_extract_features_real_decode_non_png_falls_back_to_fake(spark, docs):
+    """r5: deterministic_fake=False decodes PNG for REAL (test_png covers
+    it); non-PNG blobs (no jpeg/audio codec in this container) keep the
+    deterministic hash-projection — identical to the fake=True output, so
+    mixed media batches behave predictably."""
     from pq_engine.pipeline.multimodal import extract_features
 
-    df = docs.withColumn("blob", F.encode(F.col("text"), "utf-8"))
-    out = extract_features(df, "blob", deterministic_fake=False)
-    with _pt.raises(Exception, match="NotImplementedError|media decode"):
-        out.collect()
+    df = docs.withColumn("blob", F.encode(F.col("text"), "utf-8")).limit(20)
+    real = {r.doc_id: list(r.features) for r in extract_features(
+        df, "blob", deterministic_fake=False).collect()}
+    fake = {r.doc_id: list(r.features) for r in extract_features(
+        df, "blob", deterministic_fake=True).collect()}
+    assert real == fake
 
 
 def test_ann_ivf_recall_vs_exact(spark):

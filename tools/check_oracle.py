@@ -99,6 +99,15 @@ def main(names=None):
     spark.stop()
     bad = [k for k, v in results.items() if v not in ("OK",) and not v.startswith("rows-only")]
     print(f"\n{len(results) - len(bad)}/{len(results)} ok; failing: {bad}")
+    out_json = _os.environ.get("PQ_ORACLE_JSON")
+    if out_json:
+        import json as _json
+
+        with open(out_json, "w") as f:
+            _json.dump({"sf_dir": SF_DIR, "results": results,
+                        "ok": len(results) - len(bad), "total": len(results),
+                        "failing": bad}, f, indent=1)
+        print(f"wrote {out_json}")
     return 1 if bad else 0
 
 
