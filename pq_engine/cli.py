@@ -31,6 +31,8 @@ works on any machine that can see the files.
     python -m pq_engine.cli to-avro <pages_dir> --out FILE [--to deflate]
     python -m pq_engine.cli to-protobuf <pages_dir> --out FILE
     python -m pq_engine.cli from-protobuf <file.pb> --out DIR
+    python -m pq_engine.cli to-thrift <pages_dir> --out FILE
+    python -m pq_engine.cli from-thrift <file.tc> --out DIR
     python -m pq_engine.cli geospatial-stats <pages_dir> [--column C]
 """
 
@@ -643,6 +645,54 @@ def cmd_from_protobuf(args):
     print(f"encoded {n} protobuf records ({name}), {len(fields)} fields → {args.out}")
 
 
+def cmd_from_thrift(args):
+    """Thrift import (parquet-thrift ThriftParquetWriter direction):
+    back-to-back compact structs + generated .thrift IDL → encoded page
+    table, via the from-scratch compact-protocol reader."""
+    import os
+
+    import pyarrow as pa
+
+    from .interop.thriftobj import read_thrift
+    from .kernels.ragged import RaggedBytes
+    from .pages import encode_column
+
+    if not args.out:
+        sys.exit("--out required")
+    os.makedirs(args.out, exist_ok=True)
+    name, fields, records = read_thrift(args.path)
+    rows = []
+    n = len(records)
+    for fld in fields:
+        col, tt = fld["name"], fld["thrift_type"]
+        vals = [r[col] for r in records]
+        validity = None
+        if fld["optional"] and any(v is None for v in vals):
+            validity = np.array([v is not None for v in vals])
+            vals = [v for v in vals if v is not None]
+        if tt in ("i64", "i32", "i16"):
+            pt = "int64" if tt == "i64" else "int32"
+            values = np.array(vals, dtype=np.int64)
+        elif tt == "double":
+            pt, values = "float64", np.array(vals, dtype=np.float64)
+        elif tt == "bool":
+            pt, values = "bool", np.array(vals, dtype=bool)
+        elif tt == "string":
+            pt = "string"
+            values = RaggedBytes.from_pylist([v.encode() for v in vals])
+        elif tt == "binary":
+            pt = "binary"
+            values = RaggedBytes.from_pylist([bytes(v) for v in vals])
+        else:
+            print(f"skipping field {col}: thrift type {tt!r} unsupported")
+            continue
+        rows += _rebuild_rows(None, 0, 0, col,
+                              encode_column(values, pt, validity=validity), None)
+    tbl = pa.Table.from_pylist(rows)
+    _write_pages(tbl, args.out)
+    print(f"encoded {n} thrift records ({name}), {len(fields)} fields → {args.out}")
+
+
 def cmd_version(args=None):
     """VersionCommand analog."""
     from . import __version__
@@ -1055,6 +1105,67 @@ def cmd_to_protobuf(tbl, args):
           f"(proto3 delimited; schema {schema_path})")
 
 
+
+
+def cmd_to_thrift(tbl, args):
+    """ThriftParquetWriter-direction analog (reference parquet-thrift/...
+    /ThriftParquetWriter.java binds thrift classes to parquet; this is the
+    reverse surface): decode the page table and write back-to-back compact
+    structs + generated .thrift IDL via the from-scratch wire writer.
+    Supported: flat primitives + date/timestamp/decimal/uuid (i64/i32 with
+    comments), nullable as thrift optional presence."""
+    from .interop.thriftobj import write_thrift
+    from .pages import _concat_ragged
+
+    if not args.out:
+        sys.exit("--out required")
+    keys = sorted(
+        {(tbl["split_id"][i].as_py(), tbl["batch_id"][i].as_py()) for i in range(tbl.num_rows)}
+    )
+    columns = sorted({tbl["column"][i].as_py() for i in range(tbl.num_rows)})
+    cols_out = []
+    n_rows = 0
+    for c in columns:
+        vals_parts, valid_parts, ptype = [], [], None
+        for split, batch in keys:
+            pages = _page_dicts(tbl, split, batch, c)
+            if not pages:
+                continue
+            ptype = next(p[0]["ptype"] for p in pages if p[0]["page"] >= 0)
+            values, validity = decode_column(pages)
+            n = len(validity) if validity is not None else len(values)
+            vals_parts.append(values)
+            valid_parts.append(
+                validity if validity is not None else np.ones(n, dtype=bool)
+            )
+        if ptype is None:
+            continue
+        supported = ptype in (
+            "string", "binary", "int32", "int64", "float64", "bool",
+            "timestamp_us", "timestamp_ntz_us", "date32", "uuid",
+        ) or ptype.startswith("decimal64[")
+        if not supported:
+            print(f"skipping column {c}: {ptype} not supported by to-thrift")
+            continue
+        if ptype in RAGGED_TYPES:
+            values = _concat_ragged(vals_parts)
+        else:
+            values = np.concatenate(vals_parts)
+        validity = np.concatenate(valid_parts)
+        n_rows = len(validity)
+        cols_out.append(
+            {
+                "name": c,
+                "ptype": ptype,
+                "values": values,
+                "validity": None if validity.all() else validity,
+            }
+        )
+    schema_path = write_thrift(args.out, "PqTable", cols_out, n_rows)
+    print(f"wrote {n_rows} rows x {len(cols_out)} columns -> {args.out} "
+          f"(thrift compact; schema {schema_path})")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="pq_engine.cli")
     ap.add_argument(
@@ -1064,7 +1175,7 @@ def main(argv=None):
             "column-size", "column-index", "bloom-filter", "prune", "mask",
             "trans-compression", "from-csv", "from-avro", "version", "footer", "size-stats",
             "check-stats", "rewrite", "to-parquet", "to-avro", "geospatial-stats",
-            "to-protobuf", "from-protobuf",
+            "to-protobuf", "from-protobuf", "to-thrift", "from-thrift",
         ],
     )
     ap.add_argument("path", nargs="?")
@@ -1097,6 +1208,9 @@ def main(argv=None):
     if args.command == "from-protobuf":
         cmd_from_protobuf(args)
         return
+    if args.command == "from-thrift":
+        cmd_from_thrift(args)
+        return
     if args.command == "footer":
         cmd_footer(args)
         return
@@ -1121,6 +1235,7 @@ def main(argv=None):
         "to-parquet": cmd_to_parquet,
         "to-avro": cmd_to_avro,
         "to-protobuf": cmd_to_protobuf,
+        "to-thrift": cmd_to_thrift,
         "geospatial-stats": cmd_geospatial_stats,
     }[args.command](tbl, args)
 
