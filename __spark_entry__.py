@@ -1213,6 +1213,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def external_parquet_scan(spark, sf_dir):
+        """r5: the from-scratch parquet READER (ParquetFileReader.java
+        analog) — pyarrow writes per-partition files with forced encodings
+        (DELTA_BINARY_PACKED ids, dictionary strings, snappy pages), then a
+        distributed scan decodes them through OUR footer/page/kernel stack
+        (interop/parquet_reader.py, generic compact-thrift walk + NumPy
+        codecs, no parquet library in the read path) — hash-oracled against
+        the source columns."""
+        import os as _os
+        import tempfile as _tmp
+        import uuid as _uuid_mod
+
+        out_dir = _tmp.mkdtemp(prefix="pq_ext_scan_")
+
+        def write_part(batches):
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                path = _os.path.join(
+                    out_dir, f"part-{_uuid_mod.uuid4().hex}.parquet"
+                )
+                _pq.write_table(
+                    _pa.Table.from_pandas(pdf, preserve_index=False), path,
+                    compression="snappy", use_dictionary=["lang"],
+                    column_encoding={"doc_id": "DELTA_BINARY_PACKED",
+                                     "n_chars": "PLAIN"},
+                )
+                yield pandas.DataFrame({"path": [path]})
+
+        src = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        files = src.mapInPandas(write_part, "path string")
+
+        def scan(batches):
+            from pq_engine.interop.parquet_reader import read_parquet_pandas
+
+            for pdf in batches:
+                for p in pdf["path"]:
+                    yield read_parquet_pandas(p)
+
+        return files.repartition(8).mapInPandas(
+            scan, "doc_id long, lang string, n_chars long"
+        )
+
     def geo_multipolygon_filter(spark, sf_dir):
         """r4 shape breadth: GEOMETRY column of WKB MultiPolygons (two unit
         squares per doc) — the bbox walk now covers Multi* shapes, so chunk
@@ -1426,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_parquet_interop": variant_parquet_interop,  # new in r5
         "table_time_travel": table_time_travel,  # new in r5
         "fixed_dict_pushdown": fixed_dict_pushdown,  # new in r5
+        "external_parquet_scan": external_parquet_scan,  # new in r5
         "analytics_on_decoded": analytics_on_decoded,
         "analytics_join_region": analytics_join_region,
         "text_quality": quality,
@@ -1443,7 +1490,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_plan": frame_plan,
         # ---- block B: regression-prone keepers (also recorded in r04) ----
         "rt_fsst_text": _rt("documents", "text", "fsst", ["doc_id"]),
-        "rt_bss_value": _rt("events", "value", "bss", ["event_id"]),
         "rt_auto_text": _rt("documents", "text", "auto", ["doc_id"]),
         "rt_date_orderdate": rt_date,
         "rt_decimal_wide": rt_decimal_wide,
@@ -1469,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_delta_orderkey": _rt("lineitem", "l_orderkey", "delta", ["l_linenumber"], out_cols=["l_linenumber", "l_orderkey"]),
         "rt_delta_ts": _rt_ts("events", "ts", "delta", ["event_id"]),
         "rt_decimal_nchars": rt_decimal,
+        "rt_bss_value": _rt("events", "value", "bss", ["event_id"]),
         "rt_ts_ntz": rt_ts_ntz,
         "rt_interval": rt_interval,
         "rt_float16": rt_float16,
@@ -1581,6 +1628,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang AS lang2, n_chars AS n2 FROM documents",
         "variant_parquet_interop":
             "SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n FROM documents",
+        "external_parquet_scan":
+            "SELECT doc_id, lang, n_chars FROM documents",
         "fixed_dict_pushdown": """
             SELECT doc_id, upper(substr(md5(lang), 1, 16)) AS fx_hex
             FROM documents WHERE lang IN ('en', 'de')

@@ -33,6 +33,7 @@ works on any machine that can see the files.
     python -m pq_engine.cli from-protobuf <file.pb> --out DIR
     python -m pq_engine.cli to-thrift <pages_dir> --out FILE
     python -m pq_engine.cli from-thrift <file.tc> --out DIR
+    python -m pq_engine.cli from-parquet <file.parquet> --out DIR
     python -m pq_engine.cli geospatial-stats <pages_dir> [--column C]
 """
 
@@ -693,6 +694,42 @@ def cmd_from_thrift(args):
     print(f"encoded {n} thrift records ({name}), {len(fields)} fields → {args.out}")
 
 
+def cmd_from_parquet(args):
+    """External parquet import via OUR from-scratch reader (the
+    ParquetFileReader direction — no pyarrow parquet in the loop): flat
+    file written by any writer → encoded page table."""
+    import os
+
+    import pyarrow as pa
+
+    from .interop.parquet_reader import read_parquet
+    from .pages import encode_column
+
+    if not args.out:
+        sys.exit("--out required")
+    os.makedirs(args.out, exist_ok=True)
+    schema, data = read_parquet(args.path)
+    rows = []
+    for c in schema:
+        name = c["name"]
+        values, validity = data[name]
+        phys = c["physical"]
+        if phys == "byte_array":
+            pt = "string" if c.get("converted") == 0 else "binary"
+        elif phys == "flba":
+            pt = f"fixed[{c['type_length']}]"
+        elif phys == "int96":
+            pt = "fixed[12]"
+        else:
+            pt = phys
+        rows += _rebuild_rows(None, 0, 0, name,
+                              encode_column(values, pt, validity=validity), None)
+    tbl = pa.Table.from_pylist(rows)
+    _write_pages(tbl, args.out)
+    n = len(next(iter(data.values()))[1] or next(iter(data.values()))[0])
+    print(f"encoded {len(schema)} columns from external parquet → {args.out}")
+
+
 def cmd_version(args=None):
     """VersionCommand analog."""
     from . import __version__
@@ -1175,7 +1212,7 @@ def main(argv=None):
             "column-size", "column-index", "bloom-filter", "prune", "mask",
             "trans-compression", "from-csv", "from-avro", "version", "footer", "size-stats",
             "check-stats", "rewrite", "to-parquet", "to-avro", "geospatial-stats",
-            "to-protobuf", "from-protobuf", "to-thrift", "from-thrift",
+            "to-protobuf", "from-protobuf", "to-thrift", "from-thrift", "from-parquet",
         ],
     )
     ap.add_argument("path", nargs="?")
@@ -1210,6 +1247,9 @@ def main(argv=None):
         return
     if args.command == "from-thrift":
         cmd_from_thrift(args)
+        return
+    if args.command == "from-parquet":
+        cmd_from_parquet(args)
         return
     if args.command == "footer":
         cmd_footer(args)

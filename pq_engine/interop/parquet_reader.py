@@ -1,0 +1,335 @@
+"""Read real parquet files from scratch — the ParquetFileReader analog.
+
+The interop WRITER proved our page bytes by letting pyarrow/DuckDB decode
+them; this module proves the reverse: files written by EXTERNAL writers
+(pyarrow, DuckDB, parquet-java, our own interop writer) decode through our
+NumPy kernels with no parquet library in the loop. Footer and page headers
+parse via the generic compact-thrift reader (thrift_compact.read_struct);
+values decode with the same kernels the engine encodes with.
+
+Reference shape: ParquetFileReader.java (footer walk, chunk page streams)
++ ParquetMetadataConverter.java (FileMetaData thrift ids) +
+DataPageV1/V2 framing. Field ids below come from the public
+parquet-format parquet.thrift.
+
+Scope (validated with clear errors): FLAT schemas — required/optional
+primitive columns (BOOLEAN/INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY/FLBA),
+data pages V1 + V2, encodings PLAIN / (PLAIN|RLE)_DICTIONARY /
+DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY /
+BYTE_STREAM_SPLIT / RLE(bool), codecs none/snappy/gzip/brotli/zstd/
+lz4_raw. Nested columns raise (the engine's own shred path covers nested
+through the page-table format).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..kernels import bytestream, delta, dictionary, plain, rle
+from ..kernels.ragged import RaggedBytes
+from .thrift_compact import read_struct
+
+MAGIC = b"PAR1"
+
+_PHYS = {0: "bool", 1: "int32", 2: "int64", 3: "int96", 4: "float32",
+         5: "float64", 6: "byte_array", 7: "flba"}
+_CODEC = {0: "none", 1: "snappy", 2: "gzip", 4: "lz4", 5: "brotli",
+          6: "zstd", 7: "lz4_raw"}
+_NUMDT = {"int32": np.int32, "int64": np.int64,
+          "float32": np.float32, "float64": np.float64}
+
+ENC_PLAIN, ENC_PLAIN_DICT, ENC_RLE = 0, 2, 3
+ENC_DELTA_BP, ENC_DLBA, ENC_DBA, ENC_RLE_DICT, ENC_BSS = 5, 6, 7, 8, 9
+PAGE_DATA, PAGE_DICT, PAGE_DATA_V2 = 0, 2, 3
+
+
+def read_footer(buf: bytes) -> dict:
+    """Parse FileMetaData -> {num_rows, schema: [col dicts], row_groups}."""
+    if buf[:4] != MAGIC or buf[-4:] != MAGIC:
+        raise ValueError("not a parquet file (magic)")
+    flen = int.from_bytes(buf[-8:-4], "little")
+    fmeta, _ = read_struct(buf[len(buf) - 8 - flen : len(buf) - 8])
+    schema_elems = fmeta.get(2, [])
+    if not schema_elems:
+        raise ValueError("parquet footer missing schema")
+    root = schema_elems[0]
+    ncols = root.get(5, 0)
+    cols = []
+    i = 1
+    while i < len(schema_elems):
+        se = schema_elems[i]
+        if se.get(5):  # num_children on a non-root element
+            raise ValueError(
+                f"nested column {se.get(4, b'?').decode()!r} unsupported by "
+                "the external reader (flat schemas only)"
+            )
+        cols.append({
+            "name": se[4].decode(),
+            "physical": _PHYS[se[1]],
+            "type_length": se.get(2),
+            "optional": se.get(3, 0) == 1,
+            "converted": se.get(6),   # 0 = UTF8 etc.
+        })
+        i += 1
+    if len(cols) != ncols:
+        raise ValueError(f"schema children {len(cols)} != root count {ncols}")
+    row_groups = []
+    for rg in fmeta.get(4, []):
+        chunks = []
+        for cc in rg.get(1, []):
+            md = cc.get(3)
+            if md is None:
+                raise ValueError("column chunk without inline metadata")
+            chunks.append({
+                "path": [p.decode() for p in md[3]],
+                "codec": _CODEC.get(md[4], f"codec{md[4]}"),
+                "num_values": md[5],
+                "total_compressed": md[7],
+                "data_off": md[9],
+                "dict_off": md.get(11),
+            })
+        row_groups.append({"num_rows": rg[3], "chunks": chunks})
+    return {"num_rows": fmeta[3], "schema": cols, "row_groups": row_groups}
+
+
+def _decompress(body: bytes, codec: str, raw_size: int) -> bytes:
+    # parquet page bodies are RAW codec streams (no length prefix — the
+    # PageHeader carries uncompressed_page_size); our engine's
+    # compression.py prefixes its own blobs, so go to the codecs directly
+    if codec == "none" or len(body) == raw_size == 0:
+        return body
+    if codec == "gzip":
+        import zlib
+
+        out = zlib.decompress(body, wbits=31)
+    else:
+        import pyarrow as pa
+
+        out = bytes(pa.Codec(codec).decompress(body, raw_size))
+    if len(out) != raw_size:
+        raise ValueError(
+            f"decompressed size {len(out)} != header uncompressed {raw_size}"
+        )
+    return out
+
+
+def _decode_values(enc: int, body, phys: str, count: int, type_length,
+                   dict_vals):
+    if enc in (ENC_PLAIN_DICT, ENC_RLE_DICT):
+        if dict_vals is None:
+            raise ValueError("dictionary-encoded page before dictionary page")
+        ids = dictionary.decode_dict_data_page(body, count)
+        return dict_vals.take(ids) if isinstance(dict_vals, RaggedBytes) \
+            else dict_vals[ids]
+    if enc == ENC_PLAIN:
+        if phys == "bool":
+            return plain.decode_plain_bool(body, count)
+        if phys == "byte_array":
+            return plain.decode_plain_bytes(body, count)
+        if phys == "flba":
+            return plain.decode_plain_fixed(body, type_length, count)
+        if phys == "int96":
+            return plain.decode_plain_fixed(body, 12, count)
+        return plain.decode_plain_numeric(body, _NUMDT[phys], count)
+    if enc == ENC_RLE and phys == "bool":
+        # bool RLE pages carry a u32 length prefix then the hybrid stream
+        return rle.decode_hybrid(memoryview(body)[4:], 1, count).astype(bool)
+    if enc == ENC_DELTA_BP:
+        return delta.decode_delta(body, _NUMDT[phys])
+    if enc == ENC_BSS:
+        if phys == "flba":
+            return bytestream.decode_bss_fixed(body, type_length, count)
+        return bytestream.decode_bss(body, _NUMDT[phys], count)
+    if enc == ENC_DLBA:
+        lengths, used = delta.decode_delta(body, np.int64, return_consumed=True)
+        offsets = np.zeros(count + 1, dtype=np.int64)
+        np.cumsum(lengths[:count], out=offsets[1:])
+        data = np.frombuffer(body, dtype=np.uint8, count=int(offsets[-1]),
+                             offset=used)
+        return RaggedBytes(offsets, data.copy())
+    if enc == ENC_DBA:
+        prefixes, used = delta.decode_delta(body, np.int64, return_consumed=True)
+        suf_lens, used2 = delta.decode_delta(
+            memoryview(body)[used:], np.int64, return_consumed=True
+        )
+        raw = bytes(memoryview(body)[used + used2:])
+        # prefix reconstruction is sequential by definition (each value
+        # borrows from the PREVIOUS reconstructed value) — per-value loop,
+        # acceptable on the verification surface
+        vals, pos, prev = [], 0, b""
+        for i in range(count):
+            s = raw[pos : pos + int(suf_lens[i])]
+            pos += int(suf_lens[i])
+            prev = prev[: int(prefixes[i])] + s
+            vals.append(prev)
+        return RaggedBytes.from_pylist(vals)
+    raise ValueError(f"unsupported encoding {enc} for {phys}")
+
+
+def _read_chunk(buf: bytes, chunk: dict, col: dict):
+    """Decode one column chunk -> (values, validity|None)."""
+    start = chunk["dict_off"] if chunk["dict_off"] is not None else chunk["data_off"]
+    if chunk["dict_off"] is not None and chunk["data_off"] < start:
+        start = chunk["data_off"]  # some writers put dict after first page
+    pos = start
+    remaining = chunk["num_values"]
+    phys = col["physical"]
+    dict_vals = None
+    vals_parts, valid_parts = [], []
+    any_nulls = False
+    while remaining > 0:
+        hdr, body_pos = read_struct(buf, pos)
+        ptype = hdr[1]
+        raw_size, comp_size = hdr[2], hdr[3]
+        body = buf[body_pos : body_pos + comp_size]
+        if len(body) != comp_size:
+            raise ValueError("page body truncated")
+        pos = body_pos + comp_size
+        if ptype == PAGE_DICT:
+            dh = hdr[7]
+            n_dict = dh[1]
+            raw = _decompress(body, chunk["codec"], raw_size)
+            if phys == "byte_array":
+                dict_vals = plain.decode_plain_bytes(raw, n_dict)
+            elif phys == "flba":
+                dict_vals = plain.decode_plain_fixed(raw, col["type_length"], n_dict)
+            else:
+                dict_vals = plain.decode_plain_numeric(raw, _NUMDT[phys], n_dict)
+            continue
+        if ptype == PAGE_DATA:
+            dh = hdr[5]
+            n_vals, enc = dh[1], dh[2]
+            raw = _decompress(body, chunk["codec"], raw_size)
+            off = 0
+            if col["optional"]:
+                levels, used = rle.decode_hybrid_length_prefixed(
+                    memoryview(raw)[:], 1, n_vals
+                )
+                validity = levels.astype(bool)
+                off = used
+                any_nulls = True
+            else:
+                validity = np.ones(n_vals, dtype=bool)
+            count = int(validity.sum())
+            values = _decode_values(
+                enc, memoryview(raw)[off:], phys, count,
+                col["type_length"], dict_vals,
+            )
+        elif ptype == PAGE_DATA_V2:
+            dh = hdr[8]
+            n_vals, n_nulls, enc = dh[1], dh[2], dh[4]
+            def_len = dh[5]
+            rep_len = dh[6]
+            if rep_len:
+                raise ValueError("repetition levels unsupported (flat only)")
+            is_comp = dh.get(7, True)
+            levels_raw = body[:def_len]
+            vals_body = body[def_len:]
+            if is_comp:
+                vals_body = _decompress(
+                    vals_body, chunk["codec"], raw_size - def_len
+                )
+            if col["optional"] and def_len:
+                validity = rle.decode_hybrid(levels_raw, 1, n_vals).astype(bool)
+                any_nulls = True
+            else:
+                validity = np.ones(n_vals, dtype=bool)
+            count = n_vals - n_nulls
+            if count != int(validity.sum()):
+                raise ValueError("v2 page num_nulls disagrees with def levels")
+            values = _decode_values(
+                enc, vals_body, phys, count, col["type_length"], dict_vals,
+            )
+        else:
+            raise ValueError(f"unsupported page type {ptype}")
+        vals_parts.append(values)
+        valid_parts.append(validity)
+        remaining -= n_vals
+    if remaining != 0:
+        raise ValueError("chunk value count overran the footer's num_values")
+    if isinstance(vals_parts[0], RaggedBytes):
+        from ..pages import _concat_ragged
+
+        values = _concat_ragged(vals_parts)
+    else:
+        values = np.concatenate(vals_parts)
+    validity = np.concatenate(valid_parts)
+    # optional-but-dense chunks (pyarrow marks every column nullable)
+    # normalize to validity=None — the kernel convention
+    if not any_nulls or validity.all():
+        return values, None
+    return values, validity
+
+
+def read_parquet(path_or_buf, columns: list[str] | None = None):
+    """Read a flat parquet file -> (schema cols, {name: (values, validity)}).
+
+    ``values`` are kernel-form: RaggedBytes for BYTE_ARRAY, (n,k) uint8 for
+    FLBA/INT96, numpy arrays otherwise; when ``validity`` is not None the
+    values hold non-null entries only (the engine's kernel convention)."""
+    if isinstance(path_or_buf, (bytes, bytearray)):
+        buf = bytes(path_or_buf)
+    else:
+        with open(path_or_buf, "rb") as f:
+            buf = f.read()
+    meta = read_footer(buf)
+    by_name = {c["name"]: c for c in meta["schema"]}
+    want = columns or [c["name"] for c in meta["schema"]]
+    out = {}
+    for name in want:
+        col = by_name[name]
+        parts = []
+        for rg in meta["row_groups"]:
+            chunk = next(
+                c for c in rg["chunks"] if c["path"] == [name]
+            )
+            parts.append(_read_chunk(buf, chunk, col))
+        if len(parts) == 1:
+            out[name] = parts[0]
+        else:
+            vals = [p[0] for p in parts]
+            if isinstance(vals[0], RaggedBytes):
+                from ..pages import _concat_ragged
+
+                values = _concat_ragged(vals)
+            else:
+                values = np.concatenate(vals)
+            vds = [
+                p[1] if p[1] is not None
+                else np.ones(
+                    len(p[0]) if not isinstance(p[0], RaggedBytes) else len(p[0]),
+                    dtype=bool,
+                )
+                for p in parts
+            ]
+            validity = np.concatenate(vds)
+            out[name] = (values, None if validity.all() else validity)
+    return meta["schema"], out
+
+
+def read_parquet_pandas(path_or_buf, columns: list[str] | None = None):
+    """Convenience: decode to a pandas DataFrame (strings decoded when the
+    column is annotated UTF8) — the shape the Spark mapInPandas scan uses."""
+    import pandas as pd
+
+    schema, data = read_parquet(path_or_buf, columns)
+    by_name = {c["name"]: c for c in schema}
+    cols = {}
+    for name, (values, validity) in data.items():
+        c = by_name[name]
+        if isinstance(values, RaggedBytes):
+            lst = values.to_pylist()
+            if c.get("converted") == 0:  # UTF8
+                lst = [v.decode("utf-8") for v in lst]
+        elif values.ndim == 2:  # FLBA
+            lst = [bytes(r) for r in values]
+        else:
+            lst = values.tolist()
+        if validity is not None:
+            full, vi = [], 0
+            for ok in validity:
+                full.append(lst[vi] if ok else None)
+                vi += ok
+            lst = full
+        cols[name] = lst
+    return pd.DataFrame(cols)

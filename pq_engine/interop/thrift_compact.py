@@ -119,3 +119,98 @@ class StructWriter:
 
     def finish(self) -> bytes:
         return bytes(self.buf) + bytes([CT_STOP])
+
+
+# ----------------------------------------------------------------- reader
+#
+# Generic compact-protocol STRUCT reader (r5) — enough to parse parquet
+# FileMetaData / PageHeader written by any compliant writer (pyarrow,
+# parquet-java Util.writePageHeader, our own StructWriter). Returns plain
+# dicts keyed by field id; unknown fields are preserved, callers pick the
+# ids they know (the thrift forward-compat contract).
+
+
+def _read_uvar(buf, pos):
+    shift = out = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return out, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("thrift uvarint too long")
+
+
+def _unzig(u):
+    return (u >> 1) ^ -(u & 1)
+
+
+def read_struct(buf, pos: int = 0):
+    """Parse one compact struct at ``pos`` -> ({field_id: value}, end).
+    bool -> bool, byte/i16/i32/i64 -> int, double -> float, binary ->
+    bytes, struct -> dict, list -> list."""
+    out = {}
+    last = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("thrift struct truncated (no STOP)")
+        hb = buf[pos]
+        pos += 1
+        if hb == CT_STOP:
+            return out, pos
+        ctype = hb & 0x0F
+        delta = hb >> 4
+        if delta:
+            fid = last + delta
+        else:
+            z, pos = _read_uvar(buf, pos)
+            fid = _unzig(z)
+        last = fid
+        out[fid], pos = _read_value(buf, pos, ctype)
+
+
+def _read_value(buf, pos, ctype):
+    import struct as _s
+
+    if ctype == CT_BOOL_TRUE:
+        return True, pos
+    if ctype == CT_BOOL_FALSE:
+        return False, pos
+    if ctype == CT_BYTE:
+        v = buf[pos]
+        return (v - 256 if v >= 128 else v), pos + 1
+    if ctype in (CT_I16, CT_I32, CT_I64):
+        z, pos = _read_uvar(buf, pos)
+        return _unzig(z), pos
+    if ctype == CT_DOUBLE:
+        return _s.unpack_from("<d", buf, pos)[0], pos + 8
+    if ctype == CT_BINARY:
+        ln, pos = _read_uvar(buf, pos)
+        raw = bytes(buf[pos : pos + ln])
+        if len(raw) != ln:
+            raise ValueError("thrift binary truncated")
+        return raw, pos + ln
+    if ctype == CT_LIST:
+        hb = buf[pos]
+        pos += 1
+        size = hb >> 4
+        etype = hb & 0x0F
+        if size == 15:
+            size, pos = _read_uvar(buf, pos)
+        items = []
+        for _ in range(size):
+            if etype == CT_STRUCT:
+                v, pos = read_struct(buf, pos)
+            elif etype in (CT_BOOL_TRUE, CT_BOOL_FALSE):
+                # list<bool>: one byte per element (1 = true)
+                v = buf[pos] == 1
+                pos += 1
+            else:
+                v, pos = _read_value(buf, pos, etype)
+            items.append(v)
+        return items, pos
+    if ctype == CT_STRUCT:
+        return read_struct(buf, pos)
+    raise ValueError(f"unsupported compact type {ctype}")

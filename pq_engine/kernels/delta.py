@@ -103,21 +103,27 @@ def encode_delta(values: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def decode_delta(buf, dtype=np.int64) -> np.ndarray:
+def decode_delta(buf, dtype=np.int64, return_consumed: bool = False):
     """Decode a full page body (self-describing count). Mirrors
     DeltaBinaryPackingValuesReader.loadNewBlockToBuffer/unpackMiniBlock
-    (/root/reference/.../delta/DeltaBinaryPackingValuesReader.java:121,150)."""
+    (/root/reference/.../delta/DeltaBinaryPackingValuesReader.java:121,150).
+    ``return_consumed=True`` also returns the byte position after the block
+    — needed when a DELTA stream is FOLLOWED by payload in the same body
+    (parquet DELTA_LENGTH/DELTA_BYTE_ARRAY layouts)."""
+    def _ret(arr, pos):
+        return (arr, pos) if return_consumed else arr
+
     pos = 0
     block, pos = read_uvarint(buf, pos)
     nmini, pos = read_uvarint(buf, pos)
     mini = block // nmini
     n, pos = read_uvarint(buf, pos)
     if n == 0:
-        return np.zeros(0, dtype=dtype)
+        return _ret(np.zeros(0, dtype=dtype), pos)
     zz, pos = read_uvarint(buf, pos)
     first = zigzag_decode(zz)
     if n == 1:
-        return np.array([first], dtype=np.int64).astype(dtype)
+        return _ret(np.array([first], dtype=np.int64).astype(dtype), pos)
 
     nd = n - 1
     nblocks = (nd + block - 1) // block
@@ -148,4 +154,4 @@ def decode_delta(buf, dtype=np.int64) -> np.ndarray:
         out[0] = first
         np.cumsum(deltas, out=out[1:])
         out[1:] += first
-    return out.astype(dtype, copy=False)
+    return _ret(out.astype(dtype, copy=False), pos)
