@@ -183,11 +183,18 @@ def table_read_pages(
     if not m["files"]:
         raise ValueError(f"snapshot {m['snapshot_id']} has no data files")
     paths = [os.path.join(table_dir, p) for p in m["files"]]
-    return (
-        spark.read.option("basePath", os.path.join(table_dir, "data"))
-        .parquet(*paths)
-        .drop("snap")
+    pages = spark.read.option("basePath", os.path.join(table_dir, "data")).parquet(
+        *paths
     )
+    # decode groups by (split_id, batch_id); different snapshots reuse the
+    # same encode split ids, so namespace them by snapshot — otherwise a
+    # multi-snapshot read can merge two unrelated chunks into one decode
+    # group and mispair columns (found by the r5 oracle gate)
+    return pages.withColumn(
+        "split_id",
+        (F.col("snap").cast("long") * F.lit(1 << 20) + F.col("split_id"))
+        .cast("int"),
+    ).drop("snap")
 
 
 def table_read(

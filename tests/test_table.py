@@ -44,8 +44,12 @@ def test_time_travel_snapshot_isolation(spark, docs, tmp_path):
     # old snapshot still reads EXACTLY its original rows
     snap1 = {r.doc_id for r in table_read(spark, td, snapshot_id=1).collect()}
     assert snap1 == before
-    now = {r.doc_id for r in table_read(spark, td).collect()}
-    assert now == {r.doc_id for r in docs.collect()}
+    # VALUES must pair correctly across snapshots too: snapshots reuse
+    # encode split ids, and without per-snapshot namespacing the decode
+    # can merge two unrelated chunks and mispair columns (r5 bug)
+    now = {r.doc_id: (r.lang, r.n_chars) for r in table_read(spark, td).collect()}
+    want = {r.doc_id: (r.lang, r.n_chars) for r in docs.collect()}
+    assert now == want
     ids = [s["snapshot_id"] for s in table_snapshots(td)]
     assert ids == [1, 2]
 
