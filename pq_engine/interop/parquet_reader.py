@@ -12,13 +12,15 @@ Reference shape: ParquetFileReader.java (footer walk, chunk page streams)
 DataPageV1/V2 framing. Field ids below come from the public
 parquet-format parquet.thrift.
 
-Scope (validated with clear errors): FLAT schemas — required/optional
-primitive columns (BOOLEAN/INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY/FLBA),
+Scope (validated with clear errors): FLAT primitive columns
+(BOOLEAN/INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY/FLBA, required/optional)
+PLUS 3-level LIST groups of those primitives (null/empty lists, null
+elements — rep/def levels invert through nested.levels_to_structure);
 data pages V1 + V2, encodings PLAIN / (PLAIN|RLE)_DICTIONARY /
 DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY /
 BYTE_STREAM_SPLIT / RLE(bool), codecs none/snappy/gzip/brotli/zstd/
-lz4_raw. Nested columns raise (the engine's own shred path covers nested
-through the page-table format).
+lz4_raw. MAP/STRUCT groups raise (the engine's own shred path covers
+them through the page-table format).
 """
 
 from __future__ import annotations
@@ -58,10 +60,31 @@ def read_footer(buf: bytes) -> dict:
     i = 1
     while i < len(schema_elems):
         se = schema_elems[i]
-        if se.get(5):  # num_children on a non-root element
+        if se.get(5):  # group: accept the 3-level LIST shape only
+            is_list = se.get(6) == 3 or (
+                isinstance(se.get(10), dict) and 3 in se[10]
+            )
+            if (
+                is_list and se[5] == 1 and i + 2 < len(schema_elems)
+                and schema_elems[i + 1].get(3) == 2          # repeated mid
+                and schema_elems[i + 1].get(5) == 1
+                and not schema_elems[i + 2].get(5)           # leaf element
+            ):
+                mid, el = schema_elems[i + 1], schema_elems[i + 2]
+                cols.append({
+                    "name": se[4].decode(),
+                    "list": True,
+                    "physical": _PHYS[el[1]],
+                    "type_length": el.get(2),
+                    "optional": se.get(3, 0) == 1,
+                    "element_optional": el.get(3, 0) == 1,
+                    "converted": el.get(6),
+                })
+                i += 3
+                continue
             raise ValueError(
                 f"nested column {se.get(4, b'?').decode()!r} unsupported by "
-                "the external reader (flat schemas only)"
+                "the external reader (flat + 3-level LIST only)"
             )
         cols.append({
             "name": se[4].decode(),
@@ -261,6 +284,83 @@ def _read_chunk(buf: bytes, chunk: dict, col: dict):
     return values, validity
 
 
+def _read_list_chunk(buf: bytes, chunk: dict, col: dict):
+    """Decode one LIST column chunk -> nested.ListColumn. Levels: max_rep 1
+    (width-1 RLE), max_def 3 (width-2 RLE); values = def==3 entries."""
+    from ..nested import ListColumn, levels_to_structure
+
+    start = chunk["data_off"]
+    if chunk["dict_off"] is not None:
+        start = min(start, chunk["dict_off"])
+    pos = start
+    remaining = chunk["num_values"]  # LEVEL entries
+    phys = col["physical"]
+    dict_vals = None
+    rep_parts, def_parts, val_parts = [], [], []
+    while remaining > 0:
+        hdr, body_pos = read_struct(buf, pos)
+        ptype_pg = hdr[1]
+        raw_size, comp_size = hdr[2], hdr[3]
+        body = buf[body_pos : body_pos + comp_size]
+        pos = body_pos + comp_size
+        if ptype_pg == PAGE_DICT:
+            dh = hdr[7]
+            raw = _decompress(body, chunk["codec"], raw_size)
+            if phys == "byte_array":
+                dict_vals = plain.decode_plain_bytes(raw, dh[1])
+            elif phys == "flba":
+                dict_vals = plain.decode_plain_fixed(raw, col["type_length"], dh[1])
+            else:
+                dict_vals = plain.decode_plain_numeric(raw, _NUMDT[phys], dh[1])
+            continue
+        if ptype_pg == PAGE_DATA:
+            dh = hdr[5]
+            n_lv, enc = dh[1], dh[2]
+            raw = _decompress(body, chunk["codec"], raw_size)
+            rep, used_r = rle.decode_hybrid_length_prefixed(
+                memoryview(raw)[:], 1, n_lv
+            )
+            dfl, used_d = rle.decode_hybrid_length_prefixed(
+                memoryview(raw)[used_r:], 2, n_lv
+            )
+            vals_body = memoryview(raw)[used_r + used_d:]
+        elif ptype_pg == PAGE_DATA_V2:
+            dh = hdr[8]
+            n_lv, enc = dh[1], dh[4]
+            def_len, rep_len = dh[5], dh[6]
+            rep = rle.decode_hybrid(body[:rep_len], 1, n_lv)
+            dfl = rle.decode_hybrid(body[rep_len : rep_len + def_len], 2, n_lv)
+            vals_body = body[rep_len + def_len:]
+            if dh.get(7, True):
+                vals_body = _decompress(
+                    vals_body, chunk["codec"], raw_size - rep_len - def_len
+                )
+        else:
+            raise ValueError(f"unsupported page type {ptype_pg}")
+        count = int((dfl == 3).sum())
+        values = _decode_values(
+            enc, vals_body, phys, count, col["type_length"], dict_vals
+        )
+        rep_parts.append(rep)
+        def_parts.append(dfl)
+        val_parts.append(values)
+        remaining -= n_lv
+    if remaining != 0:
+        raise ValueError("list chunk level count overran num_values")
+    rep = np.concatenate(rep_parts)
+    dfl = np.concatenate(def_parts)
+    if isinstance(val_parts[0], RaggedBytes):
+        from ..pages import _concat_ragged
+
+        child = _concat_ragged(val_parts)
+    else:
+        child = np.concatenate(val_parts)
+    lens, list_validity, child_validity = levels_to_structure(rep, dfl)
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    return ListColumn(offsets, list_validity, child, child_validity)
+
+
 def read_parquet(path_or_buf, columns: list[str] | None = None):
     """Read a flat parquet file -> (schema cols, {name: (values, validity)}).
 
@@ -278,6 +378,15 @@ def read_parquet(path_or_buf, columns: list[str] | None = None):
     out = {}
     for name in want:
         col = by_name[name]
+        if col.get("list"):
+            lists = []
+            for rg in meta["row_groups"]:
+                chunk = next(
+                    c for c in rg["chunks"] if c["path"][0] == name
+                )
+                lists.append(_read_list_chunk(buf, chunk, col))
+            out[name] = (_concat_list_columns(lists), None)
+            continue
         parts = []
         for rg in meta["row_groups"]:
             chunk = next(
@@ -307,6 +416,42 @@ def read_parquet(path_or_buf, columns: list[str] | None = None):
     return meta["schema"], out
 
 
+def _concat_list_columns(parts):
+    from ..nested import ListColumn
+
+    if len(parts) == 1:
+        return parts[0]
+    n_tot = sum(len(p) for p in parts)
+    lens = np.concatenate([np.diff(p.offsets) for p in parts])
+    offsets = np.zeros(n_tot + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    lv = None
+    if any(p.list_validity is not None for p in parts):
+        lv = np.concatenate([
+            p.list_validity if p.list_validity is not None
+            else np.ones(len(p), dtype=bool)
+            for p in parts
+        ])
+    children = [p.child_values for p in parts]
+    if isinstance(children[0], RaggedBytes):
+        from ..pages import _concat_ragged
+
+        child = _concat_ragged(children)
+    else:
+        child = np.concatenate(children)
+    cv = None
+    if any(p.child_validity is not None for p in parts):
+        cv = np.concatenate([
+            p.child_validity if p.child_validity is not None
+            else np.ones(
+                len(p.child_values) if not isinstance(p.child_values, RaggedBytes)
+                else len(p.child_values), dtype=bool,
+            )
+            for p in parts
+        ])
+    return ListColumn(offsets, lv, child, cv)
+
+
 def read_parquet_pandas(path_or_buf, columns: list[str] | None = None):
     """Convenience: decode to a pandas DataFrame (strings decoded when the
     column is annotated UTF8) — the shape the Spark mapInPandas scan uses."""
@@ -317,6 +462,29 @@ def read_parquet_pandas(path_or_buf, columns: list[str] | None = None):
     cols = {}
     for name, (values, validity) in data.items():
         c = by_name[name]
+        if c.get("list"):
+            lc = values
+            child = lc.child_values
+            if isinstance(child, RaggedBytes):
+                cl = child.to_pylist()
+                if c.get("converted") == 0:
+                    cl = [v.decode("utf-8") for v in cl]
+            else:
+                cl = child.tolist()
+            if lc.child_validity is not None:
+                full, vi = [], 0
+                for ok in lc.child_validity:
+                    full.append(cl[vi] if ok else None)
+                    vi += ok
+                cl = full
+            rows = []
+            for i in range(len(lc)):
+                if lc.list_validity is not None and not lc.list_validity[i]:
+                    rows.append(None)
+                else:
+                    rows.append(cl[lc.offsets[i] : lc.offsets[i + 1]])
+            cols[name] = rows
+            continue
         if isinstance(values, RaggedBytes):
             lst = values.to_pylist()
             if c.get("converted") == 0:  # UTF8

@@ -19,11 +19,12 @@ from pq_engine.kernels.ragged import RaggedBytes
 
 
 def _same(x, y):
-    if x is None and (y is None or (isinstance(y, float) and y != y)):
-        return True
+    def _nullish(v):
+        return v is None or (isinstance(v, float) and v != v)
+
+    if _nullish(x) or _nullish(y):
+        return _nullish(x) and _nullish(y)
     if isinstance(x, float) and isinstance(y, float):
-        if x != x and y != y:
-            return True
         return abs(x - y) < 1e-12
     return x == y
 
@@ -163,3 +164,108 @@ def test_cli_from_parquet_import(tmp_path):
         capture_output=True, text=True, timeout=120, cwd="/root/repo",
     )
     assert r2.returncode == 0 and "records=500" in r2.stdout, r2.stdout
+
+
+# ------------------------------------------------------------ property test
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(st.none(), st.integers(-(2**62), 2**62 - 1)),
+            min_size=1, max_size=300,
+        ),
+        st.lists(
+            st.one_of(st.none(), st.text(max_size=20)),
+            min_size=1, max_size=300,
+        ),
+        st.sampled_from(["none", "snappy", "zstd", "gzip"]),
+        st.sampled_from(["1.0", "2.0"]),
+    )
+    def test_reader_property_random_tables(ints, strs, compression, page_ver):
+        """Any pyarrow-written flat table (random ints/strings with nulls,
+        any codec, both page versions) decodes identically through our
+        from-scratch reader."""
+        n = max(len(ints), len(strs))
+        ints = (ints * (n // len(ints) + 1))[:n]
+        strs = (strs * (n // len(strs) + 1))[:n]
+        tbl = pa.table({
+            "i": pa.array(ints, pa.int64()),
+            "s": pa.array(strs, pa.string()),
+        })
+        with tempfile.NamedTemporaryFile(suffix=".parquet") as f:
+            pq.write_table(
+                tbl, f.name,
+                compression=None if compression == "none" else compression,
+                data_page_version=page_ver,
+            )
+            _, data = read_parquet(f.name)
+        # kernel-form comparison (exact — no pandas float coercion of
+        # nullable int columns)
+        for c in ("i", "s"):
+            values, validity = data[c]
+            lst = values.to_pylist() if isinstance(values, RaggedBytes) \
+                else values.tolist()
+            if c == "s":
+                lst = [v.decode("utf-8") for v in lst]
+            if validity is not None:
+                full, vi = [], 0
+                for ok in validity:
+                    full.append(lst[vi] if ok else None)
+                    vi += ok
+                lst = full
+            assert lst == tbl[c].to_pylist(), c
+except ImportError:
+    pass
+
+
+def test_list_columns_from_pyarrow(tmp_path):
+    """3-level LIST groups (null/empty lists, null elements, dict-encoded
+    elements, v1+v2 pages, multi row group) decode via rep/def level
+    inversion (nested.levels_to_structure)."""
+    rows = [[1, 2, 3], [], None, [4, None, 6], [7], None, []]
+    strs = [["a", "bb"], None, [], ["x", None], ["yy"], ["z"], None]
+    tbl2 = pa.table({
+        "ids": pa.array(rows * 100, pa.list_(pa.int64())),
+        "tags": pa.array(strs * 100, pa.list_(pa.string())),
+        "flat": pa.array(list(range(700)), pa.int64()),
+    })
+    want = tbl2.to_pydict()
+    for i, kw in enumerate((
+        dict(compression="snappy"),
+        dict(compression="zstd", data_page_version="2.0"),
+        dict(row_group_size=150, compression="gzip"),
+        dict(use_dictionary=True),
+    )):
+        p = str(tmp_path / f"l{i}.parquet")
+        pq.write_table(tbl2, p, **kw)
+        df = read_parquet_pandas(p)
+        assert df["flat"].tolist() == want["flat"]
+        assert [x if x is None else list(x) for x in df["ids"]] == want["ids"], kw
+        assert [x if x is None else list(x) for x in df["tags"]] == want["tags"], kw
+
+
+def test_list_from_our_interop_writer(tmp_path):
+    from pq_engine.interop.parquet_writer import write_parquet
+    from pq_engine.nested import ListColumn
+
+    lens = np.array([2, 0, 3, 1], dtype=np.int64)
+    offsets = np.zeros(5, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    lc = ListColumn(offsets, None, np.arange(6, dtype=np.int64) * 10, None)
+    p = str(tmp_path / "ourlist.parquet")
+    write_parquet(p, [
+        {"name": "v", "ptype": "list<int64>", "codec": "plain", "values": lc},
+    ], 4, compression="zstd")
+    df = read_parquet_pandas(p)
+    assert [list(x) for x in df["v"]] == [[0, 10], [], [20, 30, 40], [50]]
+
+
+def test_map_still_rejected(tmp_path):
+    m = pa.table({"m": pa.array([{"a": 1}, {"b": 2}],
+                                pa.map_(pa.string(), pa.int64()))})
+    p = str(tmp_path / "map.parquet")
+    pq.write_table(m, p)
+    with pytest.raises(ValueError, match="unsupported"):
+        read_parquet(p)
