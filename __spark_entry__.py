@@ -1213,6 +1213,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def bucketed_join(spark, sf_dir):
+        """r5: bucketing for CO-LOCATED joins — the mission's scale tool
+        for repeated large joins. Both sides persist bucketed+sorted by
+        the join key (8 buckets); the sort-merge join must then read
+        bucket-aligned splits with NO Exchange on the join key (asserted
+        on the executed plan — at 100 TB that shuffle IS the job cost).
+        Result hash-checked against the plain SQL join."""
+        import shutil as _sh
+        import uuid as _uuid_mod
+
+        # the in-memory catalog forgets tables across sessions while the
+        # warehouse DIRECTORY persists — unique names + leftover cleanup
+        tag = _uuid_mod.uuid4().hex[:8]
+        t_orders, t_cust = f"pq_bkt_o_{tag}", f"pq_bkt_c_{tag}"
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        for t in (t_orders, t_cust):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            _sh.rmtree(f"{wh}/{t}", ignore_errors=True)
+
+        orders = _read(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        customer = _read(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        (
+            orders.write.mode("overwrite").format("parquet")
+            .bucketBy(8, "o_custkey").sortBy("o_custkey")
+            .saveAsTable(t_orders)
+        )
+        (
+            customer.write.mode("overwrite").format("parquet")
+            .bucketBy(8, "c_custkey").sortBy("c_custkey")
+            .saveAsTable(t_cust)
+        )
+        bo = spark.table(t_orders).hint("merge")
+        bc = spark.table(t_cust).hint("merge")
+        joined = bo.join(bc, bo["o_custkey"] == bc["c_custkey"])
+        out = joined.groupBy("c_nationkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:500]
+        # the ONLY exchange allowed is the final groupBy's — the join key
+        # must come pre-distributed from the bucketed scans
+        assert "Exchange hashpartitioning(o_custkey" not in plan, plan[:800]
+        assert "Exchange hashpartitioning(c_custkey" not in plan, plan[:800]
+        return out
+
+    def streaming_window_agg(spark, sf_dir):
+        """r5: Structured Streaming inside the recorded gate — the events
+        table replayed as a REAL file stream (readStream + availableNow),
+        watermarked event-time windows (1 h), memory sink; the final table
+        must hash-match the equivalent batch GROUP BY in DuckDB. This is
+        the engine's streaming contract (spark/streaming.py) proven
+        against SQL ground truth, not just pytest."""
+        import os as _os
+        import shutil as _sh
+        import tempfile as _tmp
+        import uuid as _uuid_mod
+
+        src_dir = _tmp.mkdtemp(prefix="pq_stream_src_")
+        _sh.copy(_os.path.join(sf_dir, "events.parquet"),
+                 _os.path.join(src_dir, "events.parquet"))
+        schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        # watermarks require TIMESTAMP (tz-aware); the session runs UTC, so
+        # casting the NTZ column keeps wall-clock identical to the oracle
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window(F.col("ts"), "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 3).alias("sum_v"),
+            )
+        )
+        sink = f"stream_win_{_uuid_mod.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory").queryName(sink)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        return spark.table(sink).select(
+            F.col("w.start").cast("string").alias("ws"),
+            "event_type", "n", "sum_v",
+        )
+
     def external_parquet_scan(spark, sf_dir):
         """r5: the from-scratch parquet READER (ParquetFileReader.java
         analog) — pyarrow writes per-partition files with forced encodings
@@ -1473,6 +1562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_time_travel": table_time_travel,  # new in r5
         "fixed_dict_pushdown": fixed_dict_pushdown,  # new in r5
         "external_parquet_scan": external_parquet_scan,  # new in r5
+        "streaming_window_agg": streaming_window_agg,  # new in r5
+        "bucketed_join": bucketed_join,  # new in r5
         "analytics_on_decoded": analytics_on_decoded,
         "analytics_join_region": analytics_join_region,
         "text_quality": quality,
@@ -1498,11 +1589,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_fixed_md5": rt_fixed_md5,
         "rt_list_embedding": rt_list,
         "manifest_stats": manifest_stats,
-        "rewrite_mask_hash": rewrite_mask_hash,
         "pushdown_stats": pushdown_stats,
         "bloom_pushdown": bloom_pushdown,
         "dict_pushdown": dict_pushdown,
-        "sessionize_events": sessionize_events,
         "dedup_exact": dedup_exact,
         "jaccard_verify": jaccard_verify,
     }
@@ -1532,10 +1621,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geography_bbox_filter": geography_bbox_filter,
         "encode_summary": encode_summary,  # rows-only (sizes not SQL-expressible)
         "rewrite_prune": rewrite_prune,
+        "rewrite_mask_hash": rewrite_mask_hash,
         "pushdown_predicate": pushdown_predicate,
         "contains_pushdown": contains_pushdown,
         "size_stats": size_stats,
         "analytics_join_revenue": analytics_join_revenue,
+        "sessionize_events": sessionize_events,
         "minhash_pairs": minhash_pairs,  # rows-only (LSH banding)
         "dedup_clusters": dedup_clusters,
         "curation_split": curation_split,
@@ -1630,6 +1721,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n FROM documents",
         "external_parquet_scan":
             "SELECT doc_id, lang, n_chars FROM documents",
+        "streaming_window_agg": """
+            SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS ws,
+                   event_type,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 3) AS sum_v
+            FROM events GROUP BY 1, 2
+        """,
+        "bucketed_join": """
+            SELECT c_nationkey, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey
+        """,
         "fixed_dict_pushdown": """
             SELECT doc_id, upper(substr(md5(lang), 1, 16)) AS fx_hex
             FROM documents WHERE lang IN ('en', 'de')
