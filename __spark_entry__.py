@@ -1296,7 +1296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             agg.writeStream.format("memory").queryName(sink)
             .outputMode("complete").trigger(availableNow=True).start()
         )
-        q.awaitTermination(300)
+        assert q.awaitTermination(300), \
+            "streaming query did not finish within timeout"
         return spark.table(sink).select(
             F.col("w.start").cast("string").alias("ws"),
             "event_type", "n", "sum_v",

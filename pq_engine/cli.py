@@ -722,11 +722,20 @@ def cmd_from_parquet(args):
             pt = "fixed[12]"
         else:
             pt = phys
+        if c.get("list"):
+            from .nested import encode_list_column
+
+            rows += _rebuild_rows(None, 0, 0, name,
+                                  encode_list_column(values, f"list<{pt}>"), None)
+            continue
+        if c.get("group"):
+            print(f"skipping column {name}: nested {c['group']} group import "
+                  "unsupported by from-parquet (flat + LIST only)")
+            continue
         rows += _rebuild_rows(None, 0, 0, name,
                               encode_column(values, pt, validity=validity), None)
     tbl = pa.Table.from_pylist(rows)
     _write_pages(tbl, args.out)
-    n = len(next(iter(data.values()))[1] or next(iter(data.values()))[0])
     print(f"encoded {len(schema)} columns from external parquet → {args.out}")
 
 

@@ -7,20 +7,30 @@ NumPy kernels with no parquet library in the loop. Footer and page headers
 parse via the generic compact-thrift reader (thrift_compact.read_struct);
 values decode with the same kernels the engine encodes with.
 
-Reference shape: ParquetFileReader.java (footer walk, chunk page streams)
-+ ParquetMetadataConverter.java (FileMetaData thrift ids) +
+Reference shape: ParquetFileReader.java (footer walk, chunk page streams,
+readNextFilteredRowGroup :1140-1268) + ParquetMetadataConverter.java
+(FileMetaData thrift ids) + ColumnIndexFilter.calculateRowRanges
+(parquet-column .../columnindex/ColumnIndexFilter.java:58-77) +
 DataPageV1/V2 framing. Field ids below come from the public
 parquet-format parquet.thrift.
 
-Scope (validated with clear errors): FLAT primitive columns
-(BOOLEAN/INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY/FLBA, required/optional)
-PLUS 3-level LIST groups of those primitives (null/empty lists, null
-elements — rep/def levels invert through nested.levels_to_structure);
-data pages V1 + V2, encodings PLAIN / (PLAIN|RLE)_DICTIONARY /
-DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY /
-BYTE_STREAM_SPLIT / RLE(bool), codecs none/snappy/gzip/brotli/zstd/
-lz4_raw. MAP/STRUCT groups raise (the engine's own shred path covers
-them through the page-table format).
+Scope (validated with clear errors):
+  * FLAT primitive columns (BOOLEAN/INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY/
+    FLBA/INT96, required/optional)
+  * 3-level LIST groups of primitives, ANY optionality combination
+    (optional/required list group x optional/required element — max_def
+    computed from the parsed repetition flags, not assumed 3)
+  * MAP groups (standard key_value shape; required keys, any-optionality
+    values, optional/required map group)
+  * one-level STRUCT groups of primitives (any optionality; deeper
+    nesting raises)
+  * data pages V1 + V2, encodings PLAIN / (PLAIN|RLE)_DICTIONARY /
+    DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY /
+    BYTE_STREAM_SPLIT / RLE(bool), codecs none/snappy/gzip/brotli/zstd/
+    lz4_raw
+  * FILTERED scans (read_parquet_filtered): row groups pruned by chunk
+    Statistics, pages pruned by ColumnIndex/OffsetIndex row ranges, then
+    exact record-level evaluation — only surviving pages are decoded.
 """
 
 from __future__ import annotations
@@ -45,8 +55,23 @@ ENC_DELTA_BP, ENC_DLBA, ENC_DBA, ENC_RLE_DICT, ENC_BSS = 5, 6, 7, 8, 9
 PAGE_DATA, PAGE_DICT, PAGE_DATA_V2 = 0, 2, 3
 
 
+def _leaf(se: dict) -> dict:
+    return {
+        "name": se[4].decode(),
+        "physical": _PHYS[se[1]],
+        "type_length": se.get(2),
+        "optional": se.get(3, 0) == 1,
+        "converted": se.get(6),  # 0 = UTF8 etc.
+    }
+
+
 def read_footer(buf: bytes) -> dict:
-    """Parse FileMetaData -> {num_rows, schema: [col dicts], row_groups}."""
+    """Parse FileMetaData -> {num_rows, schema: [col dicts], row_groups}.
+
+    Schema entries are flat leaves, ``list`` columns (with ``optional`` /
+    ``element_optional`` flags — max_def is DERIVED from these, never
+    assumed), ``group: "map"`` columns (key/value leaf dicts) or
+    ``group: "struct"`` columns (children leaf list)."""
     if buf[:4] != MAGIC or buf[-4:] != MAGIC:
         raise ValueError("not a parquet file (magic)")
     flen = int.from_bytes(buf[-8:-4], "little")
@@ -60,20 +85,28 @@ def read_footer(buf: bytes) -> dict:
     i = 1
     while i < len(schema_elems):
         se = schema_elems[i]
-        if se.get(5):  # group: accept the 3-level LIST shape only
-            is_list = se.get(6) == 3 or (
-                isinstance(se.get(10), dict) and 3 in se[10]
-            )
+        nch = se.get(5, 0)
+        if not nch:
+            cols.append(_leaf(se))
+            i += 1
+            continue
+        logical = se.get(10) if isinstance(se.get(10), dict) else {}
+        conv = se.get(6)
+        is_list = conv == 3 or 3 in logical
+        is_map = conv in (1, 2) or 2 in logical
+        name = se.get(4, b"?").decode()
+        if is_list:
             if (
-                is_list and se[5] == 1 and i + 2 < len(schema_elems)
+                nch == 1 and i + 2 < len(schema_elems)
                 and schema_elems[i + 1].get(3) == 2          # repeated mid
                 and schema_elems[i + 1].get(5) == 1
                 and not schema_elems[i + 2].get(5)           # leaf element
             ):
-                mid, el = schema_elems[i + 1], schema_elems[i + 2]
+                el = schema_elems[i + 2]
                 cols.append({
-                    "name": se[4].decode(),
+                    "name": name,
                     "list": True,
+                    "mid": schema_elems[i + 1][4].decode(),
                     "physical": _PHYS[el[1]],
                     "type_length": el.get(2),
                     "optional": se.get(3, 0) == 1,
@@ -83,17 +116,46 @@ def read_footer(buf: bytes) -> dict:
                 i += 3
                 continue
             raise ValueError(
-                f"nested column {se.get(4, b'?').decode()!r} unsupported by "
-                "the external reader (flat + 3-level LIST only)"
+                f"LIST column {name!r}: only the standard 3-level shape "
+                "(group / repeated group / primitive element) is supported"
+            )
+        if is_map:
+            kv = schema_elems[i + 1] if i + 1 < len(schema_elems) else {}
+            if (
+                nch == 1 and kv.get(3) == 2 and kv.get(5) == 2
+                and i + 3 < len(schema_elems)
+                and not schema_elems[i + 2].get(5)
+                and not schema_elems[i + 3].get(5)
+            ):
+                cols.append({
+                    "name": name,
+                    "group": "map",
+                    "mid": kv[4].decode(),
+                    "optional": se.get(3, 0) == 1,
+                    "key": _leaf(schema_elems[i + 2]),
+                    "value": _leaf(schema_elems[i + 3]),
+                })
+                i += 4
+                continue
+            raise ValueError(
+                f"MAP column {name!r}: only the standard key_value shape "
+                "(group / repeated key_value / primitive key+value) is "
+                "supported"
+            )
+        # plain group -> STRUCT of primitives (one level)
+        children = schema_elems[i + 1 : i + 1 + nch]
+        if len(children) != nch or any(c.get(5) for c in children):
+            raise ValueError(
+                f"nested column {name!r} unsupported by the external reader "
+                "(structs of primitives, LIST and MAP only)"
             )
         cols.append({
-            "name": se[4].decode(),
-            "physical": _PHYS[se[1]],
-            "type_length": se.get(2),
+            "name": name,
+            "group": "struct",
             "optional": se.get(3, 0) == 1,
-            "converted": se.get(6),   # 0 = UTF8 etc.
+            "children": [_leaf(c) for c in children],
         })
-        i += 1
+        i += 1 + nch
     if len(cols) != ncols:
         raise ValueError(f"schema children {len(cols)} != root count {ncols}")
     row_groups = []
@@ -110,6 +172,9 @@ def read_footer(buf: bytes) -> dict:
                 "total_compressed": md[7],
                 "data_off": md[9],
                 "dict_off": md.get(11),
+                "stats": md.get(12),  # Statistics struct (thrift field ids)
+                "offidx": (cc.get(4), cc.get(5)),   # OffsetIndex off/len
+                "colidx": (cc.get(6), cc.get(7)),   # ColumnIndex off/len
             })
         row_groups.append({"num_rows": rg[3], "chunks": chunks})
     return {"num_rows": fmeta[3], "schema": cols, "row_groups": row_groups}
@@ -189,87 +254,124 @@ def _decode_values(enc: int, body, phys: str, count: int, type_length,
     raise ValueError(f"unsupported encoding {enc} for {phys}")
 
 
-def _read_chunk(buf: bytes, chunk: dict, col: dict):
-    """Decode one column chunk -> (values, validity|None)."""
-    start = chunk["dict_off"] if chunk["dict_off"] is not None else chunk["data_off"]
-    if chunk["dict_off"] is not None and chunk["data_off"] < start:
-        start = chunk["data_off"]  # some writers put dict after first page
-    pos = start
-    remaining = chunk["num_values"]
+def _decode_dict_page(hdr, body, chunk, phys, type_length):
+    dh = hdr[7]
+    n_dict = dh[1]
+    raw = _decompress(body, chunk["codec"], hdr[2])
+    if phys == "byte_array":
+        return plain.decode_plain_bytes(raw, n_dict)
+    if phys == "flba":
+        return plain.decode_plain_fixed(raw, type_length, n_dict)
+    if phys == "int96":
+        return plain.decode_plain_fixed(raw, 12, n_dict)
+    return plain.decode_plain_numeric(raw, _NUMDT[phys], n_dict)
+
+
+def _read_chunk(buf: bytes, chunk: dict, col: dict, max_def: int | None = None,
+                pages: list | None = None, dict_vals=None):
+    """Decode a non-repeated column chunk -> (values, validity|None, defs).
+
+    ``max_def`` defaults to 1/0 from the leaf's own optional flag; struct
+    leaves pass their ancestor-inclusive max_def and get the raw definition
+    levels back in ``defs`` (None when the leaf is required at every level).
+    ``pages`` (from an OffsetIndex) restricts decoding to the given
+    (offset, n_rows) page subset — the readNextFilteredRowGroup analog."""
+    if max_def is None:
+        max_def = 1 if col["optional"] else 0
+    width = max_def.bit_length()
     phys = col["physical"]
-    dict_vals = None
-    vals_parts, valid_parts = [], []
+    if pages is None:
+        start = chunk["data_off"]
+        if chunk["dict_off"] is not None:
+            start = min(start, chunk["dict_off"])
+        page_list = [(start, chunk["num_values"])]
+        sequential = True
+    else:
+        page_list = pages
+        sequential = False
+        if dict_vals is None and chunk["dict_off"] is not None:
+            hdr, body_pos = read_struct(buf, chunk["dict_off"])
+            if hdr[1] != PAGE_DICT:
+                raise ValueError("dictionary_page_offset points at non-dict page")
+            body = buf[body_pos : body_pos + hdr[3]]
+            dict_vals = _decode_dict_page(hdr, body, chunk, phys,
+                                          col["type_length"])
+    vals_parts, valid_parts, def_parts = [], [], []
     any_nulls = False
-    while remaining > 0:
-        hdr, body_pos = read_struct(buf, pos)
-        ptype = hdr[1]
-        raw_size, comp_size = hdr[2], hdr[3]
-        body = buf[body_pos : body_pos + comp_size]
-        if len(body) != comp_size:
-            raise ValueError("page body truncated")
-        pos = body_pos + comp_size
-        if ptype == PAGE_DICT:
-            dh = hdr[7]
-            n_dict = dh[1]
-            raw = _decompress(body, chunk["codec"], raw_size)
-            if phys == "byte_array":
-                dict_vals = plain.decode_plain_bytes(raw, n_dict)
-            elif phys == "flba":
-                dict_vals = plain.decode_plain_fixed(raw, col["type_length"], n_dict)
-            else:
-                dict_vals = plain.decode_plain_numeric(raw, _NUMDT[phys], n_dict)
-            continue
-        if ptype == PAGE_DATA:
-            dh = hdr[5]
-            n_vals, enc = dh[1], dh[2]
-            raw = _decompress(body, chunk["codec"], raw_size)
-            off = 0
-            if col["optional"]:
-                levels, used = rle.decode_hybrid_length_prefixed(
-                    memoryview(raw)[:], 1, n_vals
+    for pos, remaining in page_list:
+        while remaining > 0:
+            hdr, body_pos = read_struct(buf, pos)
+            ptype = hdr[1]
+            raw_size, comp_size = hdr[2], hdr[3]
+            body = buf[body_pos : body_pos + comp_size]
+            if len(body) != comp_size:
+                raise ValueError("page body truncated")
+            pos = body_pos + comp_size
+            if ptype == PAGE_DICT:
+                dict_vals = _decode_dict_page(hdr, body, chunk, phys,
+                                              col["type_length"])
+                continue
+            if ptype == PAGE_DATA:
+                dh = hdr[5]
+                n_vals, enc = dh[1], dh[2]
+                raw = _decompress(body, chunk["codec"], raw_size)
+                off = 0
+                if max_def:
+                    levels, used = rle.decode_hybrid_length_prefixed(
+                        memoryview(raw)[:], width, n_vals
+                    )
+                    validity = levels == max_def
+                    off = used
+                    any_nulls = True
+                else:
+                    levels = None
+                    validity = np.ones(n_vals, dtype=bool)
+                count = int(validity.sum())
+                values = _decode_values(
+                    enc, memoryview(raw)[off:], phys, count,
+                    col["type_length"], dict_vals,
                 )
-                validity = levels.astype(bool)
-                off = used
-                any_nulls = True
-            else:
-                validity = np.ones(n_vals, dtype=bool)
-            count = int(validity.sum())
-            values = _decode_values(
-                enc, memoryview(raw)[off:], phys, count,
-                col["type_length"], dict_vals,
-            )
-        elif ptype == PAGE_DATA_V2:
-            dh = hdr[8]
-            n_vals, n_nulls, enc = dh[1], dh[2], dh[4]
-            def_len = dh[5]
-            rep_len = dh[6]
-            if rep_len:
-                raise ValueError("repetition levels unsupported (flat only)")
-            is_comp = dh.get(7, True)
-            levels_raw = body[:def_len]
-            vals_body = body[def_len:]
-            if is_comp:
-                vals_body = _decompress(
-                    vals_body, chunk["codec"], raw_size - def_len
+            elif ptype == PAGE_DATA_V2:
+                dh = hdr[8]
+                n_vals, n_nulls, enc = dh[1], dh[2], dh[4]
+                def_len = dh[5]
+                rep_len = dh[6]
+                if rep_len:
+                    raise ValueError(
+                        "repetition levels on a non-repeated column"
+                    )
+                is_comp = dh.get(7, True)
+                levels_raw = body[:def_len]
+                vals_body = body[def_len:]
+                if is_comp:
+                    vals_body = _decompress(
+                        vals_body, chunk["codec"], raw_size - def_len
+                    )
+                if max_def and def_len:
+                    levels = rle.decode_hybrid(levels_raw, width, n_vals)
+                    validity = levels == max_def
+                    any_nulls = True
+                else:
+                    levels = None
+                    validity = np.ones(n_vals, dtype=bool)
+                count = n_vals - n_nulls
+                if count != int(validity.sum()):
+                    raise ValueError("v2 page num_nulls disagrees with def levels")
+                values = _decode_values(
+                    enc, vals_body, phys, count, col["type_length"], dict_vals,
                 )
-            if col["optional"] and def_len:
-                validity = rle.decode_hybrid(levels_raw, 1, n_vals).astype(bool)
-                any_nulls = True
             else:
-                validity = np.ones(n_vals, dtype=bool)
-            count = n_vals - n_nulls
-            if count != int(validity.sum()):
-                raise ValueError("v2 page num_nulls disagrees with def levels")
-            values = _decode_values(
-                enc, vals_body, phys, count, col["type_length"], dict_vals,
-            )
-        else:
-            raise ValueError(f"unsupported page type {ptype}")
-        vals_parts.append(values)
-        valid_parts.append(validity)
-        remaining -= n_vals
-    if remaining != 0:
-        raise ValueError("chunk value count overran the footer's num_values")
+                raise ValueError(f"unsupported page type {ptype}")
+            vals_parts.append(values)
+            valid_parts.append(validity)
+            if max_def:
+                def_parts.append(
+                    levels if levels is not None
+                    else np.full(n_vals, max_def, dtype=np.uint64)
+                )
+            remaining -= n_vals
+        if remaining != 0 and sequential:
+            raise ValueError("chunk value count overran the footer's num_values")
     if isinstance(vals_parts[0], RaggedBytes):
         from ..pages import _concat_ragged
 
@@ -277,24 +379,50 @@ def _read_chunk(buf: bytes, chunk: dict, col: dict):
     else:
         values = np.concatenate(vals_parts)
     validity = np.concatenate(valid_parts)
+    defs = np.concatenate(def_parts) if def_parts else None
     # optional-but-dense chunks (pyarrow marks every column nullable)
     # normalize to validity=None — the kernel convention
     if not any_nulls or validity.all():
-        return values, None
-    return values, validity
+        return values, None, defs
+    return values, validity, defs
 
 
-def _read_list_chunk(buf: bytes, chunk: dict, col: dict):
-    """Decode one LIST column chunk -> nested.ListColumn. Levels: max_rep 1
-    (width-1 RLE), max_def 3 (width-2 RLE); values = def==3 entries."""
+def _canonical_def_lut(lo: int, eo: int) -> np.ndarray:
+    """Map a repeated leaf's file definition levels (max_def = lo+1+eo,
+    where lo = optional levels above the repeated node, eo = element
+    optionality) onto the canonical 0..3 alphabet nested.levels_to_structure
+    inverts (0 null list / 1 empty / 2 null element / 3 value)."""
+    max_def = lo + 1 + eo
+    lut = np.zeros(max_def + 1, dtype=np.uint64)
+    if lo:
+        lut[0] = 0
+        lut[lo] = 1
+    else:
+        lut[0] = 1
+    if eo:
+        lut[lo + 1] = 2
+    lut[max_def] = 3  # last: overwrites lo+1 when eo == 0
+    return lut
+
+
+def _read_replevel_chunk(buf: bytes, chunk: dict, leaf: dict, lo: int,
+                         eo: int):
+    """Decode one singly-repeated column chunk (LIST element, MAP key or
+    MAP value) -> nested.ListColumn. max_rep is 1 (width-1 RLE); max_def is
+    COMPUTED as lo+1+eo and file levels are mapped to the canonical
+    alphabet before inversion — required list groups / required elements
+    decode correctly (the r5 ADVICE fix: nothing here assumes max_def 3)."""
     from ..nested import ListColumn, levels_to_structure
 
+    max_def = lo + 1 + eo
+    dwidth = max_def.bit_length()
+    lut = _canonical_def_lut(lo, eo)
     start = chunk["data_off"]
     if chunk["dict_off"] is not None:
         start = min(start, chunk["dict_off"])
     pos = start
     remaining = chunk["num_values"]  # LEVEL entries
-    phys = col["physical"]
+    phys = leaf["physical"]
     dict_vals = None
     rep_parts, def_parts, val_parts = [], [], []
     while remaining > 0:
@@ -304,14 +432,8 @@ def _read_list_chunk(buf: bytes, chunk: dict, col: dict):
         body = buf[body_pos : body_pos + comp_size]
         pos = body_pos + comp_size
         if ptype_pg == PAGE_DICT:
-            dh = hdr[7]
-            raw = _decompress(body, chunk["codec"], raw_size)
-            if phys == "byte_array":
-                dict_vals = plain.decode_plain_bytes(raw, dh[1])
-            elif phys == "flba":
-                dict_vals = plain.decode_plain_fixed(raw, col["type_length"], dh[1])
-            else:
-                dict_vals = plain.decode_plain_numeric(raw, _NUMDT[phys], dh[1])
+            dict_vals = _decode_dict_page(hdr, body, chunk, phys,
+                                          leaf["type_length"])
             continue
         if ptype_pg == PAGE_DATA:
             dh = hdr[5]
@@ -321,7 +443,7 @@ def _read_list_chunk(buf: bytes, chunk: dict, col: dict):
                 memoryview(raw)[:], 1, n_lv
             )
             dfl, used_d = rle.decode_hybrid_length_prefixed(
-                memoryview(raw)[used_r:], 2, n_lv
+                memoryview(raw)[used_r:], dwidth, n_lv
             )
             vals_body = memoryview(raw)[used_r + used_d:]
         elif ptype_pg == PAGE_DATA_V2:
@@ -329,7 +451,7 @@ def _read_list_chunk(buf: bytes, chunk: dict, col: dict):
             n_lv, enc = dh[1], dh[4]
             def_len, rep_len = dh[5], dh[6]
             rep = rle.decode_hybrid(body[:rep_len], 1, n_lv)
-            dfl = rle.decode_hybrid(body[rep_len : rep_len + def_len], 2, n_lv)
+            dfl = rle.decode_hybrid(body[rep_len : rep_len + def_len], dwidth, n_lv)
             vals_body = body[rep_len + def_len:]
             if dh.get(7, True):
                 vals_body = _decompress(
@@ -337,16 +459,16 @@ def _read_list_chunk(buf: bytes, chunk: dict, col: dict):
                 )
         else:
             raise ValueError(f"unsupported page type {ptype_pg}")
-        count = int((dfl == 3).sum())
+        count = int((dfl == max_def).sum())
         values = _decode_values(
-            enc, vals_body, phys, count, col["type_length"], dict_vals
+            enc, vals_body, phys, count, leaf["type_length"], dict_vals
         )
         rep_parts.append(rep)
-        def_parts.append(dfl)
+        def_parts.append(lut[dfl.astype(np.int64)])
         val_parts.append(values)
         remaining -= n_lv
     if remaining != 0:
-        raise ValueError("list chunk level count overran num_values")
+        raise ValueError("repeated chunk level count overran num_values")
     rep = np.concatenate(rep_parts)
     dfl = np.concatenate(def_parts)
     if isinstance(val_parts[0], RaggedBytes):
@@ -361,12 +483,28 @@ def _read_list_chunk(buf: bytes, chunk: dict, col: dict):
     return ListColumn(offsets, list_validity, child, child_validity)
 
 
-def read_parquet(path_or_buf, columns: list[str] | None = None):
-    """Read a flat parquet file -> (schema cols, {name: (values, validity)}).
+def _find_chunk(rg: dict, path: list[str]) -> dict:
+    for c in rg["chunks"]:
+        if c["path"] == path:
+            return c
+    # LIST mid-group names vary by writer (list/element vs array vs item):
+    # match on first+last when the exact 3-part path is absent
+    for c in rg["chunks"]:
+        if c["path"][0] == path[0] and (len(path) == 1 or c["path"][-1] == path[-1]):
+            return c
+    raise ValueError(f"no column chunk for path {path}")
 
-    ``values`` are kernel-form: RaggedBytes for BYTE_ARRAY, (n,k) uint8 for
-    FLBA/INT96, numpy arrays otherwise; when ``validity`` is not None the
-    values hold non-null entries only (the engine's kernel convention)."""
+
+def read_parquet(path_or_buf, columns: list[str] | None = None):
+    """Read a parquet file -> (schema cols, {name: (values, validity)}).
+
+    Flat columns come back in kernel form: RaggedBytes for BYTE_ARRAY,
+    (n,k) uint8 for FLBA/INT96, numpy arrays otherwise; when ``validity``
+    is not None the values hold non-null entries only. LIST columns are
+    nested.ListColumn. STRUCT columns are ``{"kind": "struct", "validity",
+    "fields": {name: (values, full_row_validity)}}``; MAP columns are
+    ``{"kind": "map", "keys": ListColumn, "items": ListColumn}`` (shared
+    offsets)."""
     if isinstance(path_or_buf, (bytes, bytearray)):
         buf = bytes(path_or_buf)
     else:
@@ -379,41 +517,106 @@ def read_parquet(path_or_buf, columns: list[str] | None = None):
     for name in want:
         col = by_name[name]
         if col.get("list"):
-            lists = []
-            for rg in meta["row_groups"]:
-                chunk = next(
-                    c for c in rg["chunks"] if c["path"][0] == name
-                )
-                lists.append(_read_list_chunk(buf, chunk, col))
+            lo = 1 if col["optional"] else 0
+            eo = 1 if col["element_optional"] else 0
+            leaf = {"physical": col["physical"],
+                    "type_length": col["type_length"]}
+            lists = [
+                _read_replevel_chunk(buf, _find_chunk(rg, [name]), leaf, lo, eo)
+                for rg in meta["row_groups"]
+            ]
             out[name] = (_concat_list_columns(lists), None)
             continue
-        parts = []
-        for rg in meta["row_groups"]:
-            chunk = next(
-                c for c in rg["chunks"] if c["path"] == [name]
-            )
-            parts.append(_read_chunk(buf, chunk, col))
-        if len(parts) == 1:
-            out[name] = parts[0]
-        else:
-            vals = [p[0] for p in parts]
-            if isinstance(vals[0], RaggedBytes):
-                from ..pages import _concat_ragged
-
-                values = _concat_ragged(vals)
-            else:
-                values = np.concatenate(vals)
-            vds = [
-                p[1] if p[1] is not None
-                else np.ones(
-                    len(p[0]) if not isinstance(p[0], RaggedBytes) else len(p[0]),
-                    dtype=bool,
+        if col.get("group") == "map":
+            lo = 1 if col["optional"] else 0
+            keys, items = [], []
+            for rg in meta["row_groups"]:
+                kc = _find_chunk(rg, [name, col["mid"], col["key"]["name"]])
+                vc = _find_chunk(rg, [name, col["mid"], col["value"]["name"]])
+                keys.append(_read_replevel_chunk(
+                    buf, kc, col["key"], lo, 1 if col["key"]["optional"] else 0
+                ))
+                items.append(_read_replevel_chunk(
+                    buf, vc, col["value"], lo,
+                    1 if col["value"]["optional"] else 0
+                ))
+            klc = _concat_list_columns(keys)
+            ilc = _concat_list_columns(items)
+            if not np.array_equal(klc.offsets, ilc.offsets):
+                raise ValueError(f"map {name!r}: key/value lengths disagree")
+            out[name] = ({"kind": "map", "keys": klc, "items": ilc}, None)
+            continue
+        if col.get("group") == "struct":
+            so = 1 if col["optional"] else 0
+            fields = {}
+            sv = None
+            for child in col["children"]:
+                md = so + (1 if child["optional"] else 0)
+                parts = [
+                    _read_chunk(buf, _find_chunk(rg, [name, child["name"]]),
+                                child, max_def=md)
+                    for rg in meta["row_groups"]
+                ]
+                values, validity, defs = _concat_chunk_parts(parts)
+                if so and sv is None and defs is not None:
+                    sv = defs >= so
+                n = len(validity) if validity is not None else (
+                    len(values) if not isinstance(values, RaggedBytes)
+                    else len(values)
                 )
-                for p in parts
-            ]
-            validity = np.concatenate(vds)
-            out[name] = (values, None if validity.all() else validity)
+                fields[child["name"]] = (
+                    values,
+                    validity if validity is not None
+                    else np.ones(n, dtype=bool),
+                )
+            if sv is not None and sv.all():
+                sv = None
+            out[name] = ({"kind": "struct", "validity": sv,
+                          "fields": fields}, None)
+            continue
+        parts = [
+            _read_chunk(buf, _find_chunk(rg, [name]), col)
+            for rg in meta["row_groups"]
+        ]
+        values, validity, _ = _concat_chunk_parts(parts)
+        out[name] = (values, validity)
     return meta["schema"], out
+
+
+def _concat_chunk_parts(parts):
+    """Merge per-row-group (values, validity, defs) triples."""
+    if len(parts) == 1:
+        return parts[0]
+    vals = [p[0] for p in parts]
+    if isinstance(vals[0], RaggedBytes):
+        from ..pages import _concat_ragged
+
+        values = _concat_ragged(vals)
+    else:
+        values = np.concatenate(vals)
+    vds = [
+        p[1] if p[1] is not None
+        else np.ones(_part_rows(p), dtype=bool)
+        for p in parts
+    ]
+    validity = np.concatenate(vds)
+    defs = None
+    if any(p[2] is not None for p in parts):
+        defs = np.concatenate([
+            p[2] if p[2] is not None
+            else np.zeros(_part_rows(p), dtype=np.uint64)
+            for p in parts
+        ])
+    return values, (None if validity.all() else validity), defs
+
+
+def _part_rows(part):
+    values, validity, defs = part
+    if validity is not None:
+        return len(validity)
+    if defs is not None:
+        return len(defs)
+    return len(values)
 
 
 def _concat_list_columns(parts):
@@ -452,52 +655,519 @@ def _concat_list_columns(parts):
     return ListColumn(offsets, lv, child, cv)
 
 
-def read_parquet_pandas(path_or_buf, columns: list[str] | None = None):
-    """Convenience: decode to a pandas DataFrame (strings decoded when the
-    column is annotated UTF8) — the shape the Spark mapInPandas scan uses."""
-    import pandas as pd
+# ----------------------------------------------------------- arrow output
+
+def _validity_buffers(validity):
+    """(pyarrow validity bitmap buffer | None, null_count)."""
+    import pyarrow as pa
+
+    if validity is None:
+        return None, 0
+    return (
+        pa.py_buffer(np.packbits(validity, bitorder="little").tobytes()),
+        int(len(validity) - validity.sum()),
+    )
+
+
+def _arrow_flat(values, validity, leaf):
+    """Kernel-form column -> pyarrow Array, no per-value Python: validity
+    bitmaps via packbits, ragged strings via offset/data buffer adoption,
+    null re-expansion via one boolean scatter."""
+    import pyarrow as pa
+
+    conv = leaf.get("converted")
+    if isinstance(values, RaggedBytes):
+        if validity is None:
+            n = len(values)
+            offsets = np.ascontiguousarray(values.offsets, dtype=np.int64)
+            vbm, nulls = None, 0
+        else:
+            n = len(validity)
+            lens = np.zeros(n, dtype=np.int64)
+            lens[validity] = np.diff(values.offsets)
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=offsets[1:])
+            vbm, nulls = _validity_buffers(validity)
+        typ = pa.large_string() if conv == 0 else pa.large_binary()
+        return pa.Array.from_buffers(
+            typ, n,
+            [vbm, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(np.ascontiguousarray(values.data).tobytes())],
+            null_count=nulls,
+        )
+    if getattr(values, "ndim", 1) == 2:  # FLBA / INT96 (n, k) uint8
+        k = values.shape[1]
+        if validity is None:
+            n = len(values)
+            full = np.ascontiguousarray(values, dtype=np.uint8)
+            vbm, nulls = None, 0
+        else:
+            n = len(validity)
+            full = np.zeros((n, k), dtype=np.uint8)
+            full[validity] = values
+            vbm, nulls = _validity_buffers(validity)
+        return pa.Array.from_buffers(
+            pa.binary(k), n, [vbm, pa.py_buffer(full.tobytes())],
+            null_count=nulls,
+        )
+    if validity is None:
+        return pa.array(values)
+    n = len(validity)
+    full = np.zeros(n, dtype=values.dtype)
+    full[validity] = values
+    return pa.array(full, mask=~validity)
+
+
+def _arrow_list(lc, col):
+    import pyarrow as pa
+
+    leaf = {"physical": col["physical"], "type_length": col.get("type_length"),
+            "converted": col.get("converted")}
+    child = _arrow_flat(lc.child_values, lc.child_validity, leaf)
+    vbm, nulls = _validity_buffers(lc.list_validity)
+    offsets = np.ascontiguousarray(lc.offsets, dtype=np.int64)
+    return pa.Array.from_buffers(
+        pa.large_list(child.type), len(lc),
+        [vbm, pa.py_buffer(offsets.tobytes())],
+        null_count=nulls, children=[child],
+    )
+
+
+def to_arrow(path_or_buf, columns: list[str] | None = None):
+    """Decode to a pyarrow Table (flat + LIST arrow-native; STRUCT/MAP via
+    StructArray/MapArray assembly)."""
+    import pyarrow as pa
 
     schema, data = read_parquet(path_or_buf, columns)
     by_name = {c["name"]: c for c in schema}
-    cols = {}
+    arrays, names = [], []
     for name, (values, validity) in data.items():
         c = by_name[name]
         if c.get("list"):
-            lc = values
-            child = lc.child_values
-            if isinstance(child, RaggedBytes):
-                cl = child.to_pylist()
-                if c.get("converted") == 0:
-                    cl = [v.decode("utf-8") for v in cl]
-            else:
-                cl = child.tolist()
-            if lc.child_validity is not None:
-                full, vi = [], 0
-                for ok in lc.child_validity:
-                    full.append(cl[vi] if ok else None)
-                    vi += ok
-                cl = full
-            rows = []
-            for i in range(len(lc)):
-                if lc.list_validity is not None and not lc.list_validity[i]:
-                    rows.append(None)
-                else:
-                    rows.append(cl[lc.offsets[i] : lc.offsets[i + 1]])
-            cols[name] = rows
-            continue
-        if isinstance(values, RaggedBytes):
-            lst = values.to_pylist()
-            if c.get("converted") == 0:  # UTF8
-                lst = [v.decode("utf-8") for v in lst]
-        elif values.ndim == 2:  # FLBA
-            lst = [bytes(r) for r in values]
+            arrays.append(_arrow_list(values, c))
+        elif c.get("group") == "struct":
+            children, fnames = [], []
+            for child in c["children"]:
+                fvals, fvalid = values["fields"][child["name"]]
+                children.append(_arrow_flat(
+                    fvals, None if fvalid.all() else fvalid, child
+                ))
+                fnames.append(child["name"])
+            sv = values["validity"]
+            arr = pa.StructArray.from_arrays(
+                children, fnames,
+                mask=pa.array(~sv) if sv is not None else None,
+            )
+            arrays.append(arr)
+        elif c.get("group") == "map":
+            klc, ilc = values["keys"], values["items"]
+            karr = _arrow_flat(klc.child_values, klc.child_validity, c["key"])
+            iarr = _arrow_flat(ilc.child_values, ilc.child_validity, c["value"])
+            off = np.ascontiguousarray(klc.offsets, dtype=np.int32)
+            offsets = pa.array(
+                off,
+                mask=np.concatenate((
+                    ~klc.list_validity if klc.list_validity is not None
+                    else np.zeros(len(klc), dtype=bool), [False],
+                )),
+            )
+            arrays.append(pa.MapArray.from_arrays(offsets, karr, iarr))
         else:
-            lst = values.tolist()
-        if validity is not None:
-            full, vi = [], 0
-            for ok in validity:
-                full.append(lst[vi] if ok else None)
-                vi += ok
-            lst = full
-        cols[name] = lst
+            arrays.append(_arrow_flat(values, validity, c))
+        names.append(name)
+    return pa.table(dict(zip(names, arrays)))
+
+
+def read_parquet_pandas(path_or_buf, columns: list[str] | None = None):
+    """Convenience: decode to a pandas DataFrame (strings decoded when the
+    column is annotated UTF8) — the shape the Spark mapInPandas scan uses.
+    Arrow-native end to end: kernel buffers adopt into pyarrow arrays
+    (offsets/validity are already numpy) and pandas conversion happens in
+    Arrow C code, not per-value Python (r5 VERDICT #4)."""
+    import pandas as pd
+
+    tbl = to_arrow(path_or_buf, columns)
+    cols = {}
+    for name in tbl.column_names:
+        arr = tbl[name]
+        # integer_object_nulls keeps nullable int columns exact (objects
+        # with None) instead of lossy float64 + NaN
+        cols[name] = arr.to_pandas(integer_object_nulls=True)
     return pd.DataFrame(cols)
+
+
+# --------------------------------------------------------- filtered scans
+
+_CMP_OPS = ("eq", "ne", "lt", "le", "gt", "ge")
+
+
+def _pred_cols(pred) -> set:
+    if pred[0] in ("and", "or"):
+        return _pred_cols(pred[1]) | _pred_cols(pred[2])
+    return {pred[1]}
+
+
+def _stats_value(raw, leaf):
+    if raw is None:
+        return None
+    phys = leaf["physical"]
+    if phys == "bool":
+        return bool(raw[0])
+    if phys in _NUMDT:
+        return _NUMDT[phys](np.frombuffer(raw, dtype=_NUMDT[phys])[0])
+    if phys in ("byte_array", "flba"):
+        # UTF8 min/max are unsigned lexicographic — python bytes compare
+        # matches exactly
+        return bytes(raw)
+    return None  # int96: no comparable stats
+
+
+def _coerce(val, leaf):
+    if isinstance(val, str):
+        return val.encode("utf-8")
+    return val
+
+
+def _range_can_match(op, val, mn, mx):
+    """Can any value in [mn, mx] satisfy ``op val``?"""
+    if mn is None or mx is None:
+        return True
+    if op == "eq":
+        return mn <= val <= mx
+    if op == "ne":
+        return not (mn == mx == val)
+    if op == "lt":
+        return mn < val
+    if op == "le":
+        return mn <= val
+    if op == "gt":
+        return mx > val
+    if op == "ge":
+        return mx >= val
+    raise ValueError(f"unknown predicate op {op!r}")
+
+
+def _rg_can_match(pred, rg, by_name):
+    if pred[0] == "and":
+        return _rg_can_match(pred[1], rg, by_name) and \
+            _rg_can_match(pred[2], rg, by_name)
+    if pred[0] == "or":
+        return _rg_can_match(pred[1], rg, by_name) or \
+            _rg_can_match(pred[2], rg, by_name)
+    op, name, val = pred
+    leaf = by_name[name]
+    chunk = _find_chunk(rg, [name])
+    st = chunk.get("stats")
+    if not st:
+        return True
+    # Statistics thrift ids: 5 = max_value, 6 = min_value (1/2 deprecated),
+    # 3 = null_count
+    mx = _stats_value(st.get(5, st.get(1)), leaf)
+    mn = _stats_value(st.get(6, st.get(2)), leaf)
+    if st.get(3) == chunk["num_values"]:
+        return False  # all-null chunk: no comparison matches
+    return _range_can_match(op, _coerce(val, leaf), mn, mx)
+
+
+def _parse_column_index(buf, off, ln):
+    ci, _ = read_struct(buf[off : off + ln])
+    return {
+        "null_pages": ci.get(1, []),
+        "mins": ci.get(2, []),
+        "maxs": ci.get(3, []),
+        "null_counts": ci.get(5),
+    }
+
+
+def _parse_offset_index(buf, off, ln):
+    oi, _ = read_struct(buf[off : off + ln])
+    return [(pl[1], pl[2], pl[3]) for pl in oi.get(1, [])]
+    # (offset, compressed_page_size, first_row_index)
+
+
+def _merge_ranges(ranges):
+    out = []
+    for s, e in sorted(ranges):
+        if out and s <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], e))
+        else:
+            out.append((s, e))
+    return out
+
+
+def _intersect_ranges(a, b):
+    out, i, j = [], 0, 0
+    while i < len(a) and j < len(b):
+        s = max(a[i][0], b[j][0])
+        e = min(a[i][1], b[j][1])
+        if s < e:
+            out.append((s, e))
+        if a[i][1] < b[j][1]:
+            i += 1
+        else:
+            j += 1
+    return out
+
+
+def _pred_page_ranges(pred, rg, by_name, buf, nrows, report):
+    """RowRanges from the predicate columns' ColumnIndexes — the
+    ColumnIndexFilter.calculateRowRanges analog. Columns without a page
+    index contribute the full range."""
+    if pred[0] == "and":
+        return _intersect_ranges(
+            _pred_page_ranges(pred[1], rg, by_name, buf, nrows, report),
+            _pred_page_ranges(pred[2], rg, by_name, buf, nrows, report),
+        )
+    if pred[0] == "or":
+        return _merge_ranges(
+            _pred_page_ranges(pred[1], rg, by_name, buf, nrows, report)
+            + _pred_page_ranges(pred[2], rg, by_name, buf, nrows, report)
+        )
+    op, name, val = pred
+    leaf = by_name[name]
+    chunk = _find_chunk(rg, [name])
+    ci_off, ci_len = chunk["colidx"]
+    oi_off, oi_len = chunk["offidx"]
+    if ci_off is None or oi_off is None:
+        return [(0, nrows)]
+    ci = _parse_column_index(buf, ci_off, ci_len)
+    locs = _parse_offset_index(buf, oi_off, oi_len)
+    val = _coerce(val, leaf)
+    keep = []
+    for i in range(len(locs)):
+        first = locs[i][2]
+        last = locs[i + 1][2] if i + 1 < len(locs) else nrows
+        if ci["null_pages"][i]:
+            continue  # all-null page: no comparison matches
+        mn = _stats_value(ci["mins"][i], leaf)
+        mx = _stats_value(ci["maxs"][i], leaf)
+        if _range_can_match(op, val, mn, mx):
+            keep.append((first, last))
+    return _merge_ranges(keep)
+
+
+def _decode_chunk_rows(buf, chunk, col, nrows, ranges, report):
+    """Decode only the pages of ``chunk`` overlapping ``ranges`` (via its
+    OffsetIndex when present) and return (values, validity, covered_rows
+    bool[nrows])."""
+    oi_off, oi_len = chunk["offidx"]
+    covered = np.zeros(nrows, dtype=bool)
+    if oi_off is None:
+        report["pages_scanned"] += 1
+        report["pages_total"] += 1
+        values, validity, _ = _read_chunk(buf, chunk, col)
+        covered[:] = True
+        return values, validity, covered
+    locs = _parse_offset_index(buf, oi_off, oi_len)
+    report["pages_total"] += len(locs)
+    pages = []
+    for i, (off, _size, first) in enumerate(locs):
+        last = locs[i + 1][2] if i + 1 < len(locs) else nrows
+        if any(s < last and first < e for s, e in ranges):
+            pages.append((off, last - first))
+            covered[first:last] = True
+    report["pages_scanned"] += len(pages)
+    if not pages:
+        return None, None, covered
+    values, validity, _ = _read_chunk(buf, chunk, col, pages=pages)
+    return values, validity, covered
+
+
+def _select_rows(values, validity, keep):
+    """Row-subset a kernel-form column by boolean ``keep`` over its rows."""
+    if validity is None:
+        if isinstance(values, RaggedBytes):
+            return values.take(np.flatnonzero(keep)), None
+        return values[keep], None
+    vkeep = keep[validity]  # which packed values survive
+    new_validity = validity[keep]
+    if isinstance(values, RaggedBytes):
+        values = values.take(np.flatnonzero(vkeep))
+    else:
+        values = values[vkeep]
+    return values, (None if new_validity.all() else new_validity)
+
+
+def _eval_pred(pred, cols):
+    """Exact record-level evaluation -> bool mask (NULL compares False,
+    the SQL semantics)."""
+    if pred[0] == "and":
+        return _eval_pred(pred[1], cols) & _eval_pred(pred[2], cols)
+    if pred[0] == "or":
+        return _eval_pred(pred[1], cols) | _eval_pred(pred[2], cols)
+    op, name, val = pred
+    values, validity, leaf = cols[name]
+    val = _coerce(val, leaf)
+    if isinstance(values, RaggedBytes):
+        nn = _cmp_ragged(op, values, val)
+    else:
+        if getattr(values, "ndim", 1) == 2:
+            raise ValueError("record-level filter on FLBA unsupported")
+        nn = _cmp_numeric(op, values, val)
+    if validity is None:
+        return nn
+    out = np.zeros(len(validity), dtype=bool)
+    out[validity] = nn
+    return out
+
+
+def _cmp_numeric(op, values, val):
+    return {
+        "eq": values == val, "ne": values != val, "lt": values < val,
+        "le": values <= val, "gt": values > val, "ge": values >= val,
+    }[op]
+
+
+def _cmp_ragged(op, rb: RaggedBytes, val: bytes):
+    lens = np.diff(rb.offsets)
+    if op in ("eq", "ne"):
+        cand = np.flatnonzero(lens == len(val))
+        eqm = np.zeros(len(rb), dtype=bool)
+        if len(cand) and len(val):
+            gather = rb.offsets[cand][:, None] + np.arange(len(val))
+            eqm[cand] = (
+                rb.data[gather] == np.frombuffer(val, dtype=np.uint8)
+            ).all(axis=1)
+        elif len(cand):
+            eqm[cand] = True
+        return eqm if op == "eq" else ~eqm
+    # ordered bytes comparison: vectorize on the shared prefix of length
+    # len(val); ties resolved by length (standard lexicographic)
+    k = len(val)
+    n = len(rb)
+    pl = np.minimum(lens, k)
+    # compare prefix bytes one position at a time (k is a constant-size
+    # literal, so this is O(k) vectorized passes)
+    vb = np.frombuffer(val, dtype=np.uint8)
+    res = np.zeros(n, dtype=np.int8)  # -1 lt, 0 eq-so-far, 1 gt
+    for j in range(k):
+        active = (res == 0) & (pl > j)
+        if not active.any():
+            break
+        b = rb.data[rb.offsets[:-1][active] + j]
+        res[np.flatnonzero(active)[b < vb[j]]] = -1
+        res[np.flatnonzero(active)[b > vb[j]]] = 1
+    # exhausted prefix: shorter string sorts first
+    tie = res == 0
+    res[tie & (lens < k)] = -1
+    res[tie & (lens > k)] = 1
+    return {
+        "lt": res < 0, "le": res <= 0, "gt": res > 0, "ge": res >= 0,
+    }[op]
+
+
+def read_parquet_filtered(path_or_buf, predicate,
+                          columns: list[str] | None = None):
+    """Filtered read: row groups pruned by chunk Statistics, pages pruned
+    by ColumnIndex/OffsetIndex row ranges (only surviving pages are
+    DECODED), then exact record-level evaluation. FLAT primitive columns
+    only. ``predicate`` is a nested tuple: ("and"|"or", p, q) or
+    (op, column, value) with op in eq/ne/lt/le/gt/ge.
+
+    Returns (schema, {name: (values, validity)}, report) where report
+    counts row_groups/pages total vs scanned — the
+    readNextFilteredRowGroup + ColumnIndexFilter contract."""
+    if isinstance(path_or_buf, (bytes, bytearray)):
+        buf = bytes(path_or_buf)
+    else:
+        with open(path_or_buf, "rb") as f:
+            buf = f.read()
+    meta = read_footer(buf)
+    by_name = {c["name"]: c for c in meta["schema"]}
+    want = columns or [c["name"] for c in meta["schema"]]
+    for name in set(want) | _pred_cols(predicate):
+        if by_name[name].get("list") or by_name[name].get("group"):
+            raise ValueError(
+                f"filtered scan: column {name!r} is nested (flat only)"
+            )
+    read_cols = list(dict.fromkeys(list(want) + sorted(
+        _pred_cols(predicate) - set(want)
+    )))
+    report = {
+        "row_groups_total": len(meta["row_groups"]), "row_groups_scanned": 0,
+        "pages_total": 0, "pages_scanned": 0,
+        "rows_total": meta["num_rows"], "rows_after_prune": 0,
+        "rows_matched": 0,
+    }
+    acc = {name: [] for name in read_cols}
+    for rg in meta["row_groups"]:
+        nrows = rg["num_rows"]
+        if not _rg_can_match(predicate, rg, by_name):
+            continue  # L1: whole row group skipped — nothing decoded
+        ranges = _pred_page_ranges(predicate, rg, by_name, buf, nrows, report)
+        if not ranges:
+            continue  # page index proved no page can match
+        report["row_groups_scanned"] += 1
+        decoded = {}
+        covered_all = None
+        for name in read_cols:
+            chunk = _find_chunk(rg, [name])
+            values, validity, covered = _decode_chunk_rows(
+                buf, chunk, by_name[name], nrows, ranges, report
+            )
+            decoded[name] = (values, validity, covered)
+            covered_all = covered if covered_all is None \
+                else covered_all & covered
+        # align every column to the intersected covered row set, then the
+        # pruned ranges, then the exact predicate
+        tmask = np.zeros(nrows, dtype=bool)
+        for s, e in ranges:
+            tmask[s:e] = True
+        tmask &= covered_all
+        report["rows_after_prune"] += int(tmask.sum())
+        aligned = {}
+        for name, (values, validity, covered) in decoded.items():
+            keep = tmask[covered]  # rows of this chunk's decoded span
+            aligned[name] = (*_select_rows(values, validity, keep),
+                             by_name[name])
+        match = _eval_pred(predicate, aligned)
+        report["rows_matched"] += int(match.sum())
+        for name in read_cols:
+            values, validity, leaf = aligned[name]
+            acc[name].append(_select_rows(
+                values,
+                validity,
+                match,
+            ))
+    out = {}
+    for name in want:
+        parts = [
+            (v, val, None) for (v, val) in acc[name]
+        ]
+        if not parts:
+            leaf = by_name[name]
+            out[name] = (_empty_values(leaf), None)
+            continue
+        values, validity, _ = _concat_chunk_parts(parts)
+        out[name] = (values, validity)
+    return meta["schema"], out, report
+
+
+def _empty_values(leaf):
+    phys = leaf["physical"]
+    if phys == "byte_array":
+        return RaggedBytes(np.zeros(1, dtype=np.int64),
+                           np.zeros(0, dtype=np.uint8))
+    if phys == "bool":
+        return np.zeros(0, dtype=bool)
+    if phys in _NUMDT:
+        return np.zeros(0, dtype=_NUMDT[phys])
+    k = leaf.get("type_length") or 12
+    return np.zeros((0, k), dtype=np.uint8)
+
+
+def read_parquet_filtered_pandas(path_or_buf, predicate,
+                                 columns: list[str] | None = None):
+    """Filtered read -> (pandas DataFrame, prune report)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    schema, data, report = read_parquet_filtered(
+        path_or_buf, predicate, columns
+    )
+    by_name = {c["name"]: c for c in schema}
+    cols = {}
+    for name, (values, validity) in data.items():
+        arr = _arrow_flat(values, validity, by_name[name])
+        cols[name] = arr.to_pandas(integer_object_nulls=True)
+    return pd.DataFrame(cols), report

@@ -204,7 +204,7 @@ def write_parquet(path: str, columns: list[dict], n_rows: int,
     out = bytearray(MAGIC)
     chunks = []
     for col in columns:
-        name, ptype, codec = col["name"], col["ptype"], col["codec"]
+        name, ptype, codec = col["name"], col["ptype"], col.get("codec")
         if ptype.startswith("list<"):
             if codec not in ("plain", "auto", None):
                 # list child values are PLAIN in this writer; silently
@@ -218,6 +218,12 @@ def write_parquet(path: str, columns: list[dict], n_rows: int,
             continue
         if ptype == "variant":
             chunks.extend(_write_variant_chunks(out, col, n_rows, compression))
+            continue
+        if ptype == "struct":
+            chunks.extend(_write_struct_chunks(out, col, n_rows, compression))
+            continue
+        if ptype.startswith("map<"):
+            chunks.extend(_write_map_chunks(out, col, n_rows, compression))
             continue
         vals, validity = col["values"], col.get("validity")
         chunk_start = len(out)
@@ -319,6 +325,43 @@ def write_parquet(path: str, columns: list[dict], n_rows: int,
                 schema.append(
                     StructWriter().i32(1, TYPE["binary"]).i32(3, 0).string(4, leaf)
                 )
+            continue
+        if col["ptype"] == "struct":
+            # optional/required group of primitive leaves (no annotation)
+            group = StructWriter().i32(
+                3, 1 if col.get("validity") is not None else 0
+            ).string(4, col["name"]).i32(5, len(col["fields"]))
+            schema.append(group)
+            for f in col["fields"]:
+                pt, tlen = _physical(f["ptype"])
+                se = StructWriter().i32(1, pt)
+                if tlen is not None:
+                    se.i32(2, tlen)
+                se.i32(3, 1 if f.get("validity") is not None else 0)
+                se.string(4, f["name"])
+                _annotate(se, f["ptype"])
+                schema.append(se)
+            continue
+        if col["ptype"].startswith("map<"):
+            kp, vp = col["ptype"][4:-1].split(",", 1)
+            # optional group (MAP) / repeated group key_value /
+            # required key + optional value — the spec's standard shape
+            schema.append(
+                StructWriter().i32(3, 1).string(4, col["name"]).i32(5, 1)
+                .i32(6, 1)  # ConvertedType MAP
+                .struct(10, StructWriter().struct(2, StructWriter()))
+            )
+            schema.append(
+                StructWriter().i32(3, 2).string(4, "key_value").i32(5, 2)
+            )
+            for leaf, lpt, repn in (("key", kp, 0), ("value", vp, 1)):
+                pt, tlen = _physical(lpt)
+                se = StructWriter().i32(1, pt)
+                if tlen is not None:
+                    se.i32(2, tlen)
+                se.i32(3, repn).string(4, leaf)
+                _annotate(se, lpt)
+                schema.append(se)
             continue
         if col["ptype"].startswith("list<"):
             cp = col["ptype"][5:-1]
@@ -444,6 +487,116 @@ def _write_variant_chunks(out: bytearray, col: dict, n_rows: int,
             .i32(4, CODEC_ENUM[compression])
             .i64(5, n_rows)
             .i64(6, len(body))
+            .i64(7, len(out) - chunk_start)
+            .i64(9, chunk_start)
+        )
+        cc = StructWriter().i64(2, chunk_start).struct(3, meta)
+        chunks.append((cc, len(out) - chunk_start))
+    return chunks
+
+
+def _plain_child_body(cp: str, vals) -> bytes:
+    if cp in ("string", "binary"):
+        return plain.encode_plain_bytes(vals)
+    if cp == "bool":
+        return plain.encode_plain_bool(vals)
+    if _physical(cp)[0] == FLBA:
+        return np.ascontiguousarray(vals, dtype=np.uint8).tobytes()
+    return plain.encode_plain_numeric(vals)
+
+
+def _write_struct_chunks(out: bytearray, col: dict, n_rows: int,
+                         compression: str | None):
+    """One column chunk per STRUCT field. Definition levels are computed
+    from the struct validity (level ``so``) plus the field validity (level
+    ``so+1``): def 0 = struct null, so = field null, max_def = value —
+    the generalized (non-repeated) Dremel alphabet. ``col['fields']`` hold
+    kernel-form values over NON-NULL-struct rows (packed further by the
+    field's own validity)."""
+    name = col["name"]
+    sv = col.get("validity")
+    so = 1 if sv is not None else 0
+    m = int(np.asarray(sv).sum()) if sv is not None else n_rows
+    chunks = []
+    for f in col["fields"]:
+        fv = f.get("validity")
+        fo = 1 if fv is not None else 0
+        max_def = so + fo
+        defs = np.zeros(n_rows, dtype=np.uint64)
+        inner = np.full(m, max_def, dtype=np.uint64)
+        if fv is not None:
+            inner[~np.asarray(fv, dtype=bool)] = so
+        if sv is not None:
+            defs[np.asarray(sv, dtype=bool)] = inner
+        else:
+            defs = inner
+        width = max(max_def.bit_length(), 1)
+        def_b = rle.encode_hybrid_length_prefixed(defs, width) if max_def \
+            else b""
+        body = _plain_child_body(f["ptype"], f["values"])
+        page_body = def_b + body
+        comp_body = _compress_body(page_body, compression)
+        chunk_start = len(out)
+        out += _page_header(PAGE_DATA, n_rows, ENC_PLAIN, len(page_body),
+                            len(comp_body))
+        out += comp_body
+        meta = (
+            StructWriter()
+            .i32(1, _physical(f["ptype"])[0])
+            .list_i32(2, sorted({ENC_RLE, ENC_PLAIN}))
+            .list_string(3, [name, f["name"]])
+            .i32(4, CODEC_ENUM[compression])
+            .i64(5, n_rows)
+            .i64(6, len(page_body))
+            .i64(7, len(out) - chunk_start)
+            .i64(9, chunk_start)
+        )
+        cc = StructWriter().i64(2, chunk_start).struct(3, meta)
+        chunks.append((cc, len(out) - chunk_start))
+    return chunks
+
+
+def _write_map_chunks(out: bytearray, col: dict, n_rows: int,
+                      compression: str | None):
+    """Two column chunks for a MAP group (key, value leaves). Levels come
+    from nested.build_levels' canonical 0..3 alphabet, remapped to each
+    leaf's file alphabet: key max_def = 2 (map optional + repeated,
+    required key), value max_def = 3."""
+    from ..nested import build_levels
+
+    name = col["name"]
+    keys, items = col["values"]  # nested.ListColumn pair, shared offsets
+    if not np.array_equal(keys.offsets, items.offsets):
+        raise ValueError(f"map {name!r}: key/value offsets disagree")
+    if keys.child_validity is not None:
+        raise ValueError(f"map {name!r}: keys must be non-null")
+    chunks = []
+    for leaf, lc, lpt, eo in (
+        ("key", keys, col["ptype"][4:-1].split(",", 1)[0], 0),
+        ("value", items, col["ptype"][4:-1].split(",", 1)[1], 1),
+    ):
+        rep, canon = build_levels(lc.lengths, lc.list_validity,
+                                  lc.child_validity if eo else None)
+        max_def = 2 + eo
+        inv = np.array([0, 1, 2, max_def], dtype=np.uint64)
+        dfl = inv[canon.astype(np.int64)]
+        rep_b = rle.encode_hybrid_length_prefixed(rep, 1)
+        def_b = rle.encode_hybrid_length_prefixed(dfl, 2)
+        body = _plain_child_body(lpt, lc.child_values)
+        page_body = rep_b + def_b + body
+        comp_body = _compress_body(page_body, compression)
+        chunk_start = len(out)
+        out += _list_page_header(len(rep), ENC_PLAIN, len(page_body),
+                                 len(comp_body))
+        out += comp_body
+        meta = (
+            StructWriter()
+            .i32(1, _physical(lpt)[0])
+            .list_i32(2, sorted({ENC_RLE, ENC_PLAIN}))
+            .list_string(3, [name, "key_value", leaf])
+            .i32(4, CODEC_ENUM[compression])
+            .i64(5, len(rep))
+            .i64(6, len(page_body))
             .i64(7, len(out) - chunk_start)
             .i64(9, chunk_start)
         )

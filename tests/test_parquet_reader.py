@@ -139,10 +139,11 @@ def test_kernel_form_and_validity_contract(tbl, tmp_path):
 def test_errors(tbl, tmp_path):
     with pytest.raises(ValueError, match="magic"):
         read_parquet(b"nope" * 4)
-    nested = pa.table({"m": pa.array([{"a": 1}, {"a": 2}])})
-    p = str(tmp_path / "nested.parquet")
-    pq.write_table(nested, p)
-    with pytest.raises(ValueError, match="nested"):
+    # struct-of-struct (two nesting levels) is out of declared scope
+    deep = pa.table({"m": pa.array([{"a": {"b": 1}}, {"a": {"b": 2}}])})
+    p = str(tmp_path / "deep.parquet")
+    pq.write_table(deep, p)
+    with pytest.raises(ValueError, match="nested|supported"):
         read_parquet(p)
 
 
@@ -262,10 +263,168 @@ def test_list_from_our_interop_writer(tmp_path):
     assert [list(x) for x in df["v"]] == [[0, 10], [], [20, 30, 40], [50]]
 
 
-def test_map_still_rejected(tmp_path):
-    m = pa.table({"m": pa.array([{"a": 1}, {"b": 2}],
-                                pa.map_(pa.string(), pa.int64()))})
-    p = str(tmp_path / "map.parquet")
-    pq.write_table(m, p)
-    with pytest.raises(ValueError, match="unsupported"):
-        read_parquet(p)
+def test_required_list_shapes(tmp_path):
+    """The r5 ADVICE-high case: pyarrow files with REQUIRED list groups or
+    REQUIRED elements have max_def 2 (or 1), not 3 — levels must be
+    interpreted from the parsed optionality, not assumed."""
+    sch = pa.schema([
+        pa.field("req_list", pa.list_(pa.field("item", pa.int64(),
+                                               nullable=False)),
+                 nullable=False),
+        pa.field("req_elems", pa.list_(pa.field("item", pa.int64(),
+                                                nullable=False)),
+                 nullable=True),
+        pa.field("opt_all", pa.list_(pa.int64()), nullable=True),
+    ])
+    tbl = pa.table({
+        "req_list": pa.array([[1, 2], [3], [], [4, 5, 6]],
+                             sch.field("req_list").type),
+        "req_elems": pa.array([[1, 2], None, [], [7]],
+                              sch.field("req_elems").type),
+        "opt_all": pa.array([[1, None], None, [], [9]], pa.list_(pa.int64())),
+    }, schema=sch)
+    for ver in ("1.0", "2.0"):
+        p = str(tmp_path / f"reqlist_{ver}.parquet")
+        pq.write_table(tbl, p, data_page_version=ver)
+        df = read_parquet_pandas(p)
+        assert [list(x) for x in df["req_list"]] == [[1, 2], [3], [], [4, 5, 6]]
+        assert [x if x is None else list(x) for x in df["req_elems"]] == \
+            [[1, 2], None, [], [7]]
+        got = [x if x is None else
+               [None if v is None or v != v else int(v) for v in x]
+               for x in df["opt_all"]]
+        assert got == [[1, None], None, [], [9]]
+
+
+def test_struct_columns(tmp_path):
+    """One-level STRUCT groups of primitives (any optionality) decode via
+    the generalized definition-level alphabet."""
+    rows = [{"a": 1, "s": "x"}, None, {"a": None, "s": "y"},
+            {"a": 4, "s": None}, {"a": 5, "s": "zz"}]
+    tbl = pa.table({
+        "st": pa.array(rows * 50,
+                       pa.struct([("a", pa.int64()), ("s", pa.string())])),
+        "flat": pa.array(range(250), pa.int64()),
+    })
+    for kw in (dict(), dict(data_page_version="2.0", compression="zstd"),
+               dict(row_group_size=60, compression="snappy")):
+        p = str(tmp_path / f"st{len(kw)}.parquet")
+        pq.write_table(tbl, p, **kw)
+        df = read_parquet_pandas(p)
+        assert df["flat"].tolist() == list(range(250))
+        assert df["st"].tolist() == rows * 50, kw
+
+
+def test_map_columns(tmp_path):
+    """MAP groups (standard key_value shape) decode as per-row dicts."""
+    rows = [{"a": 1, "b": 2}, {}, None, {"c": None}, {"d": 4, "e": 5}]
+    tbl = pa.table({
+        "m": pa.array(rows * 40, pa.map_(pa.string(), pa.int64())),
+        "flat": pa.array(range(200), pa.int64()),
+    })
+    for kw in (dict(), dict(compression="zstd"),
+               dict(row_group_size=70, compression="gzip")):
+        p = str(tmp_path / f"map{len(kw)}.parquet")
+        pq.write_table(tbl, p, **kw)
+        df = read_parquet_pandas(p)
+        got = [x if x is None else dict(x) for x in df["m"]]
+        assert got == rows * 40, kw
+        assert df["flat"].tolist() == list(range(200))
+
+
+def test_struct_map_from_our_interop_writer(tmp_path):
+    from pq_engine.interop.parquet_writer import write_parquet
+    from pq_engine.nested import ListColumn
+
+    p = str(tmp_path / "ours_nested.parquet")
+    sv = np.array([True, True, False, True], dtype=bool)
+    fa = np.array([1, 2, 4], dtype=np.int64)          # non-null-struct rows
+    fa_valid = np.array([True, False, True], dtype=bool)
+    fs = RaggedBytes.from_pylist([b"x", b"y", b"z"])
+    klens = np.array([2, 0, 0, 1], dtype=np.int64)
+    koff = np.zeros(5, dtype=np.int64)
+    np.cumsum(klens, out=koff[1:])
+    keys = ListColumn(koff, np.array([True, True, False, True]),
+                      RaggedBytes.from_pylist([b"k1", b"k2", b"k3"]), None)
+    items = ListColumn(koff.copy(), keys.list_validity,
+                       np.array([10, 30], dtype=np.int64),  # non-null only
+                       np.array([True, False, True]))
+    write_parquet(p, [
+        {"name": "st", "ptype": "struct", "validity": sv, "fields": [
+            {"name": "a", "ptype": "int64", "values": fa[fa_valid],
+             "validity": fa_valid},
+            {"name": "s", "ptype": "string", "values": fs, "validity": None},
+        ]},
+        {"name": "m", "ptype": "map<string,int64>", "values": (keys, items)},
+    ], 4)
+    # our own reader round-trips it
+    df = read_parquet_pandas(p)
+    assert df["st"].tolist() == [
+        {"a": 1, "s": "x"}, {"a": None, "s": "y"}, None, {"a": 4, "s": "z"},
+    ]
+    assert [x if x is None else dict(x) for x in df["m"]] == [
+        {"k1": 10, "k2": None}, {}, None, {"k3": 30},
+    ]
+    # and pyarrow (independent reader) agrees on the same bytes
+    ext = pq.read_table(p).to_pylist()
+    assert [r["st"] for r in ext] == df["st"].tolist()
+    assert [r["m"] if r["m"] is None else dict(r["m"]) for r in ext] == \
+        [x if x is None else dict(x) for x in df["m"]]
+
+
+def test_filtered_scan_prunes_row_groups_and_pages(tmp_path):
+    """readNextFilteredRowGroup analog: sorted file, small pages, page
+    index on — a selective predicate must skip row groups (stats) AND
+    pages (ColumnIndex row ranges), and still return exact rows."""
+    from pq_engine.interop.parquet_reader import read_parquet_filtered_pandas
+
+    n = 40_000
+    tbl = pa.table({
+        "k": pa.array(np.arange(n), pa.int64()),
+        "s": pa.array(["s%06d" % i for i in range(n)]),
+        "v": pa.array(np.arange(n) * 0.5, pa.float64()),
+    })
+    p = str(tmp_path / "sorted.parquet")
+    pq.write_table(tbl, p, row_group_size=8000, data_page_size=4096,
+                   write_page_index=True, compression="snappy",
+                   column_encoding={"k": "PLAIN", "s": "PLAIN", "v": "PLAIN"},
+                   use_dictionary=False)
+    pred = ("and", ("ge", "k", 12_100), ("lt", "k", 12_400))
+    df, rep = read_parquet_filtered_pandas(p, pred)
+    assert df["k"].tolist() == list(range(12_100, 12_400))
+    assert df["s"].tolist() == ["s%06d" % i for i in range(12_100, 12_400)]
+    assert rep["row_groups_scanned"] == 1 and rep["row_groups_total"] == 5
+    assert 0 < rep["pages_scanned"] < rep["pages_total"]
+    # string predicate + or
+    df2, rep2 = read_parquet_filtered_pandas(
+        p, ("or", ("eq", "s", "s000123"), ("gt", "k", 39_990)), ["k", "s"]
+    )
+    assert df2["k"].tolist() == [123] + list(range(39_991, 40_000))
+    assert rep2["pages_scanned"] < rep2["pages_total"]
+    # no match at all: zero row groups decoded
+    df3, rep3 = read_parquet_filtered_pandas(p, ("gt", "k", 10**9))
+    assert len(df3) == 0 and rep3["pages_scanned"] == 0
+
+
+def test_filtered_scan_with_nulls_and_dict(tmp_path):
+    """Filtered path over dictionary-encoded strings with nulls: record-
+    level evaluation stays exact (NULL compares false) even when pages
+    cannot be pruned."""
+    from pq_engine.interop.parquet_reader import read_parquet_filtered_pandas
+
+    n = 5000
+    langs = [None if i % 11 == 0 else ["en", "fr", "de"][i % 3]
+             for i in range(n)]
+    tbl = pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "lang": pa.array(langs),
+    })
+    p = str(tmp_path / "nulls.parquet")
+    pq.write_table(tbl, p, row_group_size=1000, write_page_index=True)
+    df, rep = read_parquet_filtered_pandas(
+        p, ("and", ("eq", "lang", "fr"), ("lt", "id", 600))
+    )
+    want = [i for i in range(600) if langs[i] == "fr"]
+    assert df["id"].tolist() == want
+    assert set(df["lang"]) == {"fr"}
+    assert rep["rows_matched"] == len(want)
