@@ -1349,6 +1349,142 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             scan, "doc_id long, lang string, n_chars long"
         )
 
+    def external_filtered_scan(spark, sf_dir):
+        """r6: FILTERED external scan — the readNextFilteredRowGroup +
+        ColumnIndexFilter analog (parquet-hadoop ParquetFileReader.java:
+        1140-1268, columnindex/ColumnIndexFilter.java:58-77). pyarrow
+        writes sorted multi-row-group files with a page index; our reader
+        prunes row groups by chunk Statistics (L1) and pages by
+        ColumnIndex row ranges, decoding ONLY surviving pages. Each scan
+        task ASSERTS row groups and pages were actually skipped (the
+        fixed_dict_pushdown discipline), then exact record-level
+        evaluation returns the band — hash-oracled against DuckDB."""
+        import os as _os
+        import tempfile as _tmp
+        import uuid as _uuid_mod
+
+        src = _read(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        mx = src.agg(F.max("doc_id")).collect()[0][0]
+        lo, hi = int(0.30 * mx), int(0.35 * mx)
+        out_dir = _tmp.mkdtemp(prefix="pq_ext_filt_")
+
+        def write_part(batches):
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pdf = pdf.sort_values("doc_id")
+                path = _os.path.join(
+                    out_dir, f"part-{_uuid_mod.uuid4().hex}.parquet"
+                )
+                _pq.write_table(
+                    _pa.Table.from_pandas(pdf, preserve_index=False), path,
+                    row_group_size=max(64, len(pdf) // 6),
+                    data_page_size=256, write_page_index=True,
+                    use_dictionary=False, compression="snappy",
+                )
+                yield pandas.DataFrame({"path": [path]})
+
+        files = src.repartition(2).mapInPandas(write_part, "path string")
+
+        def scan(batches):
+            from pq_engine.interop.parquet_reader import (
+                read_parquet_filtered_pandas,
+            )
+
+            pred = ("and", ("ge", "doc_id", lo), ("lt", "doc_id", hi))
+            for pdf in batches:
+                for p in pdf["path"]:
+                    df, rep = read_parquet_filtered_pandas(p, pred)
+                    if rep["row_groups_total"] >= 4:
+                        assert (rep["row_groups_scanned"]
+                                < rep["row_groups_total"]), rep
+                    if rep["pages_total"] >= 6:
+                        assert rep["pages_scanned"] < rep["pages_total"], rep
+                    yield df
+        return files.repartition(4).mapInPandas(
+            scan, "doc_id long, lang string, n_chars long"
+        )
+
+    def external_struct_map_rt(spark, sf_dir):
+        """r6: MAP/STRUCT through the from-scratch parquet writer AND
+        reader (both directions new this round — parquet_reader.py read
+        side, parquet_writer.py schema emission). Each partition builds
+        kernel-form STRUCT{lang,n} and MAP<string,int64> columns with a
+        deterministic null pattern (struct/map null when doc_id%13==0,
+        field/value null when n_chars%7==0), writes them with OUR writer,
+        decodes the same file with OUR reader, and flattens — hash-oracled
+        against the equivalent CASE expressions in DuckDB."""
+        def rt(batches):
+            import os as _os
+            import tempfile as _tmp
+
+            import numpy as _np
+
+            from pq_engine.interop.parquet_reader import read_parquet_pandas
+            from pq_engine.interop.parquet_writer import write_parquet
+            from pq_engine.kernels.ragged import RaggedBytes
+            from pq_engine.nested import ListColumn
+
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                ids = pdf["doc_id"].to_numpy(dtype=_np.int64)
+                nch = pdf["n_chars"].to_numpy(dtype=_np.int64)
+                langs = [s.encode() for s in pdf["lang"]]
+                sv = ids % 13 != 0                      # struct/map validity
+                f_valid = nch[sv] % 7 != 0              # field validity
+                f_vals = nch[sv][f_valid]               # non-null-only
+                s_langs = RaggedBytes.from_pylist(
+                    [b for b, ok in zip(langs, sv) if ok]
+                )
+                klens = sv.astype(_np.int64)            # 1 entry, or 0/null
+                koff = _np.zeros(n + 1, dtype=_np.int64)
+                _np.cumsum(klens, out=koff[1:])
+                keys = ListColumn(koff, sv.copy(), s_langs, None)
+                items = ListColumn(koff.copy(), sv.copy(), f_vals,
+                                   f_valid.copy())
+                path = _os.path.join(
+                    _tmp.mkdtemp(prefix="pq_sm_rt_"), "part.parquet"
+                )
+                write_parquet(path, [
+                    {"name": "doc_id", "ptype": "int64", "values": ids,
+                     "codec": "plain"},
+                    {"name": "st", "ptype": "struct", "validity": sv,
+                     "fields": [
+                         {"name": "lang", "ptype": "string",
+                          "values": s_langs, "validity": None},
+                         {"name": "n", "ptype": "int64", "values": f_vals,
+                          "validity": f_valid},
+                     ]},
+                    {"name": "m", "ptype": "map<string,int64>",
+                     "values": (keys, items)},
+                ], n)
+                df = read_parquet_pandas(path)
+                st = df["st"].tolist()
+                mp = [x if x is None else dict(x) for x in df["m"]]
+                yield pandas.DataFrame({
+                    "doc_id": df["doc_id"],
+                    "s_lang": [None if s is None else s["lang"] for s in st],
+                    "s_n": [None if s is None else s["n"] for s in st],
+                    "m_len": [
+                        None if (d is None or not d) else
+                        next(iter(d.values())) for d in mp
+                    ],
+                })
+
+        src = _read(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        return src.mapInPandas(
+            rt, "doc_id long, s_lang string, s_n long, m_len long"
+        )
+
     def geo_multipolygon_filter(spark, sf_dir):
         """r4 shape breadth: GEOMETRY column of WKB MultiPolygons (two unit
         squares per doc) — the bbox walk now covers Multi* shapes, so chunk
@@ -1534,14 +1670,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "frame_idx", "frame_offset"
         )
 
-    # The driver records only the FIRST 50 entries. VERDICT r4 "what's
-    # wrong" #1: ROTATE the window each round so consecutive rounds jointly
-    # record every query. Round-5 window = the 27 queries CORRECTNESS_r04
-    # could not see (they were past-window) + 23 regression-prone keepers
-    # (north-star codecs, FLBA family, crypto, pushdown levels, pipeline
-    # cores). The 27 r04-recorded queries now sit past 50 — rounds 4+5
-    # jointly record all 77; tools/check_oracle.py still gates all of them
-    # every round.
+    # The driver records only the FIRST 50 entries. The window is ROTATED
+    # each round so consecutive rounds jointly record every query — since
+    # r6 the ordering is DERIVED (pq_engine/rotation.py, VERDICT r5 next
+    # #9): queries absent from the latest CORRECTNESS_r*.json go first, so
+    # new + past-window queries are recorded by construction and no
+    # hand-typed ordering can drift. tools/check_oracle.py still gates all
+    # queries every round.
     from pq_engine.spark import crypto as _crypto
 
     out = {
@@ -1635,8 +1770,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_top10": ann10,
         "token_count": tok_count,
         "media_metadata": media_meta,
+        "external_filtered_scan": external_filtered_scan,  # new in r6
+        "external_struct_map_rt": external_struct_map_rt,  # new in r6
     })
-    return out
+    import os as _os
+
+    from pq_engine.rotation import rotate_keys
+
+    order = rotate_keys(list(out), _os.path.dirname(_os.path.abspath(__file__)))
+    return {k: out[k] for k in order}
 
 
 # ------------------------------------------------------------------ oracles
@@ -1722,6 +1864,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n FROM documents",
         "external_parquet_scan":
             "SELECT doc_id, lang, n_chars FROM documents",
+        "external_filtered_scan": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id >= (SELECT CAST(FLOOR(0.30 * MAX(doc_id)) AS BIGINT)
+                             FROM documents)
+              AND doc_id <  (SELECT CAST(FLOOR(0.35 * MAX(doc_id)) AS BIGINT)
+                             FROM documents)
+        """,
+        "external_struct_map_rt": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END
+                       AS s_lang,
+                   CASE WHEN doc_id % 13 = 0 OR n_chars % 7 = 0 THEN NULL
+                        ELSE n_chars END AS s_n,
+                   CASE WHEN doc_id % 13 = 0 OR n_chars % 7 = 0 THEN NULL
+                        ELSE n_chars END AS m_len
+            FROM documents
+        """,
         "streaming_window_agg": """
             SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS ws,
                    event_type,
