@@ -1305,6 +1305,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_type", "n", "sum_v",
         )
 
+    def streaming_table_sink(spark, sf_dir):
+        """r6 (VERDICT r5 #10): streaming → snapshot-table sink. The
+        documents table is replayed as a 2-file stream; every micro-batch
+        commits as ONE table snapshot (foreachBatch → table_append with a
+        streaming_batch_id for exactly-once replay — spark/streaming.py
+        stream_to_table). The final table must hold each row exactly once
+        and carry ≥2 snapshots with monotone batch ids; output = the
+        decoded table, hash-oracled against plain SQL."""
+        import os as _os
+        import tempfile as _tmp
+
+        from pq_engine.spark.streaming import stream_to_table
+        from pq_engine.spark.table import table_read, table_snapshots
+
+        root = _tmp.mkdtemp(prefix="pq_stbl_gate_")
+        in_dir, chk, td = f"{root}/in", f"{root}/chk", f"{root}/table"
+        docs = _read(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        for half in ("doc_id % 2 = 0", "doc_id % 2 = 1"):
+            docs.filter(half).coalesce(1).write.mode("append").parquet(in_dir)
+        schema = spark.read.parquet(in_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = stream_to_table(spark, stream, td, chk, available_now=True)
+        assert q.awaitTermination(300), \
+            "streaming table sink did not finish within timeout"
+        snaps = table_snapshots(td)
+        assert len(snaps) >= 2, "expected one snapshot per micro-batch"
+        bids = [m["streaming_batch_id"] for m in snaps]
+        assert bids == sorted(bids), "batch ids must be monotone"
+        return table_read(spark, td).select("doc_id", "lang", "n_chars")
+
     def external_parquet_scan(spark, sf_dir):
         """r5: the from-scratch parquet READER (ParquetFileReader.java
         analog) — pyarrow writes per-partition files with forced encodings
@@ -1774,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": media_meta,
         "external_filtered_scan": external_filtered_scan,  # new in r6
         "external_struct_map_rt": external_struct_map_rt,  # new in r6
+        "streaming_table_sink": streaming_table_sink,  # new in r6
     })
     import os as _os
 
@@ -1905,6 +1942,8 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, n_chars, 2 AS snap FROM documents
         """,
+        "streaming_table_sink":
+            "SELECT doc_id, lang, n_chars FROM documents",
         "media_png_features": """
             SELECT doc_id,
                    8.0 AS h, 16.0 AS w, 3.0 AS c,

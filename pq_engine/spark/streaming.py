@@ -48,6 +48,60 @@ def encode_stream(
     )
 
 
+def stream_to_table(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    codec: str = "auto",
+    page_compression: str | None = None,
+    io=None,
+    available_now: bool = False,
+):
+    """Streaming → snapshot-table sink: commit every micro-batch as one
+    table snapshot (``foreachBatch`` → :func:`~.table.table_append`), with
+    EXACTLY-ONCE semantics on top of foreachBatch's at-least-once replay.
+
+    The manifest records ``streaming_batch_id``; on replay of a batch whose
+    id is already reachable from the version hint the commit is a no-op, so
+    a crash anywhere (mid-encode, mid-manifest-write) leaves the table at
+    the previous snapshot and the restarted stream re-commits the batch
+    exactly once. Orphan data files from the crashed attempt stay
+    unreferenced (attempt-unique names, explicit manifest file lists) —
+    the Iceberg orphan-file contract. The skip check scans reachable
+    snapshots for the max committed batch id, so interleaved non-streaming
+    appends don't break it (batch ids are monotonic per checkpoint).
+
+    Returns the started StreamingQuery."""
+    from .table import table_append, table_snapshots
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        done = [
+            m["streaming_batch_id"]
+            for m in table_snapshots(table_dir, io)
+            if m.get("streaming_batch_id") is not None
+        ]
+        if done and max(done) >= epoch_id:
+            return  # replayed batch already committed
+        table_append(
+            spark,
+            batch_df,
+            table_dir,
+            codec=codec,
+            page_compression=page_compression,
+            io=io,
+            allow_dirty=True,
+            extra_manifest={"streaming_batch_id": int(epoch_id)},
+        )
+
+    w = stream_df.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def streaming_encode_stats(spark: SparkSession, pages_dir: str):
     """Monitoring view over the growing page table: per-column encoded/raw
     rollup (batch query; rerunnable any time)."""

@@ -92,6 +92,75 @@ def test_streaming_dedup_exact_across_batches(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_stream_to_table_exactly_once_across_crash(spark):
+    """foreachBatch → snapshot commit: a crash between the data write and
+    the manifest put leaves the table at the previous snapshot; the
+    restarted stream replays the batch and commits it EXACTLY once."""
+    from pq_engine.spark.streaming import stream_to_table
+    from pq_engine.spark.table import (
+        TableIO,
+        current_snapshot_id,
+        table_read,
+        table_snapshots,
+    )
+
+    class CrashOnFirstManifest(TableIO):
+        def __init__(self):
+            self.armed = True
+
+        def put_atomic(self, path, payload):
+            if self.armed and path.endswith(".json"):
+                self.armed = False
+                raise RuntimeError("injected crash before manifest commit")
+            super().put_atomic(path, payload)
+
+    root = tempfile.mkdtemp(prefix="pq_stbl_")
+    in_dir, chk, td = f"{root}/in", f"{root}/chk", f"{root}/table"
+    try:
+        src = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+        )
+        src.write.mode("append").parquet(in_dir)
+        schema = spark.read.parquet(in_dir).schema
+
+        def start(io):
+            stream = spark.readStream.schema(schema).parquet(in_dir)
+            return stream_to_table(
+                spark, stream, td, chk, io=io, available_now=True
+            )
+
+        q = start(CrashOnFirstManifest())
+        with pytest.raises(Exception, match="injected crash"):
+            q.processAllAvailable()
+            q.awaitTermination()
+        # crash mid-commit: nothing committed, data orphans invisible
+        assert current_snapshot_id(td) is None
+
+        q2 = start(None)
+        assert q2.awaitTermination(120)
+        assert current_snapshot_id(td) == 1
+        got = {r.doc_id: r.text for r in table_read(spark, td).collect()}
+        assert got == {i: f"doc {i}" for i in range(40)}  # exactly once
+
+        # new files → next batch commits snapshot 2 with a HIGHER batch id;
+        # a restart with no new data replays nothing
+        spark.createDataFrame(
+            [(100 + i, f"late {i}") for i in range(10)],
+            "doc_id long, text string",
+        ).write.mode("append").parquet(in_dir)
+        q3 = start(None)
+        assert q3.awaitTermination(120)
+        snaps = table_snapshots(td)
+        assert [m["snapshot_id"] for m in snaps] == [1, 2]
+        assert snaps[-1]["streaming_batch_id"] > snaps[0]["streaming_batch_id"]
+        assert table_read(spark, td).count() == 50
+        q4 = start(None)
+        assert q4.awaitTermination(120)
+        assert current_snapshot_id(td) == 2  # idempotent restart
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_windowed_crawl_stats_watermark(spark):
     """Watermarked event-time windows: counts land in their crawl-time
     window; the plan carries the watermark (bounded state)."""
