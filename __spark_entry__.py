@@ -1696,6 +1696,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("features")[5].cast("double").alias("mean_b"),
         )
 
+    def media_jpeg_features(spark, sf_dir):
+        """r6 (VERDICT r5 next #5): REAL baseline-JPEG decode — each doc
+        builds a deterministic 16x32 grayscale-RGB JPEG of 8x8 blocks
+        (value doc_id%140+30 + 8*block_index, plus the +/- checkerboard of
+        the (4,4) DCT basis scaled by doc_id%20+4), encoded 4:2:0 with
+        restart_interval=1 and FLAT quantization so every block's DCT is
+        integral and the lossy format round-trips bit-exactly. Decoded
+        channel means are closed-form in SQL, so the recorded gate
+        hash-checks true pixel statistics through Huffman decode, dequant,
+        IDCT, chroma upsample, restart handling and YCbCr->RGB."""
+        from pyspark.sql import types as T_
+
+        from pq_engine.pipeline.multimodal import extract_features
+
+        @F.pandas_udf(T_.BinaryType())
+        def make_jpeg(doc_id: pandas.Series) -> pandas.Series:
+            import numpy as _np
+
+            from pq_engine.pipeline.jpeg import encode_jpeg
+
+            sx = _np.array([1, -1, -1, 1, 1, -1, -1, 1])
+            patt = _np.outer(sx, sx)
+            out = []
+            for i in doc_id:
+                i = int(i)
+                v, m = i % 140 + 30, i % 20 + 4
+                img = _np.zeros((16, 32), _np.int64)
+                for k in range(8):
+                    by, bx = divmod(k, 4)
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        v + 8 * k + m * patt
+                    )
+                rgb = _np.repeat(img[:, :, None], 3, axis=2).astype(_np.uint8)
+                out.append(
+                    encode_jpeg(rgb, quality=None, subsample="420",
+                                restart_interval=1)
+                )
+            return pandas.Series(out)
+
+        df = _read(spark, sf_dir, "documents").select("doc_id").withColumn(
+            "blob", make_jpeg("doc_id")
+        )
+        out = extract_features(df, "blob", feature_dim=16, deterministic_fake=False)
+        return out.select(
+            "doc_id",
+            F.col("features")[0].cast("double").alias("h"),
+            F.col("features")[1].cast("double").alias("w"),
+            F.col("features")[2].cast("double").alias("c"),
+            F.col("features")[3].cast("double").alias("mean_r"),
+            F.col("features")[4].cast("double").alias("mean_g"),
+            F.col("features")[5].cast("double").alias("mean_b"),
+        )
+
     def frame_plan(spark, sf_dir):
         """Video frame-sampling plan (explode shape, no decode) — offsets are
         pure arithmetic, so this one IS oracle-able."""
@@ -1752,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": simhash_pairs,  # rows-only (LSH banding)
         "media_features": media_features,  # rows-only (stubbed decode, fake features)
         "media_png_features": media_png_features,  # new in r5: REAL pixel decode
+        "media_jpeg_features": media_jpeg_features,  # new in r6: REAL JPEG decode
         "frame_plan": frame_plan,
         # ---- block B: regression-prone keepers (also recorded in r04) ----
         "rt_fsst_text": _rt("documents", "text", "fsst", ["doc_id"]),
@@ -1950,6 +2004,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id % 240 + 7.5 AS DOUBLE) AS mean_r,
                    CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_g,
                    CAST(doc_id % 248 + 3.5 AS DOUBLE) AS mean_b
+            FROM documents
+        """,
+        "media_jpeg_features": """
+            SELECT doc_id,
+                   16.0 AS h, 32.0 AS w, 3.0 AS c,
+                   CAST(doc_id % 140 + 58 AS DOUBLE) AS mean_r,
+                   CAST(doc_id % 140 + 58 AS DOUBLE) AS mean_g,
+                   CAST(doc_id % 140 + 58 AS DOUBLE) AS mean_b
             FROM documents
         """,
         "map_contains_pushdown":

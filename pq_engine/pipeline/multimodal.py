@@ -3,9 +3,11 @@
 Media travel as opaque ``binary`` columns with typed metadata structs; the
 Spark side — schema, batching, partition sizing, UDF signatures — is real and
 tested. PNG decoding is REAL (r5): :mod:`pq_engine.pipeline.png` is a pure
-NumPy+zlib codec, so ``extract_features(deterministic_fake=False)`` returns
-true pixel statistics for PNG blobs. Other formats (jpeg/audio/video — no
-codec libraries in this container) fall back to a seeded deterministic
+NumPy+zlib codec, and JPEG decoding is REAL (r6): :mod:`pq_engine.pipeline.
+jpeg` is a pure-NumPy baseline-sequential codec — so ``extract_features(
+deterministic_fake=False)`` returns true pixel statistics for PNG and
+baseline JPEG blobs. Remaining formats (progressive JPEG/gif/audio/video —
+no codec libraries in this container) fall back to a seeded deterministic
 hash-projection so the downstream plumbing still exercises end-to-end.
 """
 
@@ -67,12 +69,14 @@ def extract_features(
     """Feature extraction over binary media via mapInPandas: batch shape,
     Arrow transfer and output schema are the real production plumbing.
 
-    ``deterministic_fake=False`` (r5): PNG blobs decode FOR REAL through the
-    pure-NumPy codec in :mod:`pq_engine.pipeline.png` (zlib inflate + all
-    five row filters) — features = [height, width, channels,
-    mean_ch0..ch3, std_ch0..ch3] zero-padded to ``feature_dim``. Non-PNG
-    blobs (no decoder in this container for jpeg/audio/video) fall back to
-    the deterministic hash-projection, same as the fake path.
+    ``deterministic_fake=False``: PNG blobs decode FOR REAL through the
+    pure-NumPy codec in :mod:`pq_engine.pipeline.png` (r5; zlib inflate +
+    all five row filters), and baseline JPEG blobs through
+    :mod:`pq_engine.pipeline.jpeg` (r6; Huffman + IDCT + upsample) —
+    features = [height, width, channels, mean_ch0..ch3, std_ch0..ch3]
+    zero-padded to ``feature_dim``. Remaining blobs (progressive JPEG /
+    gif / audio / video — no decoder in this container) fall back to the
+    deterministic hash-projection, same as the fake path.
 
     ``deterministic_fake=True`` → every blob gets the seeded hash-projection
     of its raw bytes (repeatable across runs/workers), decoding nothing.
@@ -90,10 +94,7 @@ def extract_features(
             acc = acc / max(len(raw), 1)
         return acc.astype(np.float32)
 
-    def _png_features(v) -> np.ndarray:
-        from .png import decode_png
-
-        img = decode_png(bytes(v))
+    def _img_features(img: np.ndarray) -> np.ndarray:
         h, w, c = img.shape
         px = img.reshape(-1, c).astype(np.float64)
         out = np.zeros(feature_dim, dtype=np.float64)
@@ -103,14 +104,26 @@ def extract_features(
         return out.astype(np.float32)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg
+        from .png import decode_png
+
         for pdf in batches:
             feats: list = []
             for v in pdf[bin_col]:
                 if v is None:
                     feats.append(None)
-                elif not deterministic_fake and bytes(v[:4]) == b"\x89PNG":
-                    feats.append(_png_features(v))
-                else:
+                    continue
+                head = bytes(v[:4])
+                try:
+                    if not deterministic_fake and head == b"\x89PNG":
+                        feats.append(_img_features(decode_png(bytes(v))))
+                    elif not deterministic_fake and head[:3] == b"\xff\xd8\xff":
+                        feats.append(_img_features(decode_jpeg(bytes(v))))
+                    else:
+                        feats.append(_fake(v))
+                except ValueError:
+                    # declared-scope decode refusal (progressive JPEG,
+                    # 16-bit PNG, ...) -> deterministic fake, not a crash
                     feats.append(_fake(v))
             pdf = pdf.copy()
             pdf["features"] = feats
