@@ -1448,6 +1448,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             scan, "doc_id long, lang string, n_chars long"
         )
 
+    def encrypted_parquet_interop(spark, sf_dir):
+        """r6: parquet MODULAR ENCRYPTION (Encryption.md; parquet-hadoop
+        crypto/ AesGcmEncryptor + ModuleCipherFactory analog) — each
+        partition writes a plaintext file with OUR writer, encrypts it to
+        an encrypted-footer PARE file twice (spec AAD + per-column key for
+        `lang`, and DuckDB-compatible empty-AAD with the footer key only);
+        the distributed scan decrypts the spec file through OUR AES-GCM
+        module walk + thrift transcoder and decodes it with OUR kernels,
+        and each task ALSO reads the empty-AAD file with DuckDB's native
+        parquet decryption and asserts both decodes agree — external
+        interop proof in both directions, hash-oracled."""
+        import os as _os
+        import tempfile as _tmp
+        import uuid as _uuid_mod
+
+        out_dir = _tmp.mkdtemp(prefix="pq_enc_interop_")
+        fk, ck = b"0123456789012345", b"abcdefghijklmnop"
+
+        def write_part(batches):
+            import numpy as _np
+
+            from pq_engine.interop.parquet_crypto import encrypt_parquet
+            from pq_engine.interop.parquet_writer import write_parquet
+            from pq_engine.kernels.ragged import RaggedBytes
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                langs = [s.encode() for s in pdf["lang"]]
+                offs = _np.zeros(len(langs) + 1, _np.int64)
+                for i, s in enumerate(langs):
+                    offs[i + 1] = offs[i] + len(s)
+                cols = [
+                    {"name": "doc_id", "ptype": "int64", "codec": "delta",
+                     "values": pdf["doc_id"].to_numpy(_np.int64)},
+                    {"name": "lang", "ptype": "string", "codec": "dict",
+                     "values": RaggedBytes(
+                         offs, _np.frombuffer(b"".join(langs), _np.uint8))},
+                    {"name": "n_chars", "ptype": "int64", "codec": "plain",
+                     "values": pdf["n_chars"].to_numpy(_np.int64)},
+                ]
+                base = _os.path.join(out_dir, f"p-{_uuid_mod.uuid4().hex}")
+                write_parquet(base + ".plain", cols, len(pdf),
+                              compression="zstd")
+                plain = open(base + ".plain", "rb").read()
+                _os.unlink(base + ".plain")
+                with open(base + ".spec.pare", "wb") as f:
+                    f.write(encrypt_parquet(
+                        plain, fk, column_keys={"lang": ck}, aad_mode="spec"))
+                with open(base + ".empty.pare", "wb") as f:
+                    f.write(encrypt_parquet(plain, fk, aad_mode="empty"))
+                yield pandas.DataFrame(
+                    {"spec": [base + ".spec.pare"],
+                     "empty": [base + ".empty.pare"]})
+
+        src = _read(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        files = src.mapInPandas(write_part, "spec string, empty string")
+
+        def scan(batches):
+            import duckdb as _duck
+
+            from pq_engine.interop.parquet_crypto import decrypt_parquet
+            from pq_engine.interop.parquet_reader import read_parquet_pandas
+
+            for pdf in batches:
+                for spec_p, empty_p in zip(pdf["spec"], pdf["empty"]):
+                    dec = decrypt_parquet(
+                        open(spec_p, "rb").read(), fk,
+                        column_keys={"lang": ck})
+                    ours = read_parquet_pandas(dec)
+                    con = _duck.connect()
+                    con.execute(
+                        "PRAGMA add_parquet_key('k1', '0123456789012345')")
+                    theirs = con.execute(
+                        "SELECT doc_id, lang, n_chars FROM read_parquet(?,"
+                        " encryption_config={footer_key: 'k1'})"
+                        " ORDER BY doc_id", [empty_p]).df()
+                    con.close()
+                    mine = ours.sort_values("doc_id").reset_index(drop=True)
+                    assert mine["doc_id"].tolist() == theirs["doc_id"].tolist()
+                    assert mine["lang"].tolist() == theirs["lang"].tolist()
+                    assert (mine["n_chars"].tolist()
+                            == theirs["n_chars"].tolist())
+                    yield ours
+
+        return files.repartition(8).mapInPandas(
+            scan, "doc_id long, lang string, n_chars long"
+        )
+
     def external_struct_map_rt(spark, sf_dir):
         """r6: MAP/STRUCT through the from-scratch parquet writer AND
         reader (both directions new this round — parquet_reader.py read
@@ -1863,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": tok_count,
         "media_metadata": media_meta,
         "external_filtered_scan": external_filtered_scan,  # new in r6
+        "encrypted_parquet_interop": encrypted_parquet_interop,  # new in r6
         "external_struct_map_rt": external_struct_map_rt,  # new in r6
         "streaming_table_sink": streaming_table_sink,  # new in r6
     })
@@ -1997,6 +2088,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars, 2 AS snap FROM documents
         """,
         "streaming_table_sink":
+            "SELECT doc_id, lang, n_chars FROM documents",
+        "encrypted_parquet_interop":
             "SELECT doc_id, lang, n_chars FROM documents",
         "media_png_features": """
             SELECT doc_id,

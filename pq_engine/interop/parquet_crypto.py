@@ -1,0 +1,505 @@
+"""Parquet modular encryption (encrypted-footer mode) — from scratch.
+
+Implements the public Parquet encryption specification
+(parquet-format/Encryption.md; reference implementation
+/root/reference/parquet-hadoop/src/main/java/org/apache/parquet/crypto/
+AesGcmEncryptor.java, ModuleCipherFactory.java:30-62,
+ParquetFileWriter.java PARE/EFMAGIC handling) as a pair of file
+transforms over the from-scratch interop writer/reader:
+
+- :func:`encrypt_parquet`: plaintext PAR1 bytes -> PARE encrypted-footer
+  file. Every page header and page body becomes its own AES-GCM module
+  (4-byte LE length | 12-byte nonce | ciphertext | 16-byte tag), the
+  patched FileMetaData is encrypted with the footer key, and the file ends
+  with plaintext FileCryptoMetaData + combined length + "PARE".
+- :func:`decrypt_parquet`: the inverse — PARE bytes back to a plaintext
+  PAR1 file the existing :mod:`parquet_reader` consumes unchanged
+  (including its filtered row-group/page pruning).
+
+Module AAD (``aad_mode="spec"``): a random 8-byte ``aad_file_unique``
+(stored in AesGcmV1) concatenated with the spec suffix — module type byte,
+then little-endian u16 row-group / column / page ordinals as applicable.
+``aad_mode="empty"`` writes no aad_file_unique and uses an empty AAD for
+every module: byte-compatible with DuckDB's parquet encryption, which is
+the in-container interop peer (it both reads our PARE files and writes
+files this module decrypts).
+
+Column keys: pages of a column listed in ``column_keys`` are encrypted
+with that key and the chunk carries ENCRYPTION_WITH_COLUMN_KEY crypto
+metadata. Declared scope: the footer itself always uses the footer key
+(encrypted-footer mode only — plaintext-footer mode and
+encrypted_column_metadata redaction raise/are not emitted), AES_GCM_V1
+only (AES_GCM_CTR_V1 raises by name).
+
+The footer offset rewrite uses a generic thrift-compact TRANSCODER: it
+re-emits any struct byte-for-byte while a visitor patches integer fields
+addressed by field-id path — no schema knowledge baked in beyond the
+patched paths, so unknown fields written by other writers survive intact.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+from .thrift_compact import (
+    CT_BINARY,
+    CT_BOOL_FALSE,
+    CT_BOOL_TRUE,
+    CT_BYTE,
+    CT_DOUBLE,
+    CT_I16,
+    CT_I32,
+    CT_I64,
+    CT_LIST,
+    CT_STOP,
+    CT_STRUCT,
+    StructWriter,
+    _read_uvar,
+    _unzig,
+    _uvarint,
+    _zigzag,
+    read_struct,
+)
+
+MAGIC = b"PAR1"
+EMAGIC = b"PARE"
+
+# ModuleCipherFactory.ModuleType ordinals (Encryption.md module types)
+MOD_FOOTER = 0
+MOD_COLUMN_METADATA = 1
+MOD_DATA_PAGE = 2
+MOD_DICT_PAGE = 3
+MOD_DATA_PAGE_HEADER = 4
+MOD_DICT_PAGE_HEADER = 5
+
+NONCE_LEN = 12
+TAG_LEN = 16
+
+
+def available() -> bool:
+    try:
+        from cryptography.hazmat.primitives.ciphers.aead import AESGCM  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _aesgcm(key: bytes):
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+    if len(key) not in (16, 24, 32):
+        raise ValueError("AES key must be 16/24/32 bytes")
+    return AESGCM(key)
+
+
+def _module_aad(file_aad: bytes, module: int, rg: int = -1, col: int = -1,
+                page: int = -1) -> bytes:
+    """Encryption.md AAD suffix: module type byte + LE u16 ordinals (row
+    group, column, page) for the module kinds that carry them. Empty
+    ``file_aad`` (aad_mode='empty') means empty AAD for every module."""
+    if not file_aad:
+        return b""
+    suffix = bytes([module])
+    if rg >= 0:
+        suffix += struct.pack("<H", rg)
+    if col >= 0:
+        suffix += struct.pack("<H", col)
+    if page >= 0:
+        suffix += struct.pack("<H", page)
+    return file_aad + suffix
+
+
+def _encrypt_module(key: bytes, plaintext: bytes, aad: bytes) -> bytes:
+    nonce = os.urandom(NONCE_LEN)
+    ct = _aesgcm(key).encrypt(nonce, plaintext, aad or None)
+    return struct.pack("<I", NONCE_LEN + len(ct)) + nonce + ct
+
+
+def _decrypt_module(key: bytes, buf: bytes, pos: int, aad: bytes) -> tuple[bytes, int]:
+    if pos + 4 > len(buf):
+        raise ValueError("encrypted module truncated (length)")
+    (blen,) = struct.unpack_from("<I", buf, pos)
+    end = pos + 4 + blen
+    if blen < NONCE_LEN + TAG_LEN or end > len(buf):
+        raise ValueError("encrypted module truncated (body)")
+    nonce = buf[pos + 4 : pos + 4 + NONCE_LEN]
+    ct = buf[pos + 4 + NONCE_LEN : end]
+    from cryptography.exceptions import InvalidTag
+
+    try:
+        return _aesgcm(key).decrypt(nonce, ct, aad or None), end
+    except InvalidTag as e:
+        raise ValueError(
+            "module decryption failed (wrong key or AAD mismatch)") from e
+
+
+# --------------------------------------------------- thrift transcoder
+
+def _transcode(buf, pos, visit, path=(), struct_end=None):
+    """Re-emit one compact-protocol struct, calling ``visit(path, value)``
+    on every integer field; a non-None return replaces the value. ``path``
+    is the tuple of field ids from the root, with list indices interleaved
+    for struct-list elements. ``struct_end(path, last_fid)`` may return
+    extra serialized fields to splice in just before a struct's STOP byte
+    (the returned bytes' field header must be delta-encoded against
+    ``last_fid``)."""
+    out = bytearray()
+    last = 0
+    while True:
+        hb = buf[pos]
+        pos += 1
+        if hb == CT_STOP:
+            if struct_end is not None:
+                out += struct_end(path, last)
+            out.append(hb)
+            return bytes(out), pos
+        ctype = hb & 0x0F
+        delta = hb >> 4
+        hdr = bytes([hb])
+        if delta:
+            fid = last + delta
+        else:
+            z, p2 = _read_uvar(buf, pos)
+            fid = _unzig(z)
+            hdr += bytes(buf[pos:p2])
+            pos = p2
+        last = fid
+        p = path + (fid,)
+        out += hdr
+        if ctype in (CT_I16, CT_I32, CT_I64):
+            z, pos = _read_uvar(buf, pos)
+            v = _unzig(z)
+            nv = visit(p, v)
+            out += _uvarint(_zigzag(v if nv is None else nv, 64))
+        elif ctype == CT_STRUCT:
+            inner, pos = _transcode(buf, pos, visit, p, struct_end)
+            out += inner
+        elif ctype == CT_LIST:
+            lh = buf[pos]
+            pos += 1
+            out.append(lh)
+            size = lh >> 4
+            etype = lh & 0x0F
+            if size == 15:
+                size, pos = _read_uvar(buf, pos)
+                out += _uvarint(size)
+            for i in range(size):
+                if etype == CT_STRUCT:
+                    inner, pos = _transcode(buf, pos, visit, p + (i,), struct_end)
+                    out += inner
+                elif etype == CT_BINARY:
+                    ln, p2 = _read_uvar(buf, pos)
+                    out += bytes(buf[pos : p2 + ln])
+                    pos = p2 + ln
+                elif etype in (CT_I16, CT_I32, CT_I64):
+                    z, p2 = _read_uvar(buf, pos)
+                    out += bytes(buf[pos:p2])
+                    pos = p2
+                elif etype in (CT_BOOL_TRUE, CT_BOOL_FALSE, CT_BYTE):
+                    out.append(buf[pos])
+                    pos += 1
+                elif etype == CT_DOUBLE:
+                    out += bytes(buf[pos : pos + 8])
+                    pos += 8
+                else:
+                    raise ValueError(f"transcoder: unsupported list elem {etype}")
+        elif ctype in (CT_BOOL_TRUE, CT_BOOL_FALSE):
+            pass
+        elif ctype == CT_BYTE:
+            out.append(buf[pos])
+            pos += 1
+        elif ctype == CT_DOUBLE:
+            out += bytes(buf[pos : pos + 8])
+            pos += 8
+        elif ctype == CT_BINARY:
+            ln, p2 = _read_uvar(buf, pos)
+            out += bytes(buf[pos : p2 + ln])
+            pos = p2 + ln
+        else:
+            raise ValueError(f"transcoder: unsupported compact type {ctype}")
+
+
+# --------------------------------------------------- chunk page walking
+
+def _walk_pages(buf, start: int, total: int):
+    """Yield (header_bytes, header_dict, body_bytes) for each page of a
+    plaintext column chunk spanning [start, start+total)."""
+    pos, end = start, start + total
+    while pos < end:
+        header, hend = read_struct(buf, pos)
+        comp = header.get(3)
+        if comp is None:
+            raise ValueError("page header missing compressed_page_size")
+        yield bytes(buf[pos:hend]), header, bytes(buf[hend : hend + comp])
+        pos = hend + comp
+    if pos != end:
+        raise ValueError("column chunk page walk overran total_compressed_size")
+
+
+def _chunk_meta(cc: dict) -> dict:
+    meta = cc.get(3)
+    if meta is None:
+        raise ValueError(
+            "ColumnChunk without inline ColumnMetaData is out of scope")
+    return meta
+
+
+def _chunk_span(meta: dict) -> tuple[int, int]:
+    data_off = meta[9]
+    dict_off = meta.get(11)
+    start = data_off if dict_off is None else min(data_off, dict_off)
+    return start, meta[7]
+
+
+# --------------------------------------------------------- encrypt side
+
+def encrypt_parquet(plain: bytes, footer_key: bytes,
+                    column_keys: dict[str, bytes] | None = None,
+                    aad_mode: str = "spec",
+                    key_metadata: bytes | None = None) -> bytes:
+    """Plaintext parquet bytes -> encrypted-footer (PARE) file bytes.
+
+    ``column_keys`` maps dotted column paths to per-column AES keys; other
+    columns use ``footer_key``. ``aad_mode='spec'`` stores a random
+    aad_file_unique and applies the per-module AAD suffixes;
+    ``'empty'`` uses empty AAD (DuckDB-compatible)."""
+    if plain[:4] != MAGIC or plain[-4:] != MAGIC:
+        raise ValueError("encrypt_parquet input is not a plaintext parquet file")
+    if aad_mode not in ("spec", "empty"):
+        raise ValueError("aad_mode must be 'spec' or 'empty'")
+    column_keys = column_keys or {}
+    file_aad = os.urandom(8) if aad_mode == "spec" else b""
+
+    flen = int.from_bytes(plain[-8:-4], "little")
+    fstart = len(plain) - 8 - flen
+    fmeta, _ = read_struct(plain[fstart : fstart + flen])
+    row_groups = fmeta.get(4, [])
+
+    out = bytearray(EMAGIC)
+    # (rg, col) -> {old offset -> new offset}; chunk order preserved
+    new_offsets: dict[tuple[int, int], dict[int, int]] = {}
+    sizes: dict[tuple[int, int], int] = {}
+    for rg_i, rg in enumerate(row_groups):
+        for col_i, cc in enumerate(rg.get(1, [])):
+            meta = _chunk_meta(cc)
+            path = ".".join(p.decode() for p in meta[3])
+            key = column_keys.get(path, footer_key)
+            start, total = _chunk_span(meta)
+            dict_off = meta.get(11)
+            omap: dict[int, int] = {}
+            chunk_start = len(out)
+            page_ord = 0
+            pos = start
+            for hdr_bytes, header, body in _walk_pages(plain, start, total):
+                is_dict = header.get(1) == 2  # PageType.DICTIONARY_PAGE
+                if is_dict:
+                    hmod = _module_aad(file_aad, MOD_DICT_PAGE_HEADER, rg_i, col_i)
+                    bmod = _module_aad(file_aad, MOD_DICT_PAGE, rg_i, col_i)
+                else:
+                    hmod = _module_aad(
+                        file_aad, MOD_DATA_PAGE_HEADER, rg_i, col_i, page_ord)
+                    bmod = _module_aad(
+                        file_aad, MOD_DATA_PAGE, rg_i, col_i, page_ord)
+                    page_ord += 1
+                omap[pos] = len(out)
+                out += _encrypt_module(key, hdr_bytes, hmod)
+                out += _encrypt_module(key, body, bmod)
+                pos += len(hdr_bytes) + len(body)
+            new_offsets[(rg_i, col_i)] = omap
+            sizes[(rg_i, col_i)] = len(out) - chunk_start
+            # patched data/dict offsets must exist in the map
+            if dict_off is not None and dict_off not in omap:
+                raise ValueError("dictionary_page_offset not on a page boundary")
+            if meta[9] not in omap and dict_off is None:
+                raise ValueError("data_page_offset not on a page boundary")
+
+    def visit(path, v):
+        # FileMetaData.row_groups = 4; RowGroup.columns = 1,
+        # total_byte_size = 2; ColumnChunk.file_offset = 2, meta_data = 3;
+        # ColumnMetaData.total_compressed_size = 7, data_page_offset = 9,
+        # dictionary_page_offset = 11
+        if len(path) == 3 and path[0] == 4 and path[2] == 2:
+            return sum(sz for (rg_i, _), sz in sizes.items() if rg_i == path[1])
+        if len(path) < 5 or path[0] != 4 or path[2] != 1:
+            return None
+        keyc = (path[1], path[3])
+        if path[4:] == (2,):
+            omap = new_offsets[keyc]
+            return omap.get(v, min(omap.values()))
+        if path[4:] == (3, 7):
+            return sizes[keyc]
+        if path[4:] in ((3, 9), (3, 11)):
+            omap = new_offsets[keyc]
+            if v not in omap:
+                raise ValueError("page offset not on a module boundary")
+            return omap[v]
+        return None
+
+    # spec mode: ColumnChunk.crypto_metadata (field 8) — union field 1
+    # (ENCRYPTION_WITH_FOOTER_KEY, empty struct) for footer-key chunks,
+    # union field 2 (ENCRYPTION_WITH_COLUMN_KEY{path_in_schema}) for
+    # column-key chunks, spliced delta-correctly before each chunk's STOP.
+    # empty mode matches DuckDB, which writes no crypto_metadata at all.
+    chunk_paths = {
+        (rg_i, col_i): ".".join(p.decode() for p in _chunk_meta(cc)[3])
+        for rg_i, rg in enumerate(row_groups)
+        for col_i, cc in enumerate(rg.get(1, []))
+    }
+
+    def struct_end(path, last_fid):
+        if not (len(path) == 4 and path[0] == 4 and path[2] == 1):
+            return b""
+        if aad_mode != "spec" and not column_keys:
+            return b""
+        cpath = chunk_paths.get((path[1], path[3]))
+        if cpath is None or 8 <= last_fid:
+            return b""
+        if cpath in column_keys:
+            union = StructWriter().struct(
+                2, StructWriter().list_string(1, cpath.split(".")))
+        elif aad_mode == "spec":
+            union = StructWriter().struct(1, StructWriter())
+        else:
+            return b""
+        delta = 8 - last_fid
+        hdr = (
+            bytes([(delta << 4) | CT_STRUCT])
+            if 0 < delta <= 15
+            else bytes([CT_STRUCT]) + _uvarint(_zigzag(8, 16))
+        )
+        return hdr + union.finish()
+
+    patched, _ = _transcode(plain, fstart, visit, struct_end=struct_end)
+
+    footer_mod = _encrypt_module(
+        footer_key, patched, _module_aad(file_aad, MOD_FOOTER))
+    algo = StructWriter()
+    if file_aad:
+        algo.binary(2, file_aad)  # AesGcmV1.aad_file_unique
+    fcmd = StructWriter().struct(1, StructWriter().struct(1, algo))
+    if key_metadata:
+        fcmd.binary(2, key_metadata)
+    fcmd_bytes = fcmd.finish()
+    out += fcmd_bytes
+    out += footer_mod
+    out += struct.pack("<I", len(fcmd_bytes) + len(footer_mod))
+    out += EMAGIC
+    return bytes(out)
+
+
+# --------------------------------------------------------- decrypt side
+
+def read_crypto_footer(buf: bytes) -> dict:
+    """Parse the tail of a PARE file -> {aad_file_unique, key_metadata,
+    footer_module_span}. Raises ValueError for non-encrypted files and for
+    AES_GCM_CTR_V1."""
+    if buf[:4] != EMAGIC or buf[-4:] != EMAGIC:
+        raise ValueError("not an encrypted-footer parquet file (PARE magic)")
+    (clen,) = struct.unpack_from("<I", buf, len(buf) - 8)
+    area_start = len(buf) - 8 - clen
+    fcmd, pos = read_struct(buf[area_start : len(buf) - 8])
+    algo = fcmd.get(1, {})
+    if 2 in algo and 1 not in algo:
+        raise ValueError("unsupported encryption algorithm AES_GCM_CTR_V1")
+    if 1 not in algo:
+        raise ValueError("FileCryptoMetaData missing encryption_algorithm")
+    gcm = algo[1] or {}
+    return {
+        "aad_file_unique": gcm.get(2, b"") if isinstance(gcm, dict) else b"",
+        "aad_prefix": gcm.get(1, b"") if isinstance(gcm, dict) else b"",
+        "supply_aad_prefix": bool(gcm.get(3)) if isinstance(gcm, dict) else False,
+        "key_metadata": fcmd.get(2),
+        "footer_module_start": area_start + pos,
+    }
+
+
+def decrypt_parquet(buf: bytes, footer_key: bytes,
+                    column_keys: dict[str, bytes] | None = None,
+                    aad_prefix: bytes = b"") -> bytes:
+    """Encrypted-footer (PARE) parquet bytes -> plaintext PAR1 bytes that
+    the existing parquet_reader decodes unchanged. Handles both spec AAD
+    (aad_file_unique + module suffixes) and empty-AAD (DuckDB) files."""
+    info = read_crypto_footer(buf)
+    if info["supply_aad_prefix"] and not aad_prefix:
+        raise ValueError("file requires caller-supplied aad_prefix")
+    file_aad = (aad_prefix or info["aad_prefix"]) + info["aad_file_unique"]
+    column_keys = column_keys or {}
+
+    fbytes, _ = _decrypt_module(
+        footer_key, buf, info["footer_module_start"],
+        _module_aad(file_aad, MOD_FOOTER))
+    fmeta, _ = read_struct(fbytes)
+    row_groups = fmeta.get(4, [])
+
+    out = bytearray(MAGIC)
+    new_offsets: dict[tuple[int, int], dict[int, int]] = {}
+    sizes: dict[tuple[int, int], int] = {}
+    for rg_i, rg in enumerate(row_groups):
+        for col_i, cc in enumerate(rg.get(1, [])):
+            meta = _chunk_meta(cc)
+            path = ".".join(p.decode() for p in meta[3])
+            crypto = cc.get(8)
+            if crypto is not None and 2 in crypto:
+                if path not in column_keys:
+                    raise ValueError(
+                        f"column {path!r} is encrypted with a column key; "
+                        "pass it in column_keys")
+                key = column_keys[path]
+            else:
+                key = column_keys.get(path, footer_key)
+            start, total = _chunk_span(meta)
+            has_dict = meta.get(11) is not None
+            omap: dict[int, int] = {}
+            chunk_start = len(out)
+            pos = start
+            end = start + total
+            page_ord = 0
+            first = True
+            while pos < end:
+                is_dict = has_dict and first
+                if is_dict:
+                    hmod = _module_aad(file_aad, MOD_DICT_PAGE_HEADER, rg_i, col_i)
+                    bmod = _module_aad(file_aad, MOD_DICT_PAGE, rg_i, col_i)
+                else:
+                    hmod = _module_aad(
+                        file_aad, MOD_DATA_PAGE_HEADER, rg_i, col_i, page_ord)
+                    bmod = _module_aad(
+                        file_aad, MOD_DATA_PAGE, rg_i, col_i, page_ord)
+                    page_ord += 1
+                first = False
+                omap[pos] = len(out)
+                hdr_bytes, pos = _decrypt_module(key, buf, pos, hmod)
+                body, pos = _decrypt_module(key, buf, pos, bmod)
+                out += hdr_bytes
+                out += body
+            if pos != end:
+                raise ValueError("encrypted chunk module walk overran span")
+            new_offsets[(rg_i, col_i)] = omap
+            sizes[(rg_i, col_i)] = len(out) - chunk_start
+
+    def visit(path, v):
+        if len(path) == 3 and path[0] == 4 and path[2] == 2:
+            return sum(sz for (rg_i, _), sz in sizes.items() if rg_i == path[1])
+        if len(path) < 5 or path[0] != 4 or path[2] != 1:
+            return None
+        keyc = (path[1], path[3])
+        if path[4:] == (2,):
+            omap = new_offsets[keyc]
+            return omap.get(v, min(omap.values()))
+        if path[4:] == (3, 7):
+            return sizes[keyc]
+        if path[4:] in ((3, 9), (3, 11)):
+            return new_offsets[keyc][v]
+        return None
+
+    patched, _ = _transcode(fbytes, 0, visit)
+    out += patched
+    out += struct.pack("<I", len(patched))
+    out += MAGIC
+    return bytes(out)
+
+
+def is_encrypted(buf: bytes) -> bool:
+    return buf[:4] == EMAGIC

@@ -56,12 +56,19 @@ PAGE_DATA, PAGE_DICT, PAGE_DATA_V2 = 0, 2, 3
 
 
 def _leaf(se: dict) -> dict:
+    logical = se.get(10) if isinstance(se.get(10), dict) else {}
+    dec = logical.get(5) if isinstance(logical.get(5), dict) else None
     return {
         "name": se[4].decode(),
         "physical": _PHYS[se[1]],
         "type_length": se.get(2),
         "optional": se.get(3, 0) == 1,
         "converted": se.get(6),  # 0 = UTF8 etc.
+        # DECIMAL: LogicalType.DECIMAL{1: scale, 2: precision} wins, else
+        # legacy SchemaElement scale(7)/precision(8) with converted == 5
+        # (what DuckDB/Hive-era writers emit)
+        "scale": dec.get(1) if dec else se.get(7),
+        "precision": dec.get(2) if dec else se.get(8),
     }
 
 
@@ -695,6 +702,11 @@ def _arrow_flat(values, validity, leaf):
              pa.py_buffer(np.ascontiguousarray(values.data).tobytes())],
             null_count=nulls,
         )
+    is_dec = (
+        leaf.get("precision") is not None
+        and leaf.get("scale") is not None
+        and (conv == 5 or conv is None)
+    )
     if getattr(values, "ndim", 1) == 2:  # FLBA / INT96 (n, k) uint8
         k = values.shape[1]
         if validity is None:
@@ -706,15 +718,43 @@ def _arrow_flat(values, validity, leaf):
             full = np.zeros((n, k), dtype=np.uint8)
             full[validity] = values
             vbm, nulls = _validity_buffers(validity)
+        if is_dec and k <= 16:
+            # FLBA DECIMAL: big-endian two's complement -> arrow decimal128
+            # (16-byte LE), sign-extended; one flip + one where, no per-row
+            buf16 = np.zeros((n, 16), dtype=np.uint8)
+            buf16[:, :k] = full[:, ::-1]
+            neg = (full[:, 0] & 0x80).astype(bool)
+            buf16[:, k:] = np.where(neg[:, None], 0xFF, 0)
+            return pa.Array.from_buffers(
+                pa.decimal128(leaf["precision"], leaf["scale"]), n,
+                [vbm, pa.py_buffer(buf16.tobytes())], null_count=nulls,
+            )
         return pa.Array.from_buffers(
             pa.binary(k), n, [vbm, pa.py_buffer(full.tobytes())],
             null_count=nulls,
         )
     if validity is None:
+        n = len(values)
+        full = values
+        vbm, nulls = None, 0
+    else:
+        n = len(validity)
+        full = np.zeros(n, dtype=values.dtype)
+        full[validity] = values
+        vbm, nulls = _validity_buffers(validity)
+    if is_dec and full.dtype.kind == "i":
+        # INT32/INT64 DECIMAL: unscaled LE ints -> decimal128 buffers
+        v64 = full.astype(np.int64)
+        assert np.little_endian
+        buf16 = np.zeros((n, 16), dtype=np.uint8)
+        buf16[:, :8] = v64.view(np.uint8).reshape(n, 8)
+        buf16[:, 8:] = np.where((v64 < 0)[:, None], 0xFF, 0)
+        return pa.Array.from_buffers(
+            pa.decimal128(leaf["precision"], leaf["scale"]), n,
+            [vbm, pa.py_buffer(buf16.tobytes())], null_count=nulls,
+        )
+    if validity is None:
         return pa.array(values)
-    n = len(validity)
-    full = np.zeros(n, dtype=values.dtype)
-    full[validity] = values
     return pa.array(full, mask=~validity)
 
 

@@ -1,0 +1,224 @@
+"""Parquet modular-encryption tests (r6): encrypted-footer PARE files,
+AES-GCM modules, AAD binding, column keys, DuckDB interop both directions.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from pq_engine.interop.parquet_crypto import (
+    _module_aad,
+    _transcode,
+    decrypt_parquet,
+    encrypt_parquet,
+    is_encrypted,
+    read_crypto_footer,
+)
+from pq_engine.interop.parquet_reader import read_footer, read_parquet_pandas
+from pq_engine.interop.parquet_writer import write_parquet
+from pq_engine.kernels.ragged import RaggedBytes
+
+FK = b"0123456789012345"
+CK = b"abcdefghijklmnop"
+
+
+def _ragged(strs):
+    offs = np.zeros(len(strs) + 1, np.int64)
+    for i, s in enumerate(strs):
+        offs[i + 1] = offs[i] + len(s)
+    return RaggedBytes(offs, np.frombuffer(b"".join(strs), np.uint8))
+
+
+def _plain_file(tmp_path, n=400, compression="zstd", page_version=1):
+    path = str(tmp_path / "plain.parquet")
+    validity = (np.arange(n) % 7) != 0
+    write_parquet(path, [
+        {"name": "id", "ptype": "int64", "codec": "delta",
+         "values": np.arange(n, dtype=np.int64)},
+        {"name": "name", "ptype": "string", "codec": "dict",
+         "values": _ragged([f"tag-{i % 5}".encode() for i in range(n)])},
+        {"name": "score", "ptype": "float64", "codec": "plain",
+         "values": (np.arange(n) * 0.25)[validity], "validity": validity},
+    ], n, compression=compression, page_version=page_version)
+    return open(path, "rb").read()
+
+
+def _check(df, n=400):
+    assert list(df["id"]) == list(range(n))
+    assert df["name"][7] == "tag-2"
+    assert np.isnan(df["score"][0])  # float nulls surface as NaN
+    assert df["score"][8] == pytest.approx(2.0)
+
+
+@pytest.mark.parametrize("aad_mode", ["spec", "empty"])
+@pytest.mark.parametrize("page_version", [1, 2])
+def test_roundtrip_modes(tmp_path, aad_mode, page_version):
+    plain = _plain_file(tmp_path, page_version=page_version)
+    enc = encrypt_parquet(plain, FK, aad_mode=aad_mode)
+    assert is_encrypted(enc) and enc[:4] == b"PARE" and enc[-4:] == b"PARE"
+    assert not is_encrypted(plain)
+    _check(read_parquet_pandas(decrypt_parquet(enc, FK)))
+    # dictionary page offsets survive the offset rewrite
+    foot = read_footer(decrypt_parquet(enc, FK))
+    assert foot["num_rows"] == 400
+
+
+def test_column_keys_and_crypto_metadata(tmp_path):
+    plain = _plain_file(tmp_path)
+    enc = encrypt_parquet(plain, FK, column_keys={"name": CK}, aad_mode="spec")
+    with pytest.raises(ValueError, match="column key"):
+        decrypt_parquet(enc, FK)
+    _check(read_parquet_pandas(
+        decrypt_parquet(enc, FK, column_keys={"name": CK})))
+    # wrong column key -> tag failure
+    with pytest.raises(ValueError, match="decryption failed"):
+        decrypt_parquet(enc, FK, column_keys={"name": FK})
+
+
+def test_wrong_footer_key_and_tamper(tmp_path):
+    plain = _plain_file(tmp_path)
+    enc = encrypt_parquet(plain, FK, aad_mode="empty")
+    with pytest.raises(ValueError, match="decryption failed"):
+        decrypt_parquet(enc, CK)
+    # flip one ciphertext byte in the first page module
+    bad = bytearray(enc)
+    bad[30] ^= 0xFF
+    with pytest.raises(ValueError, match="decryption failed"):
+        decrypt_parquet(bytes(bad), FK)
+
+
+def test_spec_aad_binds_module_position(tmp_path):
+    """Swapping two encrypted page modules must fail in spec mode: the AAD
+    suffix carries ordinals, so a module cannot be replayed elsewhere."""
+    n = 300
+    path = str(tmp_path / "two.parquet")
+    write_parquet(path, [
+        {"name": "a", "ptype": "int64", "codec": "plain",
+         "values": np.arange(n, dtype=np.int64)},
+        {"name": "b", "ptype": "int64", "codec": "plain",
+         "values": np.arange(n, dtype=np.int64) * 2},
+    ], n)
+    plain = open(path, "rb").read()
+    enc = encrypt_parquet(plain, FK, aad_mode="spec")
+    # locate the first two modules (both columns, header module each)
+    pos = 4
+    spans = []
+    for _ in range(4):  # a: header, body; b: header, body
+        (ln,) = struct.unpack_from("<I", enc, pos)
+        spans.append((pos, pos + 4 + ln))
+        pos += 4 + ln
+    bad = bytearray(enc)
+    # swap column a's page body (module 1) with column b's page body (3)
+    m1, m3 = enc[spans[1][0]:spans[1][1]], enc[spans[3][0]:spans[3][1]]
+    assert len(m1) == len(m3)
+    bad[spans[1][0]:spans[1][1]] = m3
+    bad[spans[3][0]:spans[3][1]] = m1
+    with pytest.raises(ValueError, match="decryption failed"):
+        decrypt_parquet(bytes(bad), FK)
+    # same swap in empty-AAD mode is NOT detected by AAD (documented
+    # DuckDB-compat limitation) — decode differs instead
+    enc2 = encrypt_parquet(plain, FK, aad_mode="empty")
+    pos = 4
+    spans = []
+    for _ in range(4):
+        (ln,) = struct.unpack_from("<I", enc2, pos)
+        spans.append((pos, pos + 4 + ln))
+        pos += 4 + ln
+    bad2 = bytearray(enc2)
+    m1, m3 = enc2[spans[1][0]:spans[1][1]], enc2[spans[3][0]:spans[3][1]]
+    bad2[spans[1][0]:spans[1][1]] = m3
+    bad2[spans[3][0]:spans[3][1]] = m1
+    df = read_parquet_pandas(decrypt_parquet(bytes(bad2), FK))
+    assert list(df["a"]) == [2 * i for i in range(n)]  # swapped, undetected
+
+
+def test_crypto_footer_parsing_and_errors(tmp_path):
+    plain = _plain_file(tmp_path)
+    enc = encrypt_parquet(plain, FK, aad_mode="spec", key_metadata=b"k1")
+    info = read_crypto_footer(enc)
+    assert len(info["aad_file_unique"]) == 8
+    assert info["key_metadata"] == b"k1"
+    with pytest.raises(ValueError, match="PARE"):
+        read_crypto_footer(plain)
+    with pytest.raises(ValueError, match="plaintext parquet"):
+        encrypt_parquet(enc, FK)  # double-encrypt refused
+    with pytest.raises(ValueError, match="aad_mode"):
+        encrypt_parquet(plain, FK, aad_mode="bogus")
+    with pytest.raises(ValueError, match="AES key"):
+        encrypt_parquet(plain, b"short")
+
+
+def test_transcoder_identity(tmp_path):
+    """No-op visitor must re-emit the footer byte-for-byte — the fidelity
+    contract that makes offset patching safe for unknown fields."""
+    plain = _plain_file(tmp_path)
+    flen = int.from_bytes(plain[-8:-4], "little")
+    fbytes = plain[len(plain) - 8 - flen : len(plain) - 8]
+    out, end = _transcode(fbytes, 0, lambda p, v: None)
+    assert out == fbytes and end == flen
+    # pyarrow-written footer too (different writer, richer fields)
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    p2 = str(tmp_path / "pa.parquet")
+    papq.write_table(pa.table({"x": [1, 2], "y": ["a", None]}), p2)
+    buf = open(p2, "rb").read()
+    flen = int.from_bytes(buf[-8:-4], "little")
+    fbytes = buf[len(buf) - 8 - flen : len(buf) - 8]
+    out, _ = _transcode(fbytes, 0, lambda p, v: None)
+    assert out == fbytes
+
+
+def test_module_aad_suffix_shapes():
+    aad = b"fileaad!"
+    assert _module_aad(aad, 0) == aad + b"\x00"
+    assert _module_aad(aad, 3, 1, 2) == aad + b"\x03\x01\x00\x02\x00"
+    assert _module_aad(aad, 2, 1, 2, 7) == aad + b"\x02\x01\x00\x02\x00\x07\x00"
+    assert _module_aad(b"", 2, 1, 2, 7) == b""
+
+
+def test_duckdb_interop_both_directions(tmp_path):
+    duckdb = pytest.importorskip("duckdb")
+    plain = _plain_file(tmp_path)
+    # ours -> DuckDB (empty AAD = DuckDB's scheme)
+    enc = encrypt_parquet(plain, FK, aad_mode="empty")
+    epath = str(tmp_path / "ours_enc.parquet")
+    open(epath, "wb").write(enc)
+    con = duckdb.connect()
+    con.execute(f"PRAGMA add_parquet_key('k1', '{FK.decode()}')")
+    n_rows, id_sum, score_cnt = con.execute(
+        "SELECT count(*), sum(id), count(score) FROM read_parquet(?, "
+        "encryption_config={footer_key: 'k1'})", [epath]).fetchone()
+    assert (n_rows, id_sum, score_cnt) == (400, 400 * 399 // 2, 400 - 58)
+    # DuckDB -> ours
+    dpath = str(tmp_path / "duck_enc.parquet")
+    con.execute(
+        "COPY (SELECT i AS id, 'n' || i AS s, CAST(i AS DOUBLE) / 4 AS d "
+        "FROM range(500) t(i)) TO '" + dpath +
+        "' (ENCRYPTION_CONFIG {footer_key: 'k1'})")
+    df = read_parquet_pandas(decrypt_parquet(open(dpath, "rb").read(), FK))
+    assert len(df) == 500
+    assert df["s"][3] == "n3" and df["d"][8] == pytest.approx(2.0)
+
+
+def test_decimal_converted_type_decode(tmp_path):
+    """Legacy converted-type DECIMAL (FLBA and INT32/64) decodes to true
+    decimals — what DuckDB/Hive-era writers emit (r6, found via the
+    DuckDB-encrypted interop file)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    from decimal import Decimal
+
+    p = str(tmp_path / "dec.parquet")
+    papq.write_table(pa.table({
+        "f": pa.array([Decimal("12.34"), None, Decimal("-0.07")],
+                      pa.decimal128(12, 2)),
+        "i": pa.array([Decimal("1.5"), Decimal("-2.5"), None],
+                      pa.decimal128(5, 1)),
+    }), p)
+    df = read_parquet_pandas(p)
+    assert list(df["f"]) == [Decimal("12.34"), None, Decimal("-0.07")]
+    assert list(df["i"]) == [Decimal("1.5"), Decimal("-2.5"), None]
