@@ -35,6 +35,10 @@ works on any machine that can see the files.
     python -m pq_engine.cli from-thrift <file.tc> --out DIR
     python -m pq_engine.cli from-parquet <file.parquet> --out DIR
     python -m pq_engine.cli geospatial-stats <pages_dir> [--column C]
+    python -m pq_engine.cli encrypt-parquet <file.parquet> --out FILE --key HEX
+                            [--column-key name=hex,..] [--aad spec|empty]
+    python -m pq_engine.cli decrypt-parquet <file.pare> --out FILE --key HEX
+                            [--column-key name=hex,..]
 """
 
 from __future__ import annotations
@@ -739,6 +743,55 @@ def cmd_from_parquet(args):
     print(f"encoded {len(schema)} columns from external parquet → {args.out}")
 
 
+def _cli_keys(args) -> tuple[bytes, dict[str, bytes]]:
+    if not args.key:
+        sys.exit("--key (hex footer key) required")
+    column_keys = {}
+    for spec in (args.column_key or "").split(","):
+        if not spec:
+            continue
+        name, _, hexkey = spec.partition("=")
+        if not hexkey:
+            sys.exit(f"--column-key entry {spec!r}: expected name=hexkey")
+        column_keys[name] = bytes.fromhex(hexkey)
+    return bytes.fromhex(args.key), column_keys
+
+
+def cmd_encrypt_parquet(args):
+    """Parquet modular encryption (Encryption.md / parquet-hadoop crypto):
+    plaintext parquet file → encrypted-footer PARE file. --aad spec writes
+    aad_file_unique + per-module AAD suffixes; --aad empty is
+    DuckDB-compatible."""
+    from .interop.parquet_crypto import encrypt_parquet
+
+    if not args.out:
+        sys.exit("--out required")
+    fk, column_keys = _cli_keys(args)
+    plain = open(args.path, "rb").read()
+    enc = encrypt_parquet(plain, fk, column_keys=column_keys,
+                          aad_mode=args.aad)
+    with open(args.out, "wb") as f:
+        f.write(enc)
+    print(f"encrypted {args.path} ({len(plain)} B) → {args.out} "
+          f"({len(enc)} B, aad={args.aad}, "
+          f"{len(column_keys)} column key(s))")
+
+
+def cmd_decrypt_parquet(args):
+    """Inverse: PARE encrypted-footer file → plaintext parquet bytes any
+    reader consumes (works on our files and DuckDB-encrypted ones)."""
+    from .interop.parquet_crypto import decrypt_parquet
+
+    if not args.out:
+        sys.exit("--out required")
+    fk, column_keys = _cli_keys(args)
+    enc = open(args.path, "rb").read()
+    plain = decrypt_parquet(enc, fk, column_keys=column_keys)
+    with open(args.out, "wb") as f:
+        f.write(plain)
+    print(f"decrypted {args.path} → {args.out} ({len(plain)} B)")
+
+
 def cmd_version(args=None):
     """VersionCommand analog."""
     from . import __version__
@@ -1222,6 +1275,7 @@ def main(argv=None):
             "trans-compression", "from-csv", "from-avro", "version", "footer", "size-stats",
             "check-stats", "rewrite", "to-parquet", "to-avro", "geospatial-stats",
             "to-protobuf", "from-protobuf", "to-thrift", "from-thrift", "from-parquet",
+            "encrypt-parquet", "decrypt-parquet",
         ],
     )
     ap.add_argument("path", nargs="?")
@@ -1239,6 +1293,11 @@ def main(argv=None):
     ap.add_argument("--mask-column")
     ap.add_argument("--rename", help="old=new[,old2=new2] column renames (rewrite)")
     ap.add_argument("--key", help="hex footer key for encrypted-footer jobs")
+    ap.add_argument("--column-key",
+                    help="name=hexkey[,name2=hexkey2] per-column AES keys")
+    ap.add_argument("--aad", choices=["spec", "empty"], default="spec",
+                    help="module AAD mode: spec (aad_file_unique + "
+                         "suffixes) or empty (DuckDB-compatible)")
     args = ap.parse_args(argv)
     if args.command == "version":
         cmd_version(args)
@@ -1259,6 +1318,12 @@ def main(argv=None):
         return
     if args.command == "from-parquet":
         cmd_from_parquet(args)
+        return
+    if args.command == "encrypt-parquet":
+        cmd_encrypt_parquet(args)
+        return
+    if args.command == "decrypt-parquet":
+        cmd_decrypt_parquet(args)
         return
     if args.command == "footer":
         cmd_footer(args)

@@ -222,3 +222,26 @@ def test_decimal_converted_type_decode(tmp_path):
     df = read_parquet_pandas(p)
     assert list(df["f"]) == [Decimal("12.34"), None, Decimal("-0.07")]
     assert list(df["i"]) == [Decimal("1.5"), Decimal("-2.5"), None]
+
+
+def test_cli_encrypt_decrypt_commands(tmp_path, capsys):
+    """r6 CLI pair: encrypt-parquet/decrypt-parquet drive the modular
+    encryption transform, column keys parsed from name=hex specs."""
+    from pq_engine.cli import main
+
+    plain = _plain_file(tmp_path)
+    ppath = str(tmp_path / "plain.parquet")  # written by _plain_file
+    enc = str(tmp_path / "enc.pare")
+    dec = str(tmp_path / "dec.parquet")
+    main(["encrypt-parquet", ppath, "--out", enc,
+          "--key", FK.hex(), "--column-key", f"name={CK.hex()}",
+          "--aad", "spec"])
+    assert open(enc, "rb").read()[:4] == b"PARE"
+    main(["decrypt-parquet", enc, "--out", dec,
+          "--key", FK.hex(), "--column-key", f"name={CK.hex()}"])
+    _check(read_parquet_pandas(dec))
+    out = capsys.readouterr().out
+    assert "1 column key(s)" in out and "decrypted" in out
+    # missing key exits with a clear message
+    with pytest.raises(SystemExit, match="--key"):
+        main(["decrypt-parquet", enc, "--out", dec])
