@@ -185,11 +185,82 @@ def _page_header(page_type: int, n_values: int, enc: int, raw_size: int,
     )
 
 
+def _slice_flat_col(col: dict, r0: int, r1: int, n_rows: int) -> dict:
+    """Row band [r0, r1) of a flat column, validity-aware: ``values`` holds
+    only non-null entries, so the value span is found by counting set
+    validity bits before/inside the band."""
+    if r0 == 0 and r1 == n_rows:
+        return col
+    validity = col.get("validity")
+    vals = col["values"]
+    if validity is not None:
+        v = np.asarray(validity)
+        v0 = int(v[:r0].sum())
+        v1 = v0 + int(v[r0:r1].sum())
+        band_validity = v[r0:r1]
+    else:
+        v0, v1, band_validity = r0, r1, None
+    if isinstance(vals, RaggedBytes):
+        offs = vals.offsets[v0 : v1 + 1] - vals.offsets[v0]
+        data = vals.data[vals.offsets[v0] : vals.offsets[v1]]
+        band_vals = RaggedBytes(
+            np.ascontiguousarray(offs), np.ascontiguousarray(data))
+    else:
+        band_vals = vals[v0:v1]
+    out = dict(col)
+    out["values"] = band_vals
+    if band_validity is not None:
+        out["validity"] = band_validity
+    else:
+        out.pop("validity", None)
+    return out
+
+
+def _chunk_statistics(ptype: str, vals, validity, n_rows: int):
+    """ColumnMetaData.statistics (field 12): null_count + min_value/
+    max_value in the spec's plain little-endian (numerics) / raw-bytes
+    (UTF8: unsigned lexicographic) form — what the filtered reader's
+    row-group pruning (L1) compares against. Skipped for types whose
+    ordering needs signed FLBA interpretation (decimal/int96) and for
+    all-null/empty chunks."""
+    nulls = n_rows - (len(vals) if not hasattr(vals, "offsets")
+                      else len(vals.offsets) - 1)
+    if validity is not None:
+        nulls = int((~np.asarray(validity)).sum())
+    st = StructWriter().i64(3, nulls)
+    nvals = len(vals.offsets) - 1 if isinstance(vals, RaggedBytes) else len(vals)
+    if nvals == 0:
+        return st
+    if ptype in ("string", "binary"):
+        data = vals.data.tobytes()
+        offs = vals.offsets
+        mn = mx = data[offs[0]:offs[1]]
+        for i in range(1, nvals):
+            s = data[offs[i]:offs[i + 1]]
+            if s < mn:
+                mn = s
+            elif s > mx:
+                mx = s
+    elif ptype in ("int32", "int64", "float32", "float64", "date32"):
+        a = np.asarray(vals)
+        if a.dtype.kind == "f":
+            ok = ~np.isnan(a)
+            if not ok.any():
+                return st  # all-NaN: no comparable stats (spec: ignore NaN)
+            a = a[ok]
+        mn = a.min().tobytes()
+        mx = a.max().tobytes()
+    else:
+        return st  # bool/FLBA/int96 family: stats omitted (declared scope)
+    return st.binary(5, mx).binary(6, mn)
+
+
 def write_parquet(path: str, columns: list[dict], n_rows: int,
                   compression: str | None = None,
-                  page_version: int = 1) -> None:
+                  page_version: int = 1,
+                  row_group_size: int | None = None) -> None:
     """columns: [{name, ptype, codec, values (np array | RaggedBytes),
-    validity (bool array | None)}]. Single row group. ``compression``
+    validity (bool array | None)}]. ``compression``
     applies the parquet page codec (snappy/gzip/zstd) to every page body,
     exactly as CompressionCodecName selects in the reference.
 
@@ -200,108 +271,144 @@ def write_parquet(path: str, columns: list[dict], n_rows: int,
 
     ``page_version=2`` writes DataPageV2 (DataPageV2.java:26-52 semantics):
     def levels stored UNCOMPRESSED outside the compressed value region, with
-    explicit num_nulls/num_rows and level byte lengths in the header."""
+    explicit num_nulls/num_rows and level byte lengths in the header.
+
+    ``row_group_size`` (r6) splits rows into multiple row groups — the
+    split/pruning unit at scale (ParquetFileWriter.startBlock analog) —
+    for FLAT columns (nested groups raise: declared scope). Every flat
+    chunk carries Statistics (min/max/null_count), so our own files feed
+    the filtered reader's row-group pruning with no external writer."""
     out = bytearray(MAGIC)
-    chunks = []
-    for col in columns:
-        name, ptype, codec = col["name"], col["ptype"], col.get("codec")
-        if ptype.startswith("list<"):
-            if codec not in ("plain", "auto", None):
-                # list child values are PLAIN in this writer; silently
-                # ignoring a requested codec would hand back a different
-                # encoding than asked for (ADVICE r2)
+    if row_group_size and row_group_size > 0 and n_rows > 0:
+        bands = [(i, min(i + row_group_size, n_rows))
+                 for i in range(0, n_rows, row_group_size)]
+    else:
+        bands = [(0, n_rows)]
+    row_groups = []
+    for r0, r1 in bands:
+        chunks = []
+        for col in columns:
+            name, ptype, codec = col["name"], col["ptype"], col.get("codec")
+            nested = (ptype.startswith(("list<", "map<"))
+                      or ptype in ("variant", "struct"))
+            if nested and len(bands) > 1:
                 raise ValueError(
-                    f"list column {name!r}: codec {codec!r} unsupported by the "
-                    "interop writer (child values are PLAIN); pass 'plain'"
-                )
-            chunks.append(_write_list_chunk(out, col, n_rows, compression))
-            continue
-        if ptype == "variant":
-            chunks.extend(_write_variant_chunks(out, col, n_rows, compression))
-            continue
-        if ptype == "struct":
-            chunks.extend(_write_struct_chunks(out, col, n_rows, compression))
-            continue
-        if ptype.startswith("map<"):
-            chunks.extend(_write_map_chunks(out, col, n_rows, compression))
-            continue
-        vals, validity = col["values"], col.get("validity")
-        chunk_start = len(out)
-        dict_off = None
-        encodings = [ENC_RLE]
+                    f"row_group_size with nested column {name!r} is "
+                    "unsupported (flat columns only)")
+            if ptype.startswith("list<"):
+                if codec not in ("plain", "auto", None):
+                    # list child values are PLAIN in this writer; silently
+                    # ignoring a requested codec would hand back a different
+                    # encoding than asked for (ADVICE r2)
+                    raise ValueError(
+                        f"list column {name!r}: codec {codec!r} unsupported by the "
+                        "interop writer (child values are PLAIN); pass 'plain'"
+                    )
+                chunks.append(_write_list_chunk(out, col, n_rows, compression))
+                continue
+            if ptype == "variant":
+                chunks.extend(_write_variant_chunks(out, col, n_rows, compression))
+                continue
+            if ptype == "struct":
+                chunks.extend(_write_struct_chunks(out, col, n_rows, compression))
+                continue
+            if ptype.startswith("map<"):
+                chunks.extend(_write_map_chunks(out, col, n_rows, compression))
+                continue
+            chunks.append(_write_flat_chunk(
+                out, _slice_flat_col(col, r0, r1, n_rows), r1 - r0,
+                compression, page_version))
+        row_groups.append((chunks, r1 - r0))
+    _finish_file(path, out, columns, n_rows, row_groups)
 
-        if ptype in ("string", "binary") and codec == "dlba":
-            enc, body = ENC_DLBA, _parquet_dlba(vals)
-            dict_info = None
-        elif ptype in ("string", "binary") and codec == "dba":
-            enc, body = ENC_DBA, _parquet_dba(vals)
-            dict_info = None
-        else:
-            enc, body, dict_info = _encode_values(ptype, codec, vals)
 
-        if dict_info is not None:
-            dict_bytes, n_uniques = dict_info
-            dict_off = len(out)
-            comp_dict = _compress_body(dict_bytes, compression)
-            out += _page_header(
-                PAGE_DICT, n_uniques, ENC_PLAIN, len(dict_bytes), len(comp_dict)
-            )
-            out += comp_dict
-            encodings.append(ENC_PLAIN)
+def _write_flat_chunk(out: bytearray, col: dict, n_rows: int,
+                      compression: str | None, page_version: int):
+    """One flat column chunk: optional dict page + one data page (V1/V2),
+    ColumnMetaData with Statistics. Returns (ColumnChunk writer, size)."""
+    name, ptype, codec = col["name"], col["ptype"], col.get("codec")
+    vals, validity = col["values"], col.get("validity")
+    chunk_start = len(out)
+    dict_off = None
+    encodings = [ENC_RLE]
 
-        data_off = len(out)
-        if page_version == 2:
-            # V2: def levels raw RLE (no length prefix), uncompressed,
-            # before the (optionally compressed) values
-            if validity is not None:
-                v = np.asarray(validity)
-                dlv = rle.encode_hybrid(v.astype(np.uint64), 1)
-                n_nulls = int((~v).sum())
-            else:
-                dlv = b""
-                n_nulls = 0
-            comp_vals = _compress_body(body, compression)
-            out += _page_header_v2(
-                n_rows, n_nulls, enc, len(dlv), len(body), len(comp_vals),
-                compression not in (None, "none"),
-            )
-            out += dlv
-            out += comp_vals
-        else:
-            # V1 data page: [def levels (u32-prefixed RLE)] + values,
-            # compressed together
-            if validity is not None:
-                levels = rle.encode_hybrid_length_prefixed(
-                    np.asarray(validity).astype(np.uint64), 1
-                )
-            else:
-                levels = b""
-            page_body = levels + body
-            comp_body = _compress_body(page_body, compression)
-            out += _page_header(PAGE_DATA, n_rows, enc, len(page_body), len(comp_body))
-            out += comp_body
-        encodings.append(enc)
+    if ptype in ("string", "binary") and codec == "dlba":
+        enc, body = ENC_DLBA, _parquet_dlba(vals)
+        dict_info = None
+    elif ptype in ("string", "binary") and codec == "dba":
+        enc, body = ENC_DBA, _parquet_dba(vals)
+        dict_info = None
+    else:
+        enc, body, dict_info = _encode_values(ptype, codec, vals)
 
-        raw_total = (
-            (len(dlv) + len(body)) if page_version == 2 else len(page_body)
-        ) + (len(dict_bytes) if dict_info else 0)
-        meta = (
-            StructWriter()
-            .i32(1, _physical(ptype)[0])
-            .list_i32(2, sorted(set(encodings)))
-            .list_string(3, [name])
-            .i32(4, CODEC_ENUM[compression])
-            .i64(5, n_rows)
-            .i64(6, raw_total)
-            .i64(7, len(out) - chunk_start)
-            .i64(9, data_off)
+    if dict_info is not None:
+        dict_bytes, n_uniques = dict_info
+        dict_off = len(out)
+        comp_dict = _compress_body(dict_bytes, compression)
+        out += _page_header(
+            PAGE_DICT, n_uniques, ENC_PLAIN, len(dict_bytes), len(comp_dict)
         )
-        if dict_off is not None:
-            meta.i64(11, dict_off)
-        cc = StructWriter().i64(2, chunk_start).struct(3, meta)
-        chunks.append((cc, len(out) - chunk_start))
+        out += comp_dict
+        encodings.append(ENC_PLAIN)
 
-    # footer
+    data_off = len(out)
+    if page_version == 2:
+        # V2: def levels raw RLE (no length prefix), uncompressed,
+        # before the (optionally compressed) values
+        if validity is not None:
+            v = np.asarray(validity)
+            dlv = rle.encode_hybrid(v.astype(np.uint64), 1)
+            n_nulls = int((~v).sum())
+        else:
+            dlv = b""
+            n_nulls = 0
+        comp_vals = _compress_body(body, compression)
+        out += _page_header_v2(
+            n_rows, n_nulls, enc, len(dlv), len(body), len(comp_vals),
+            compression not in (None, "none"),
+        )
+        out += dlv
+        out += comp_vals
+    else:
+        # V1 data page: [def levels (u32-prefixed RLE)] + values,
+        # compressed together
+        if validity is not None:
+            levels = rle.encode_hybrid_length_prefixed(
+                np.asarray(validity).astype(np.uint64), 1
+            )
+        else:
+            levels = b""
+        page_body = levels + body
+        comp_body = _compress_body(page_body, compression)
+        out += _page_header(PAGE_DATA, n_rows, enc, len(page_body), len(comp_body))
+        out += comp_body
+    encodings.append(enc)
+
+    raw_total = (
+        (len(dlv) + len(body)) if page_version == 2 else len(page_body)
+    ) + (len(dict_bytes) if dict_info else 0)
+    meta = (
+        StructWriter()
+        .i32(1, _physical(ptype)[0])
+        .list_i32(2, sorted(set(encodings)))
+        .list_string(3, [name])
+        .i32(4, CODEC_ENUM[compression])
+        .i64(5, n_rows)
+        .i64(6, raw_total)
+        .i64(7, len(out) - chunk_start)
+        .i64(9, data_off)
+    )
+    if dict_off is not None:
+        meta.i64(11, dict_off)
+    meta.struct(12, _chunk_statistics(ptype, vals, validity, n_rows))
+    cc = StructWriter().i64(2, chunk_start).struct(3, meta)
+    return cc, len(out) - chunk_start
+
+
+def _finish_file(path: str, out: bytearray, columns: list[dict],
+                 n_rows: int, row_groups) -> None:
+    """Schema + FileMetaData emission over the already-written page
+    bytes; one RowGroup struct per band (multi-row-group since r6)."""
     root = (
         StructWriter().i32(3, 0).string(4, "schema").i32(5, len(columns))
     )  # repetition REQUIRED(0) is ignored on root but duckdb wants it present
@@ -383,19 +490,27 @@ def write_parquet(path: str, columns: list[dict], n_rows: int,
         se.string(4, col["name"])
         _annotate(se, col["ptype"])
         schema.append(se)
-    rg = (
-        StructWriter()
-        .list_struct(1, [c for c, _ in chunks])
-        .i64(2, sum(sz for _, sz in chunks))
-        .i64(3, n_rows)
-    )
+    rgs = []
+    for chunks, nr in row_groups:
+        rgs.append(
+            StructWriter()
+            .list_struct(1, [c for c, _ in chunks])
+            .i64(2, sum(sz for _, sz in chunks))
+            .i64(3, nr)
+        )
+    # column_orders (field 7): one TypeDefinedOrder per leaf — without it
+    # the spec forbids readers from trusting min_value/max_value, so
+    # pyarrow/DuckDB would ignore the chunk Statistics we emit (r6)
+    n_leaves = len(row_groups[0][0]) if row_groups and row_groups[0][0] else 0
+    orders = [StructWriter().struct(1, StructWriter()) for _ in range(n_leaves)]
     fmeta = (
         StructWriter()
         .i32(1, 2)
         .list_struct(2, schema)
         .i64(3, n_rows)
-        .list_struct(4, [rg])
+        .list_struct(4, rgs)
         .string(6, "pq_engine interop writer")
+        .list_struct(7, orders)
         .finish()
     )
     out += fmeta

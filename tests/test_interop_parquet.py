@@ -456,3 +456,94 @@ def test_variant_column_compressed(tmp_path, spark):
         "variant_get(v, '$.id', 'long') AS id"
     ).orderBy("id").collect()
     assert [r.id for r in got] == [o["id"] for o in objs]
+
+
+def test_multi_row_group_stats_and_pruning(tmp_path):
+    """r6: row_group_size splits flat columns into banded row groups with
+    chunk Statistics + column_orders; pyarrow and DuckDB see the min/max,
+    and OUR filtered reader prunes row groups of OUR OWN file."""
+    import duckdb
+    import pyarrow.parquet as papq
+
+    from pq_engine.interop.parquet_reader import (
+        read_parquet_filtered_pandas,
+        read_parquet_pandas,
+    )
+
+    n = 4000
+    strs = [f"k-{i // 100:04d}".encode() for i in range(n)]
+    offs = np.zeros(n + 1, np.int64)
+    for i, s in enumerate(strs):
+        offs[i + 1] = offs[i] + len(s)
+    validity = (np.arange(n) % 11) != 0
+    path = str(tmp_path / "mrg.parquet")
+    write_parquet(path, [
+        {"name": "id", "ptype": "int64", "codec": "delta",
+         "values": np.arange(n, dtype=np.int64)},
+        {"name": "k", "ptype": "string", "codec": "dict",
+         "values": RaggedBytes(offs, np.frombuffer(b"".join(strs), np.uint8))},
+        {"name": "v", "ptype": "float64", "codec": "plain",
+         "values": (np.arange(n) * 0.5)[validity], "validity": validity},
+    ], n, compression="snappy", row_group_size=500)
+
+    pf = papq.ParquetFile(path)
+    assert pf.metadata.num_row_groups == 8
+    st = pf.metadata.row_group(1).column(0).statistics
+    assert (st.min, st.max) == (500, 999)
+    stv = pf.metadata.row_group(0).column(2).statistics
+    assert stv.null_count == sum(1 for i in range(500) if i % 11 == 0)
+    assert duckdb.sql(
+        f"SELECT count(*), sum(id), count(v) FROM read_parquet('{path}')"
+    ).fetchone() == (n, n * (n - 1) // 2, int(validity.sum()))
+
+    df, rep = read_parquet_filtered_pandas(
+        path, ("and", ("ge", "id", 1250), ("lt", "id", 1350)))
+    assert list(df["id"]) == list(range(1250, 1350))
+    assert rep["row_groups_scanned"] == 1 and rep["row_groups_total"] == 8
+    df2, rep2 = read_parquet_filtered_pandas(path, ("eq", "k", "k-0021"))
+    assert len(df2) == 100 and rep2["row_groups_scanned"] == 1
+
+    full = read_parquet_pandas(path)
+    assert len(full) == n and full["k"][150] == "k-0001"
+
+
+def test_row_group_size_nested_raises_and_edge_bands(tmp_path):
+    from pq_engine.nested import ListColumn
+
+    lc = ListColumn(np.array([0, 2, 3]), None,
+                    np.array([1, 2, 3], dtype=np.int64), None)
+    with pytest.raises(ValueError, match="row_group_size"):
+        write_parquet(str(tmp_path / "x.parquet"), [
+            {"name": "l", "ptype": "list<int64>", "values": lc},
+            {"name": "id", "ptype": "int64", "codec": "plain",
+             "values": np.arange(2, dtype=np.int64)},
+        ], 2, row_group_size=1)
+    # band size not dividing n_rows: last band is short
+    path = str(tmp_path / "odd.parquet")
+    write_parquet(path, [
+        {"name": "id", "ptype": "int64", "codec": "plain",
+         "values": np.arange(7, dtype=np.int64)},
+    ], 7, row_group_size=3)
+    import pyarrow.parquet as papq
+
+    pf = papq.ParquetFile(path)
+    assert [pf.metadata.row_group(i).num_rows for i in range(3)] == [3, 3, 1]
+    assert papq.read_table(path)["id"].to_pylist() == list(range(7))
+
+
+def test_encrypted_multi_row_group_roundtrip(tmp_path):
+    """Modular encryption over a multi-row-group file: per-row-group
+    module AAD ordinals exercised with rg > 0."""
+    from pq_engine.interop.parquet_crypto import decrypt_parquet, encrypt_parquet
+    from pq_engine.interop.parquet_reader import read_parquet_pandas
+
+    n = 900
+    path = str(tmp_path / "p.parquet")
+    write_parquet(path, [
+        {"name": "id", "ptype": "int64", "codec": "plain",
+         "values": np.arange(n, dtype=np.int64)},
+    ], n, row_group_size=300)
+    enc = encrypt_parquet(open(path, "rb").read(), b"0123456789012345",
+                          aad_mode="spec")
+    df = read_parquet_pandas(decrypt_parquet(enc, b"0123456789012345"))
+    assert list(df["id"]) == list(range(n))
