@@ -1422,7 +1422,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _pq.write_table(
                     _pa.Table.from_pandas(pdf, preserve_index=False), path,
                     row_group_size=max(64, len(pdf) // 6),
-                    data_page_size=256, write_page_index=True,
+                    # pyarrow only enforces data_page_size every
+                    # write_batch_size values — without the small batch
+                    # size, 10x-scale partitions get ~200-row pages and
+                    # the 5% band legitimately touches every page of the
+                    # surviving groups (sf1 gate caught this, r6)
+                    data_page_size=256, write_batch_size=32,
+                    write_page_index=True,
                     use_dictionary=False, compression="snappy",
                 )
                 yield pandas.DataFrame({"path": [path]})

@@ -56,6 +56,7 @@ from .thrift_compact import (
     CT_STRUCT,
     StructWriter,
     _read_uvar,
+    _read_value,
     _unzig,
     _uvarint,
     _zigzag,
@@ -137,44 +138,66 @@ def _decrypt_module(key: bytes, buf: bytes, pos: int, aad: bytes) -> tuple[bytes
 
 # --------------------------------------------------- thrift transcoder
 
-def _transcode(buf, pos, visit, path=(), struct_end=None):
+def _read_value_span(buf, pos, ctype):
+    """Parse-and-discard one compact value; returns (None, new_pos)."""
+    _, pos = _read_value(buf, pos, ctype)
+    return None, pos
+
+
+def _transcode(buf, pos, visit, path=(), struct_end=None, drop=None):
     """Re-emit one compact-protocol struct, calling ``visit(path, value)``
     on every integer field; a non-None return replaces the value. ``path``
     is the tuple of field ids from the root, with list indices interleaved
     for struct-list elements. ``struct_end(path, last_fid)`` may return
     extra serialized fields to splice in just before a struct's STOP byte
     (the returned bytes' field header must be delta-encoded against
-    ``last_fid``)."""
+    ``last_fid``). ``drop(path)`` returning True omits the field from the
+    output entirely (its value is still parsed to advance ``pos``; the
+    NEXT kept field re-encodes its header against the last KEPT id, which
+    the short-form delta encoding requires)."""
     out = bytearray()
     last = 0
+    last_kept = 0
     while True:
         hb = buf[pos]
         pos += 1
         if hb == CT_STOP:
             if struct_end is not None:
-                out += struct_end(path, last)
+                out += struct_end(path, last_kept)
             out.append(hb)
             return bytes(out), pos
         ctype = hb & 0x0F
         delta = hb >> 4
-        hdr = bytes([hb])
         if delta:
             fid = last + delta
         else:
             z, p2 = _read_uvar(buf, pos)
             fid = _unzig(z)
-            hdr += bytes(buf[pos:p2])
             pos = p2
         last = fid
         p = path + (fid,)
+        dropping = drop is not None and drop(p)
+        if dropping:
+            hdr = b""
+        else:
+            kdelta = fid - last_kept
+            if 0 < kdelta <= 15:
+                hdr = bytes([(kdelta << 4) | ctype])
+            else:
+                hdr = bytes([ctype]) + _uvarint(_zigzag(fid, 16))
+            last_kept = fid
         out += hdr
+        if dropping:
+            # parse-and-discard the value, emit nothing
+            _, pos = _read_value_span(buf, pos, ctype)
+            continue
         if ctype in (CT_I16, CT_I32, CT_I64):
             z, pos = _read_uvar(buf, pos)
             v = _unzig(z)
             nv = visit(p, v)
             out += _uvarint(_zigzag(v if nv is None else nv, 64))
         elif ctype == CT_STRUCT:
-            inner, pos = _transcode(buf, pos, visit, p, struct_end)
+            inner, pos = _transcode(buf, pos, visit, p, struct_end, drop)
             out += inner
         elif ctype == CT_LIST:
             lh = buf[pos]
@@ -187,7 +210,7 @@ def _transcode(buf, pos, visit, path=(), struct_end=None):
                 out += _uvarint(size)
             for i in range(size):
                 if etype == CT_STRUCT:
-                    inner, pos = _transcode(buf, pos, visit, p + (i,), struct_end)
+                    inner, pos = _transcode(buf, pos, visit, p + (i,), struct_end, drop)
                     out += inner
                 elif etype == CT_BINARY:
                     ln, p2 = _read_uvar(buf, pos)
@@ -251,6 +274,16 @@ def _chunk_span(meta: dict) -> tuple[int, int]:
     dict_off = meta.get(11)
     start = data_off if dict_off is None else min(data_off, dict_off)
     return start, meta[7]
+
+
+
+def _drop_page_index_fields(p):
+    """ColumnChunk offset_index_offset/length, column_index_offset/length
+    (fields 4-7): the page-index bytes are not carried through the module
+    transform, so stale pointers must not survive into the output footer
+    (pyarrow-written inputs carry them; our writer does not)."""
+    return (len(p) == 5 and p[0] == 4 and p[2] == 1
+            and p[4] in (4, 5, 6, 7))
 
 
 # --------------------------------------------------------- encrypt side
@@ -371,7 +404,8 @@ def encrypt_parquet(plain: bytes, footer_key: bytes,
         )
         return hdr + union.finish()
 
-    patched, _ = _transcode(plain, fstart, visit, struct_end=struct_end)
+    patched, _ = _transcode(plain, fstart, visit, struct_end=struct_end,
+                            drop=_drop_page_index_fields)
 
     footer_mod = _encrypt_module(
         footer_key, patched, _module_aad(file_aad, MOD_FOOTER))
@@ -494,7 +528,7 @@ def decrypt_parquet(buf: bytes, footer_key: bytes,
             return new_offsets[keyc][v]
         return None
 
-    patched, _ = _transcode(fbytes, 0, visit)
+    patched, _ = _transcode(fbytes, 0, visit, drop=_drop_page_index_fields)
     out += patched
     out += struct.pack("<I", len(patched))
     out += MAGIC

@@ -245,3 +245,35 @@ def test_cli_encrypt_decrypt_commands(tmp_path, capsys):
     # missing key exits with a clear message
     with pytest.raises(SystemExit, match="--key"):
         main(["decrypt-parquet", enc, "--out", dec])
+
+
+def test_encrypt_pyarrow_written_file_drops_stale_page_index(tmp_path):
+    """Encrypting a foreign (pyarrow) file with a page index: the index
+    bytes are not carried through the module transform, so ColumnChunk
+    fields 4-7 must be DROPPED (stale pointers) while Statistics survive
+    — the decrypted file still row-group-prunes and DuckDB reads it."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from pq_engine.interop.parquet_reader import read_parquet_filtered_pandas
+
+    p = str(tmp_path / "pa.parquet")
+    t = pa.table({"id": pa.array(range(5000), pa.int64()),
+                  "s": pa.array([f"v{i % 13}" for i in range(5000)])})
+    papq.write_table(t, p, row_group_size=1000, write_page_index=True,
+                     data_page_size=512, write_batch_size=32)
+    plain = open(p, "rb").read()
+    for mode in ("spec", "empty"):
+        dec = decrypt_parquet(encrypt_parquet(plain, FK, aad_mode=mode), FK)
+        df = read_parquet_pandas(dec)
+        assert list(df["id"]) == list(range(5000)) and df["s"][14] == "v1"
+        fdf, rep = read_parquet_filtered_pandas(
+            dec, ("and", ("ge", "id", 2500), ("lt", "id", 2600)))
+        assert list(fdf["id"]) == list(range(2500, 2600))
+        assert rep["row_groups_scanned"] == 1 and rep["row_groups_total"] == 5
+    dpath = str(tmp_path / "dec.parquet")
+    open(dpath, "wb").write(dec)
+    assert duckdb.sql(
+        f"SELECT count(*), sum(id) FROM read_parquet('{dpath}')"
+    ).fetchone() == (5000, 12497500)
