@@ -278,12 +278,16 @@ def _chunk_span(meta: dict) -> tuple[int, int]:
 
 
 def _drop_page_index_fields(p):
-    """ColumnChunk offset_index_offset/length, column_index_offset/length
-    (fields 4-7): the page-index bytes are not carried through the module
-    transform, so stale pointers must not survive into the output footer
-    (pyarrow-written inputs carry them; our writer does not)."""
-    return (len(p) == 5 and p[0] == 4 and p[2] == 1
-            and p[4] in (4, 5, 6, 7))
+    """Stale auxiliary-structure pointers are not carried through the
+    module transform and must not survive into the output footer:
+    ColumnChunk offset_index_offset/length + column_index_offset/length
+    (fields 4-7; pyarrow-written inputs carry them) and ColumnMetaData
+    bloom_filter_offset/length (fields 14/15; our bloom_columns writer
+    emits them between chunks)."""
+    if len(p) == 5 and p[0] == 4 and p[2] == 1 and p[4] in (4, 5, 6, 7):
+        return True
+    return (len(p) == 6 and p[0] == 4 and p[2] == 1 and p[4] == 3
+            and p[5] in (14, 15))
 
 
 # --------------------------------------------------------- encrypt side

@@ -180,6 +180,7 @@ def read_footer(buf: bytes) -> dict:
                 "data_off": md[9],
                 "dict_off": md.get(11),
                 "stats": md.get(12),  # Statistics struct (thrift field ids)
+                "bloom": (md.get(14), md.get(15)),  # bloom filter off/len
                 "offidx": (cc.get(4), cc.get(5)),   # OffsetIndex off/len
                 "colidx": (cc.get(6), cc.get(7)),   # ColumnIndex off/len
             })
@@ -909,6 +910,65 @@ def _rg_can_match(pred, rg, by_name):
     return _range_can_match(op, _coerce(val, leaf), mn, mx)
 
 
+def _bloom_hash_literal(leaf, val):
+    """XxHash64 of the predicate literal's PLAIN encoding, or None when the
+    column's type has no bloom support here."""
+    import struct as _s
+
+    from ..kernels.bloom import xxhash64_bytes
+
+    phys = leaf["physical"]
+    if phys == "byte_array":
+        b = val.encode("utf-8") if isinstance(val, str) else bytes(val)
+    elif phys == "int64":
+        b = _s.pack("<q", int(val))
+    elif phys == "int32":
+        b = _s.pack("<i", int(val))
+    elif phys == "float64":
+        b = _s.pack("<d", float(val))
+    elif phys == "float32":
+        b = _s.pack("<f", float(val))
+    else:
+        return None
+    return xxhash64_bytes(b)
+
+
+def _rg_bloom_can_match(pred, rg, by_name, buf, report):
+    """L3 for external files: probe the chunk's split-block bloom filter
+    for eq literals — the BloomFilterReader / readBloomFilter analog
+    (parquet-hadoop ParquetFileReader.java readBloomFilter). Only an eq
+    that the bloom DISPROVES can drop the row group; every other shape
+    returns True."""
+    if pred[0] == "and":
+        return (_rg_bloom_can_match(pred[1], rg, by_name, buf, report)
+                and _rg_bloom_can_match(pred[2], rg, by_name, buf, report))
+    if pred[0] == "or":
+        return (_rg_bloom_can_match(pred[1], rg, by_name, buf, report)
+                or _rg_bloom_can_match(pred[2], rg, by_name, buf, report))
+    op, name, val = pred
+    if op != "eq":
+        return True
+    chunk = _find_chunk(rg, [name])
+    off, _ln = chunk.get("bloom", (None, None))
+    if off is None:
+        return True
+    hdr, pos = read_struct(buf, off)
+    # BloomFilterHeader: 1 numBytes, 2 algorithm union (1=BLOCK),
+    # 3 hash union (1=XXHASH), 4 compression union (1=UNCOMPRESSED)
+    if 1 not in hdr.get(2, {1: {}}) or 1 not in hdr.get(3, {1: {}}) \
+            or 1 not in hdr.get(4, {1: {}}):
+        return True  # unknown algorithm/hash/codec: cannot disprove
+    nbytes = hdr[1]
+    h = _bloom_hash_literal(by_name[name], val)
+    if h is None:
+        return True
+    from ..kernels.bloom import BlockSplitBloomFilter
+
+    bf = BlockSplitBloomFilter.deserialize(buf[pos : pos + nbytes])
+    report["blooms_probed"] = report.get("blooms_probed", 0) + 1
+    return bool(bf.contains_hashes(np.array([h], dtype=np.uint64))[0])
+
+
 def _parse_column_index(buf, off, ln):
     ci, _ = read_struct(buf[off : off + ln])
     return {
@@ -1134,6 +1194,10 @@ def read_parquet_filtered(path_or_buf, predicate,
         nrows = rg["num_rows"]
         if not _rg_can_match(predicate, rg, by_name):
             continue  # L1: whole row group skipped — nothing decoded
+        if not _rg_bloom_can_match(predicate, rg, by_name, buf, report):
+            report["row_groups_bloom_pruned"] = (
+                report.get("row_groups_bloom_pruned", 0) + 1)
+            continue  # L3: bloom disproves an eq literal for this group
         ranges = _pred_page_ranges(predicate, rg, by_name, buf, nrows, report)
         if not ranges:
             continue  # page index proved no page can match

@@ -258,7 +258,8 @@ def _chunk_statistics(ptype: str, vals, validity, n_rows: int):
 def write_parquet(path: str, columns: list[dict], n_rows: int,
                   compression: str | None = None,
                   page_version: int = 1,
-                  row_group_size: int | None = None) -> None:
+                  row_group_size: int | None = None,
+                  bloom_columns: list[str] | None = None) -> None:
     """columns: [{name, ptype, codec, values (np array | RaggedBytes),
     validity (bool array | None)}]. ``compression``
     applies the parquet page codec (snappy/gzip/zstd) to every page body,
@@ -272,6 +273,10 @@ def write_parquet(path: str, columns: list[dict], n_rows: int,
     ``page_version=2`` writes DataPageV2 (DataPageV2.java:26-52 semantics):
     def levels stored UNCOMPRESSED outside the compressed value region, with
     explicit num_nulls/num_rows and level byte lengths in the header.
+
+    ``bloom_columns`` (r6) emits a split-block bloom filter per chunk for
+    the named flat columns (BloomFilterHeader + bitset, XxHash64 over
+    plain encodings — the BloomFilterReader-compatible shape).
 
     ``row_group_size`` (r6) splits rows into multiple row groups — the
     split/pruning unit at scale (ParquetFileWriter.startBlock analog) —
@@ -315,9 +320,12 @@ def write_parquet(path: str, columns: list[dict], n_rows: int,
             if ptype.startswith("map<"):
                 chunks.extend(_write_map_chunks(out, col, n_rows, compression))
                 continue
+            band = _slice_flat_col(col, r0, r1, n_rows)
+            if bloom_columns and name in bloom_columns:
+                band = dict(band)
+                band["bloom"] = True
             chunks.append(_write_flat_chunk(
-                out, _slice_flat_col(col, r0, r1, n_rows), r1 - r0,
-                compression, page_version))
+                out, band, r1 - r0, compression, page_version))
         row_groups.append((chunks, r1 - r0))
     _finish_file(path, out, columns, n_rows, row_groups)
 
@@ -387,6 +395,34 @@ def _write_flat_chunk(out: bytearray, col: dict, n_rows: int,
     raw_total = (
         (len(dlv) + len(body)) if page_version == 2 else len(page_body)
     ) + (len(dict_bytes) if dict_info else 0)
+    pages_size = len(out) - chunk_start  # pages only: blooms live after
+
+    # split-block bloom filter (r6): BloomFilterHeader thrift + bitset,
+    # placed after the chunk's pages, referenced by ColumnMetaData
+    # fields 14/15 (BloomFilterReader / ParquetFileWriter.addBloomFilter
+    # analog). Values hashed over their PLAIN encodings with XxHash64.
+    bloom_off = bloom_len = None
+    if col.get("bloom"):
+        hashes = _bloom_hashes_for(ptype, vals)
+        if hashes is not None and len(hashes):
+            from ..kernels import bloom as bloomk
+
+            bf = bloomk.BlockSplitBloomFilter(
+                bloomk.optimal_num_bytes(len(hashes)))
+            bf.insert_hashes(np.asarray(hashes, dtype=np.uint64))
+            bits = bf.serialize()
+            hdr = (
+                StructWriter()
+                .i32(1, len(bits))  # numBytes (bitset only)
+                .struct(2, StructWriter().struct(1, StructWriter()))  # BLOCK
+                .struct(3, StructWriter().struct(1, StructWriter()))  # XXHASH
+                .struct(4, StructWriter().struct(1, StructWriter()))  # UNCOMP
+                .finish()
+            )
+            bloom_off = len(out)
+            bloom_len = len(hdr) + len(bits)
+            out += hdr
+            out += bits
     meta = (
         StructWriter()
         .i32(1, _physical(ptype)[0])
@@ -395,14 +431,43 @@ def _write_flat_chunk(out: bytearray, col: dict, n_rows: int,
         .i32(4, CODEC_ENUM[compression])
         .i64(5, n_rows)
         .i64(6, raw_total)
-        .i64(7, len(out) - chunk_start)
+        .i64(7, pages_size)
         .i64(9, data_off)
     )
     if dict_off is not None:
         meta.i64(11, dict_off)
     meta.struct(12, _chunk_statistics(ptype, vals, validity, n_rows))
+    if bloom_off is not None:
+        meta.i64(14, bloom_off).i32(15, bloom_len)
     cc = StructWriter().i64(2, chunk_start).struct(3, meta)
     return cc, len(out) - chunk_start
+
+
+def _bloom_hashes_for(ptype, vals):
+    """XxHash64 of each DISTINCT value's plain encoding (what parquet's
+    split-block bloom stores). None for types without bloom support here
+    (bool, FLBA family)."""
+    from ..kernels import bloom as bloomk
+
+    if isinstance(vals, RaggedBytes):
+        data = vals.data.tobytes()
+        offs = vals.offsets
+        seen = set()
+        hs = []
+        for i in range(len(offs) - 1):
+            b = data[offs[i] : offs[i + 1]]
+            if b not in seen:
+                seen.add(b)
+                hs.append(bloomk.xxhash64_bytes(b))
+        return np.array(hs, dtype=np.uint64)
+    a = np.asarray(vals)
+    if a.ndim != 1 or a.dtype.itemsize not in (4, 8):
+        return None
+    u = np.unique(a)
+    if a.dtype.itemsize == 8:
+        return bloomk.xxhash64_u64(u.view(np.uint64))
+    return np.array(
+        [bloomk.xxhash64_bytes(v.tobytes()) for v in u], dtype=np.uint64)
 
 
 def _finish_file(path: str, out: bytearray, columns: list[dict],

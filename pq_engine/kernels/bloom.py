@@ -50,6 +50,66 @@ def xxhash64_u64(keys: np.ndarray, seed: int = 0) -> np.ndarray:
     return h
 
 
+_M64 = (1 << 64) - 1
+
+
+def _rotl_i(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxhash64_bytes(data: bytes, seed: int = 0) -> int:
+    """Full XxHash64 over arbitrary-length bytes (python ints) — the hash
+    parquet's bloom filter applies to a value's PLAIN encoding
+    (XxHash.java / BlockSplitBloomFilter.hash). Used per distinct value at
+    bloom build/probe time; the vectorized 8-byte fast path above covers
+    INT64/FP64 batches (verified equal on 8-byte inputs). Pinned against
+    the public xxHash test vectors."""
+    p1, p2, p3, p4, p5 = (int(_P1), int(_P2), int(_P3), int(_P4), int(_P5))
+    n = len(data)
+    pos = 0
+    if n >= 32:
+        v1 = (seed + p1 + p2) & _M64
+        v2 = (seed + p2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - p1) & _M64
+        while pos + 32 <= n:
+            lanes = [int.from_bytes(data[pos + 8 * i : pos + 8 * i + 8],
+                                    "little") for i in range(4)]
+            v1 = (_rotl_i((v1 + lanes[0] * p2) & _M64, 31) * p1) & _M64
+            v2 = (_rotl_i((v2 + lanes[1] * p2) & _M64, 31) * p1) & _M64
+            v3 = (_rotl_i((v3 + lanes[2] * p2) & _M64, 31) * p1) & _M64
+            v4 = (_rotl_i((v4 + lanes[3] * p2) & _M64, 31) * p1) & _M64
+            pos += 32
+        h = (_rotl_i(v1, 1) + _rotl_i(v2, 7) + _rotl_i(v3, 12)
+             + _rotl_i(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ (_rotl_i((v * p2) & _M64, 31) * p1) & _M64) * p1
+                 + p4) & _M64
+    else:
+        h = (seed + p5) & _M64
+    h = (h + n) & _M64
+    while pos + 8 <= n:
+        k = int.from_bytes(data[pos : pos + 8], "little")
+        h ^= (_rotl_i((k * p2) & _M64, 31) * p1) & _M64
+        h = (_rotl_i(h, 27) * p1 + p4) & _M64
+        pos += 8
+    if pos + 4 <= n:
+        k = int.from_bytes(data[pos : pos + 4], "little")
+        h ^= (k * p1) & _M64
+        h = (_rotl_i(h, 23) * p2 + p3) & _M64
+        pos += 4
+    while pos < n:
+        h ^= (data[pos] * p5) & _M64
+        h = (_rotl_i(h, 11) * p1) & _M64
+        pos += 1
+    h ^= h >> 33
+    h = (h * p2) & _M64
+    h ^= h >> 29
+    h = (h * p3) & _M64
+    h ^= h >> 32
+    return h
+
+
 def optimal_num_bytes(ndv: int, fpp: float = 0.01) -> int:
     """optimalNumOfBits (BlockSplitBloomFilter.java) rounded up to a
     power-of-two byte count in [32, 128 MiB]."""
