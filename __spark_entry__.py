@@ -1454,6 +1454,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             scan, "doc_id long, lang string, n_chars long"
         )
 
+    def own_filtered_scan(spark, sf_dir):
+        """r6: the full write→filtered-read loop on OUR OWN files — each
+        partition writes a sorted multi-row-group file with OUR writer
+        (chunk Statistics + multi-page chunks + ColumnIndex/OffsetIndex,
+        the ParquetFileWriter + ColumnIndexBuilder/OffsetIndexBuilder
+        analogs), then OUR filtered reader prunes row groups (L1 stats)
+        and pages (L4 page index) of those files, asserting both
+        actually skipped. DuckDB reads the same self-written files as a
+        live external check inside each task; the result is hash-oracled
+        against the documents view. Page geometry is row-count-relative
+        (rows//6 per group, 16-row pages) so the pruning contract is
+        scale-invariant (the sf1-gate lesson from external_filtered_scan)."""
+        import os as _os
+        import tempfile as _tmp
+        import uuid as _uuid_mod
+
+        src = _read(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        mx = src.agg(F.max("doc_id")).collect()[0][0]
+        lo, hi = int(0.55 * mx), int(0.60 * mx)
+        out_dir = _tmp.mkdtemp(prefix="pq_own_filt_")
+
+        def write_part(batches):
+            import numpy as _np
+
+            from pq_engine.interop.parquet_writer import write_parquet
+            from pq_engine.kernels.ragged import RaggedBytes
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pdf = pdf.sort_values("doc_id")
+                langs = [s.encode() for s in pdf["lang"]]
+                offs = _np.zeros(len(langs) + 1, _np.int64)
+                for i, s in enumerate(langs):
+                    offs[i + 1] = offs[i] + len(s)
+                path = _os.path.join(
+                    out_dir, f"part-{_uuid_mod.uuid4().hex}.parquet")
+                write_parquet(path, [
+                    {"name": "doc_id", "ptype": "int64", "codec": "delta",
+                     "values": pdf["doc_id"].to_numpy(_np.int64)},
+                    {"name": "lang", "ptype": "string", "codec": "dict",
+                     "values": RaggedBytes(
+                         offs, _np.frombuffer(b"".join(langs), _np.uint8))},
+                    {"name": "n_chars", "ptype": "int64", "codec": "plain",
+                     "values": pdf["n_chars"].to_numpy(_np.int64)},
+                ], len(pdf), compression="zstd",
+                    row_group_size=max(64, len(pdf) // 6),
+                    data_page_rows=16, bloom_columns=["lang"])
+                yield pandas.DataFrame({"path": [path]})
+
+        files = src.repartition(2).mapInPandas(write_part, "path string")
+
+        def scan(batches):
+            import duckdb as _dd
+
+            from pq_engine.interop.parquet_reader import (
+                read_parquet_filtered_pandas,
+            )
+
+            pred = ("and", ("ge", "doc_id", lo), ("lt", "doc_id", hi))
+            for pdf in batches:
+                for p in pdf["path"]:
+                    df, rep = read_parquet_filtered_pandas(p, pred)
+                    if rep["row_groups_total"] >= 4:
+                        assert (rep["row_groups_scanned"]
+                                < rep["row_groups_total"]), rep
+                    if rep["pages_total"] >= 12:
+                        assert rep["pages_scanned"] < rep["pages_total"], rep
+                    # external cross-check: DuckDB filters OUR file (it
+                    # sees our chunk Statistics + column_orders) and must
+                    # return the same band
+                    n_dd = _dd.sql(
+                        f"SELECT count(*) FROM read_parquet('{p}') WHERE "
+                        f"doc_id >= {lo} AND doc_id < {hi}").fetchone()[0]
+                    assert n_dd == len(df), (n_dd, len(df))
+                    yield df
+        return files.repartition(4).mapInPandas(
+            scan, "doc_id long, lang string, n_chars long"
+        )
+
     def encrypted_parquet_interop(spark, sf_dir):
         """r6: parquet MODULAR ENCRYPTION (Encryption.md; parquet-hadoop
         crypto/ AesGcmEncryptor + ModuleCipherFactory analog) — each
@@ -1959,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": tok_count,
         "media_metadata": media_meta,
         "external_filtered_scan": external_filtered_scan,  # new in r6
+        "own_filtered_scan": own_filtered_scan,  # new in r6
         "encrypted_parquet_interop": encrypted_parquet_interop,  # new in r6
         "external_struct_map_rt": external_struct_map_rt,  # new in r6
         "streaming_table_sink": streaming_table_sink,  # new in r6
@@ -2059,6 +2142,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id >= (SELECT CAST(FLOOR(0.30 * MAX(doc_id)) AS BIGINT)
                              FROM documents)
               AND doc_id <  (SELECT CAST(FLOOR(0.35 * MAX(doc_id)) AS BIGINT)
+                             FROM documents)
+        """,
+        "own_filtered_scan": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id >= (SELECT CAST(FLOOR(0.55 * MAX(doc_id)) AS BIGINT)
+                             FROM documents)
+              AND doc_id <  (SELECT CAST(FLOOR(0.60 * MAX(doc_id)) AS BIGINT)
                              FROM documents)
         """,
         "external_struct_map_rt": """

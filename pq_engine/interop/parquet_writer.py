@@ -216,13 +216,40 @@ def _slice_flat_col(col: dict, r0: int, r1: int, n_rows: int) -> dict:
     return out
 
 
+def _minmax_bytes(ptype: str, vals):
+    """(min, max) of a non-empty value slice in the spec's plain
+    little-endian (numerics) / raw-bytes (UTF8: unsigned lexicographic)
+    serialized form — the TypeDefinedOrder bytes both chunk Statistics and
+    the ColumnIndex carry. None for types whose ordering needs signed FLBA
+    interpretation (decimal/int96, bool — declared scope) and for all-NaN
+    float slices (spec: NaN is ignored for stats)."""
+    if ptype in ("string", "binary"):
+        data = vals.data.tobytes()
+        offs = vals.offsets
+        nvals = len(offs) - 1
+        mn = mx = data[offs[0]:offs[1]]
+        for i in range(1, nvals):
+            s = data[offs[i]:offs[i + 1]]
+            if s < mn:
+                mn = s
+            elif s > mx:
+                mx = s
+        return mn, mx
+    if ptype in ("int32", "int64", "float32", "float64", "date32"):
+        a = np.asarray(vals)
+        if a.dtype.kind == "f":
+            ok = ~np.isnan(a)
+            if not ok.any():
+                return None
+            a = a[ok]
+        return a.min().tobytes(), a.max().tobytes()
+    return None
+
+
 def _chunk_statistics(ptype: str, vals, validity, n_rows: int):
     """ColumnMetaData.statistics (field 12): null_count + min_value/
-    max_value in the spec's plain little-endian (numerics) / raw-bytes
-    (UTF8: unsigned lexicographic) form — what the filtered reader's
-    row-group pruning (L1) compares against. Skipped for types whose
-    ordering needs signed FLBA interpretation (decimal/int96) and for
-    all-null/empty chunks."""
+    max_value — what the filtered reader's row-group pruning (L1)
+    compares against. min/max skipped when _minmax_bytes declines."""
     nulls = n_rows - (len(vals) if not hasattr(vals, "offsets")
                       else len(vals.offsets) - 1)
     if validity is not None:
@@ -231,35 +258,18 @@ def _chunk_statistics(ptype: str, vals, validity, n_rows: int):
     nvals = len(vals.offsets) - 1 if isinstance(vals, RaggedBytes) else len(vals)
     if nvals == 0:
         return st
-    if ptype in ("string", "binary"):
-        data = vals.data.tobytes()
-        offs = vals.offsets
-        mn = mx = data[offs[0]:offs[1]]
-        for i in range(1, nvals):
-            s = data[offs[i]:offs[i + 1]]
-            if s < mn:
-                mn = s
-            elif s > mx:
-                mx = s
-    elif ptype in ("int32", "int64", "float32", "float64", "date32"):
-        a = np.asarray(vals)
-        if a.dtype.kind == "f":
-            ok = ~np.isnan(a)
-            if not ok.any():
-                return st  # all-NaN: no comparable stats (spec: ignore NaN)
-            a = a[ok]
-        mn = a.min().tobytes()
-        mx = a.max().tobytes()
-    else:
-        return st  # bool/FLBA/int96 family: stats omitted (declared scope)
-    return st.binary(5, mx).binary(6, mn)
+    mm = _minmax_bytes(ptype, vals)
+    if mm is None:
+        return st
+    return st.binary(5, mm[1]).binary(6, mm[0])
 
 
 def write_parquet(path: str, columns: list[dict], n_rows: int,
                   compression: str | None = None,
                   page_version: int = 1,
                   row_group_size: int | None = None,
-                  bloom_columns: list[str] | None = None) -> None:
+                  bloom_columns: list[str] | None = None,
+                  data_page_rows: int | None = None) -> None:
     """columns: [{name, ptype, codec, values (np array | RaggedBytes),
     validity (bool array | None)}]. ``compression``
     applies the parquet page codec (snappy/gzip/zstd) to every page body,
@@ -282,7 +292,14 @@ def write_parquet(path: str, columns: list[dict], n_rows: int,
     split/pruning unit at scale (ParquetFileWriter.startBlock analog) —
     for FLAT columns (nested groups raise: declared scope). Every flat
     chunk carries Statistics (min/max/null_count), so our own files feed
-    the filtered reader's row-group pruning with no external writer."""
+    the filtered reader's row-group pruning with no external writer.
+
+    ``data_page_rows`` (r6) splits each flat chunk into multiple data
+    pages of that many rows AND emits the page index — ColumnIndex +
+    OffsetIndex structs after the row-group data, ColumnChunk fields 4-7
+    (ColumnIndexBuilder/OffsetIndexBuilder analog) — so our own files
+    feed the filtered reader's page-level pruning (L4) too. Nested
+    columns stay single-page (declared scope: no page index there)."""
     out = bytearray(MAGIC)
     if row_group_size and row_group_size > 0 and n_rows > 0:
         bands = [(i, min(i + row_group_size, n_rows))
@@ -290,6 +307,7 @@ def write_parquet(path: str, columns: list[dict], n_rows: int,
     else:
         bands = [(0, n_rows)]
     row_groups = []
+    pageidx: list[dict] = []
     for r0, r1 in bands:
         chunks = []
         for col in columns:
@@ -324,9 +342,16 @@ def write_parquet(path: str, columns: list[dict], n_rows: int,
             if bloom_columns and name in bloom_columns:
                 band = dict(band)
                 band["bloom"] = True
-            chunks.append(_write_flat_chunk(
-                out, band, r1 - r0, compression, page_version))
+            if data_page_rows and data_page_rows > 0 and r1 > r0:
+                chunks.append(_write_flat_chunk_paged(
+                    out, band, r1 - r0, compression, page_version,
+                    data_page_rows, pageidx))
+            else:
+                chunks.append(_write_flat_chunk(
+                    out, band, r1 - r0, compression, page_version))
         row_groups.append((chunks, r1 - r0))
+    if pageidx:
+        _emit_page_index(out, pageidx)
     _finish_file(path, out, columns, n_rows, row_groups)
 
 
@@ -396,33 +421,19 @@ def _write_flat_chunk(out: bytearray, col: dict, n_rows: int,
         (len(dlv) + len(body)) if page_version == 2 else len(page_body)
     ) + (len(dict_bytes) if dict_info else 0)
     pages_size = len(out) - chunk_start  # pages only: blooms live after
+    return _flat_cc(out, chunk_start, col, n_rows, compression, encodings,
+                    raw_total, pages_size, data_off, dict_off)
 
-    # split-block bloom filter (r6): BloomFilterHeader thrift + bitset,
-    # placed after the chunk's pages, referenced by ColumnMetaData
-    # fields 14/15 (BloomFilterReader / ParquetFileWriter.addBloomFilter
-    # analog). Values hashed over their PLAIN encodings with XxHash64.
-    bloom_off = bloom_len = None
-    if col.get("bloom"):
-        hashes = _bloom_hashes_for(ptype, vals)
-        if hashes is not None and len(hashes):
-            from ..kernels import bloom as bloomk
 
-            bf = bloomk.BlockSplitBloomFilter(
-                bloomk.optimal_num_bytes(len(hashes)))
-            bf.insert_hashes(np.asarray(hashes, dtype=np.uint64))
-            bits = bf.serialize()
-            hdr = (
-                StructWriter()
-                .i32(1, len(bits))  # numBytes (bitset only)
-                .struct(2, StructWriter().struct(1, StructWriter()))  # BLOCK
-                .struct(3, StructWriter().struct(1, StructWriter()))  # XXHASH
-                .struct(4, StructWriter().struct(1, StructWriter()))  # UNCOMP
-                .finish()
-            )
-            bloom_off = len(out)
-            bloom_len = len(hdr) + len(bits)
-            out += hdr
-            out += bits
+def _flat_cc(out: bytearray, chunk_start: int, col: dict, n_rows: int,
+             compression: str | None, encodings: list[int], raw_total: int,
+             pages_size: int, data_off: int, dict_off: int | None):
+    """ColumnChunk + ColumnMetaData for an already-written flat chunk
+    (optionally appending its bloom filter first). Returns (cc writer,
+    chunk byte size)."""
+    name, ptype = col["name"], col["ptype"]
+    vals, validity = col["values"], col.get("validity")
+    bloom_off, bloom_len = _append_bloom(out, col, ptype, vals)
     meta = (
         StructWriter()
         .i32(1, _physical(ptype)[0])
@@ -441,6 +452,197 @@ def _write_flat_chunk(out: bytearray, col: dict, n_rows: int,
         meta.i64(14, bloom_off).i32(15, bloom_len)
     cc = StructWriter().i64(2, chunk_start).struct(3, meta)
     return cc, len(out) - chunk_start
+
+
+def _write_flat_chunk_paged(out: bytearray, col: dict, n_rows: int,
+                            compression: str | None, page_version: int,
+                            page_rows: int, index_out: list):
+    """Flat chunk as MULTIPLE data pages of ``page_rows`` rows each, with
+    per-page ColumnIndex/OffsetIndex entries collected into ``index_out``
+    — the ColumnIndexBuilder/OffsetIndexBuilder analog (parquet-column
+    .../columnindex/ColumnIndexBuilder.java add(), OffsetIndexBuilder).
+    A dict chunk factorizes ONCE (one dict page shared by every data page,
+    parquet-mr semantics); every other codec encodes each page
+    independently — pages are the format's self-contained re-sync unit."""
+    name, ptype, codec = col["name"], col["ptype"], col.get("codec")
+    vals, validity = col["values"], col.get("validity")
+    chunk_start = len(out)
+    encodings = [ENC_RLE]
+    dict_off = None
+    raw_total = 0
+    shared = None  # (codes over chunk non-null values, max dict id)
+    if codec == "dict":
+        if isinstance(vals, RaggedBytes):
+            codes, uniques = dictionary.factorize_bytes(vals)
+            dict_bytes = plain.encode_plain_bytes(uniques)
+        else:
+            codes, uniques = dictionary.factorize_numeric(vals)
+            dict_bytes = plain.encode_plain_numeric(uniques)
+        dict_off = len(out)
+        comp = _compress_body(dict_bytes, compression)
+        out += _page_header(PAGE_DICT, len(uniques), ENC_PLAIN,
+                            len(dict_bytes), len(comp))
+        out += comp
+        encodings.append(ENC_PLAIN)
+        raw_total += len(dict_bytes)
+        shared = (codes, max(len(uniques) - 1, 0))
+    data_off = len(out)
+    locs, null_pages, mins, maxs, null_counts = [], [], [], [], []
+    stats_ok = True
+    enc = ENC_PLAIN
+    vstart = 0  # non-null value cursor (dict codes alignment)
+    for r0 in range(0, n_rows, page_rows):
+        r1 = min(r0 + page_rows, n_rows)
+        page = _slice_flat_col(col, r0, r1, n_rows)
+        pv, pval = page["values"], page.get("validity")
+        nv = len(pv.offsets) - 1 if isinstance(pv, RaggedBytes) else len(pv)
+        if shared is not None:
+            body = dictionary.encode_dict_data_page(
+                shared[0][vstart:vstart + nv], shared[1])
+            enc = ENC_PLAIN_DICT
+        elif codec == "dlba":
+            enc, body = ENC_DLBA, _parquet_dlba(pv)
+        elif codec == "dba":
+            enc, body = ENC_DBA, _parquet_dba(pv)
+        else:
+            enc, body, _di = _encode_values(ptype, codec, pv)
+        vstart += nv
+        page_off = len(out)
+        if page_version == 2:
+            if pval is not None:
+                v = np.asarray(pval)
+                dlv = rle.encode_hybrid(v.astype(np.uint64), 1)
+                n_nulls = int((~v).sum())
+            else:
+                dlv, n_nulls = b"", 0
+            comp_vals = _compress_body(body, compression)
+            out += _page_header_v2(
+                r1 - r0, n_nulls, enc, len(dlv), len(body), len(comp_vals),
+                compression not in (None, "none"))
+            out += dlv
+            out += comp_vals
+            raw_total += len(dlv) + len(body)
+        else:
+            levels = (rle.encode_hybrid_length_prefixed(
+                np.asarray(pval).astype(np.uint64), 1)
+                if pval is not None else b"")
+            page_body = levels + body
+            comp_body = _compress_body(page_body, compression)
+            out += _page_header(PAGE_DATA, r1 - r0, enc,
+                                len(page_body), len(comp_body))
+            out += comp_body
+            raw_total += len(page_body)
+        # PageLocation: offset, size incl. header, first_row_index (rg-rel.)
+        locs.append((page_off, len(out) - page_off, r0))
+        null_counts.append((r1 - r0) - nv)
+        null_pages.append(nv == 0)
+        mm = _minmax_bytes(ptype, pv) if nv else None
+        if nv and mm is None:
+            stats_ok = False  # type without comparable stats: no ColumnIndex
+        mins.append(mm[0] if mm else b"")
+        maxs.append(mm[1] if mm else b"")
+    encodings.append(enc)
+    pages_size = len(out) - chunk_start
+    cc, size = _flat_cc(out, chunk_start, col, n_rows, compression,
+                        encodings, raw_total, pages_size, data_off, dict_off)
+    index_out.append({
+        "cc": cc, "locs": locs, "null_pages": null_pages, "mins": mins,
+        "maxs": maxs, "null_counts": null_counts, "ptype": ptype,
+        "stats_ok": stats_ok and not all(null_pages),
+    })
+    return cc, size
+
+
+_STAT_DTYPE = {"int32": "<i4", "date32": "<i4", "int64": "<i8",
+               "float32": "<f4", "float64": "<f8"}
+
+
+def _boundary_order(e: dict):
+    """BoundaryOrder over the non-null pages' typed min/max (0 UNORDERED,
+    1 ASCENDING, 2 DESCENDING) — ColumnIndexBuilder.calculateBoundaryOrder
+    analog. Readers may binary-search sorted indexes; claiming order
+    wrongly would corrupt their results, so compare in TYPE space, not
+    serialized-byte space (LE numeric bytes don't sort)."""
+    pt = e["ptype"]
+
+    def t(b):
+        return b if pt in ("string", "binary") else \
+            np.frombuffer(b, dtype=_STAT_DTYPE[pt])[0]
+
+    idx = [i for i, is_null in enumerate(e["null_pages"]) if not is_null]
+    mins = [t(e["mins"][i]) for i in idx]
+    maxs = [t(e["maxs"][i]) for i in idx]
+    pairs = list(range(len(idx) - 1))
+    if all(mins[i] <= mins[i + 1] for i in pairs) and \
+            all(maxs[i] <= maxs[i + 1] for i in pairs):
+        return 1
+    if all(mins[i] >= mins[i + 1] for i in pairs) and \
+            all(maxs[i] >= maxs[i + 1] for i in pairs):
+        return 2
+    return 0
+
+
+def _emit_page_index(out: bytearray, entries: list[dict]) -> None:
+    """Page-index region after the last row group's data: every ColumnIndex,
+    then every OffsetIndex (parquet-mr ParquetFileWriter.serializeColumn-
+    Indexes/serializeOffsetIndexes order), ColumnChunk fields 4-7 pointing
+    at them. Chunks whose type has no comparable stats get an OffsetIndex
+    only (parquet-mr omits their ColumnIndex the same way)."""
+    for e in entries:
+        if not e["stats_ok"]:
+            e["ci_span"] = None
+            continue
+        ci = (
+            StructWriter()
+            .list_bool(1, e["null_pages"])
+            .list_binary(2, e["mins"])
+            .list_binary(3, e["maxs"])
+            .i32(4, _boundary_order(e))
+            .list_i64(5, e["null_counts"])
+            .finish()
+        )
+        e["ci_span"] = (len(out), len(ci))
+        out += ci
+    for e in entries:
+        oi = StructWriter().list_struct(1, [
+            StructWriter().i64(1, off).i32(2, sz).i64(3, first)
+            for off, sz, first in e["locs"]
+        ]).finish()
+        oi_off = len(out)
+        out += oi
+        cc = e["cc"]
+        cc.i64(4, oi_off).i32(5, len(oi))
+        if e["ci_span"] is not None:
+            cc.i64(6, e["ci_span"][0]).i32(7, e["ci_span"][1])
+
+
+def _append_bloom(out: bytearray, col: dict, ptype: str, vals):
+    """Split-block bloom filter (r6): BloomFilterHeader thrift + bitset,
+    placed after the chunk's pages, referenced by ColumnMetaData fields
+    14/15 (BloomFilterReader / ParquetFileWriter.addBloomFilter analog).
+    Values hashed over their PLAIN encodings with XxHash64."""
+    if not col.get("bloom"):
+        return None, None
+    hashes = _bloom_hashes_for(ptype, vals)
+    if hashes is None or not len(hashes):
+        return None, None
+    from ..kernels import bloom as bloomk
+
+    bf = bloomk.BlockSplitBloomFilter(bloomk.optimal_num_bytes(len(hashes)))
+    bf.insert_hashes(np.asarray(hashes, dtype=np.uint64))
+    bits = bf.serialize()
+    hdr = (
+        StructWriter()
+        .i32(1, len(bits))  # numBytes (bitset only)
+        .struct(2, StructWriter().struct(1, StructWriter()))  # BLOCK
+        .struct(3, StructWriter().struct(1, StructWriter()))  # XXHASH
+        .struct(4, StructWriter().struct(1, StructWriter()))  # UNCOMP
+        .finish()
+    )
+    bloom_off = len(out)
+    out += hdr
+    out += bits
+    return bloom_off, len(hdr) + len(bits)
 
 
 def _bloom_hashes_for(ptype, vals):

@@ -111,6 +111,27 @@ class StructWriter:
             self.buf += e
         return self
 
+    def list_bool(self, fid: int, values: list[bool]) -> "StructWriter":
+        # list<bool>: one byte per element, 1 = true / 2 = false (the
+        # compact-protocol list-element form, unlike field-header bools)
+        self._list_header(fid, CT_BOOL_TRUE, len(values))
+        for v in values:
+            self.buf.append(1 if v else 2)
+        return self
+
+    def list_i64(self, fid: int, values: list[int]) -> "StructWriter":
+        self._list_header(fid, CT_I64, len(values))
+        for v in values:
+            self.buf += _uvarint(_zigzag(v, 64))
+        return self
+
+    def list_binary(self, fid: int, values: list[bytes]) -> "StructWriter":
+        self._list_header(fid, CT_BINARY, len(values))
+        for v in values:
+            self.buf += _uvarint(len(v))
+            self.buf += v
+        return self
+
     def list_struct(self, fid: int, items: list["StructWriter"]) -> "StructWriter":
         self._list_header(fid, CT_STRUCT, len(items))
         for it in items:

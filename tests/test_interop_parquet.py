@@ -616,3 +616,112 @@ def test_xxhash64_public_vectors():
     for v in (0, 1, 2**63 + 12345, 0xDEADBEEFCAFEBABE):
         assert xxhash64_bytes(v.to_bytes(8, "little")) == int(
             xxhash64_u64(np.array([v], dtype=np.uint64))[0])
+
+
+def _ragged(strings):
+    offs = np.zeros(len(strings) + 1, np.int64)
+    for i, s in enumerate(strings):
+        offs[i + 1] = offs[i] + len(s)
+    return RaggedBytes(offs, np.frombuffer(b"".join(strings), np.uint8))
+
+
+def test_page_index_write_and_prune(tmp_path):
+    """r6: data_page_rows splits flat chunks into multiple data pages and
+    emits ColumnIndex + OffsetIndex (ColumnIndexBuilder/OffsetIndexBuilder
+    analog); OUR filtered reader page-prunes OUR OWN files (L4), nulls and
+    the shared dict page survive page slicing, and pyarrow/DuckDB still
+    read the file (the index sits between data and footer, where
+    parquet-mr puts it)."""
+    import duckdb
+    import pyarrow.parquet as papq
+
+    from pq_engine.interop.parquet_reader import (
+        read_parquet_filtered_pandas,
+        read_parquet_pandas,
+    )
+
+    n = 4000
+    ids = np.arange(n, dtype=np.int64)
+    validity = (np.arange(n) % 11) != 0
+    vals = (np.arange(n) % 97).astype(np.float64)
+    tags = [f"t{i // 100:03d}".encode() for i in range(n)]
+    path = str(tmp_path / "paged.parquet")
+    write_parquet(path, [
+        {"name": "id", "ptype": "int64", "codec": "plain", "values": ids},
+        {"name": "v", "ptype": "float64", "codec": "plain",
+         "values": vals[validity], "validity": validity},
+        {"name": "tag", "ptype": "string", "codec": "dict",
+         "values": _ragged(tags)},
+    ], n, row_group_size=1000, data_page_rows=100, compression="snappy")
+
+    df, rep = read_parquet_filtered_pandas(
+        path, ("and", ("ge", "id", 2500), ("lt", "id", 2600)))
+    assert list(df["id"]) == list(range(2500, 2600))
+    assert rep["row_groups_scanned"] == 1 and rep["row_groups_total"] == 4
+    # 3 columns x 10 pages in the surviving group; 1 page each survives
+    assert rep["pages_total"] == 30 and rep["pages_scanned"] == 3
+    # nullable column decodes correctly from the pruned pages
+    exp = [None if i % 11 == 0 else float(i % 97) for i in range(2500, 2600)]
+    got = [None if v != v else v for v in df["v"]]
+    assert got == [None if e is None else e for e in exp]
+    assert set(df["tag"]) == {"t025"}
+
+    # string-eq on the dict column prunes pages through the ColumnIndex too
+    df2, rep2 = read_parquet_filtered_pandas(path, ("eq", "tag", "t031"))
+    assert len(df2) == 100 and set(df2["tag"]) == {"t031"}
+    assert rep2["row_groups_scanned"] == 1 and rep2["pages_scanned"] == 3
+
+    # full unfiltered read and the externals agree
+    assert len(read_parquet_pandas(path)) == n
+    assert papq.read_table(path).num_rows == n
+    cnt, sm = duckdb.sql(
+        f"SELECT count(*), sum(id) FROM read_parquet('{path}')").fetchone()
+    assert cnt == n and sm == int(ids.sum())
+    # duckdb sees the same filtered rows our reader decoded
+    dd = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{path}') "
+        "WHERE id >= 2500 AND id < 2600").fetchone()[0]
+    assert dd == len(df)
+
+
+def test_page_index_v2_null_pages_and_boundary_order(tmp_path):
+    """V2 pages get the same index; an all-null page is marked null_pages
+    and never matches; a DESCENDING column still prunes (the reader uses
+    per-page min/max, boundary order is advisory)."""
+    from pq_engine.interop.parquet_reader import read_parquet_filtered_pandas
+    from pq_engine.interop.parquet_writer import _boundary_order
+
+    n = 900
+    desc = np.arange(n, 0, -1).astype(np.int64)
+    validity = np.ones(n, dtype=bool)
+    validity[300:600] = False  # middle page of 3 is ALL null
+    path = str(tmp_path / "v2paged.parquet")
+    write_parquet(path, [
+        {"name": "d", "ptype": "int64", "codec": "delta", "values": desc},
+        {"name": "x", "ptype": "int64", "codec": "plain",
+         "values": np.arange(n, dtype=np.int64)[validity],
+         "validity": validity},
+    ], n, data_page_rows=300, page_version=2)
+
+    df, rep = read_parquet_filtered_pandas(path, ("lt", "d", 200))
+    assert list(df["d"]) == list(range(199, 0, -1))
+    assert rep["pages_scanned"] == 2  # last d-page + matching x-page
+
+    # eq inside the all-null page's row span: null page can't match
+    df2, rep2 = read_parquet_filtered_pandas(path, ("eq", "x", 450))
+    assert len(df2) == 0 and rep2["pages_scanned"] == 0
+
+    assert _boundary_order({
+        "ptype": "int64", "null_pages": [False, False],
+        "mins": [np.int64(601).tobytes(), np.int64(1).tobytes()],
+        "maxs": [np.int64(900).tobytes(), np.int64(600).tobytes()],
+    }) == 2
+    assert _boundary_order({
+        "ptype": "string", "null_pages": [False, False, False],
+        "mins": [b"a", b"c", b"b"], "maxs": [b"a", b"c", b"b"],
+    }) == 0
+    assert _boundary_order({
+        "ptype": "int32", "null_pages": [False, True, False],
+        "mins": [np.int32(1).tobytes(), b"", np.int32(5).tobytes()],
+        "maxs": [np.int32(4).tobytes(), b"", np.int32(9).tobytes()],
+    }) == 1
