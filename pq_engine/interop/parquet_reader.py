@@ -180,6 +180,7 @@ def read_footer(buf: bytes) -> dict:
                 "data_off": md[9],
                 "dict_off": md.get(11),
                 "stats": md.get(12),  # Statistics struct (thrift field ids)
+                "encstats": md.get(13),  # PageEncodingStats list
                 "bloom": (md.get(14), md.get(15)),  # bloom filter off/len
                 "offidx": (cc.get(4), cc.get(5)),   # OffsetIndex off/len
                 "colidx": (cc.get(6), cc.get(7)),   # ColumnIndex off/len
@@ -910,6 +911,63 @@ def _rg_can_match(pred, rg, by_name):
     return _range_can_match(op, _coerce(val, leaf), mn, mx)
 
 
+_DICT_ENCODINGS = (2, 8)   # PLAIN_DICTIONARY / RLE_DICTIONARY
+_DATA_PAGE_TYPES = (0, 3)  # DATA_PAGE / DATA_PAGE_V2
+
+
+def _all_pages_dict(chunk):
+    """True iff the chunk's encoding_stats PROVE every data page is
+    dictionary-encoded — DictionaryFilter.hasNonDictionaryPages analog
+    (parquet-hadoop .../dictionarylevel/DictionaryFilter.java:72-95).
+    Without encoding_stats the answer is unknowable (a chunk that fell
+    back from dict to PLAIN mid-write lists both encodings in field 2),
+    so: not provable, no pruning."""
+    es = chunk.get("encstats")
+    if not es:
+        return False
+    saw_data = False
+    for pes in es:
+        if pes.get(1) in _DATA_PAGE_TYPES:
+            saw_data = True
+            if pes.get(2) not in _DICT_ENCODINGS:
+                return False
+    return saw_data
+
+
+def _rg_dict_can_match(pred, rg, by_name, buf, report):
+    """L2: decode ONLY the dictionary page of a provably-all-dict chunk and
+    evaluate the comparison over the dictionary's value set — the
+    DictionaryFilter canDrop analog. Null rows never satisfy a comparison,
+    so membership over the dictionary alone is decisive for eq/lt/le/gt/ge;
+     'ne' would additionally need null counts (conservative True here)."""
+    if pred[0] == "and":
+        return (_rg_dict_can_match(pred[1], rg, by_name, buf, report)
+                and _rg_dict_can_match(pred[2], rg, by_name, buf, report))
+    if pred[0] == "or":
+        return (_rg_dict_can_match(pred[1], rg, by_name, buf, report)
+                or _rg_dict_can_match(pred[2], rg, by_name, buf, report))
+    op, name, val = pred
+    if op == "ne":
+        return True
+    chunk = _find_chunk(rg, [name])
+    if chunk["dict_off"] is None or not _all_pages_dict(chunk):
+        return True
+    leaf = by_name[name]
+    hdr, body_pos = read_struct(buf, chunk["dict_off"])
+    if hdr[1] != PAGE_DICT:
+        return True
+    body = buf[body_pos : body_pos + hdr[3]]
+    dvals = _decode_dict_page(hdr, body, chunk, leaf["physical"],
+                              leaf["type_length"])
+    if getattr(dvals, "ndim", 1) == 2:
+        return True  # FLBA dictionary: comparison unsupported here
+    report["dicts_probed"] = report.get("dicts_probed", 0) + 1
+    val = _coerce(val, leaf)
+    if isinstance(dvals, RaggedBytes):
+        return bool(_cmp_ragged(op, dvals, val).any())
+    return bool(_cmp_numeric(op, dvals, val).any())
+
+
 def _bloom_hash_literal(leaf, val):
     """XxHash64 of the predicate literal's PLAIN encoding, or None when the
     column's type has no bloom support here."""
@@ -1194,6 +1252,10 @@ def read_parquet_filtered(path_or_buf, predicate,
         nrows = rg["num_rows"]
         if not _rg_can_match(predicate, rg, by_name):
             continue  # L1: whole row group skipped — nothing decoded
+        if not _rg_dict_can_match(predicate, rg, by_name, buf, report):
+            report["row_groups_dict_pruned"] = (
+                report.get("row_groups_dict_pruned", 0) + 1)
+            continue  # L2: dictionary disproves the comparison
         if not _rg_bloom_can_match(predicate, rg, by_name, buf, report):
             report["row_groups_bloom_pruned"] = (
                 report.get("row_groups_bloom_pruned", 0) + 1)

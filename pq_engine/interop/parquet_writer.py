@@ -421,16 +421,22 @@ def _write_flat_chunk(out: bytearray, col: dict, n_rows: int,
         (len(dlv) + len(body)) if page_version == 2 else len(page_body)
     ) + (len(dict_bytes) if dict_info else 0)
     pages_size = len(out) - chunk_start  # pages only: blooms live after
+    data_pt = PAGE_DATA_V2 if page_version == 2 else PAGE_DATA
+    enc_stats = ([(PAGE_DICT, ENC_PLAIN, 1)] if dict_info else []) \
+        + [(data_pt, enc, 1)]
     return _flat_cc(out, chunk_start, col, n_rows, compression, encodings,
-                    raw_total, pages_size, data_off, dict_off)
+                    raw_total, pages_size, data_off, dict_off, enc_stats)
 
 
 def _flat_cc(out: bytearray, chunk_start: int, col: dict, n_rows: int,
              compression: str | None, encodings: list[int], raw_total: int,
-             pages_size: int, data_off: int, dict_off: int | None):
+             pages_size: int, data_off: int, dict_off: int | None,
+             enc_stats: list[tuple[int, int, int]] | None = None):
     """ColumnChunk + ColumnMetaData for an already-written flat chunk
-    (optionally appending its bloom filter first). Returns (cc writer,
-    chunk byte size)."""
+    (optionally appending its bloom filter first). ``enc_stats`` is the
+    PageEncodingStats list [(page_type, encoding, count)] for field 13 —
+    what proves to a DictionaryFilter-style reader that every data page
+    is dict-encoded. Returns (cc writer, chunk byte size)."""
     name, ptype = col["name"], col["ptype"]
     vals, validity = col["values"], col.get("validity")
     bloom_off, bloom_len = _append_bloom(out, col, ptype, vals)
@@ -448,6 +454,11 @@ def _flat_cc(out: bytearray, chunk_start: int, col: dict, n_rows: int,
     if dict_off is not None:
         meta.i64(11, dict_off)
     meta.struct(12, _chunk_statistics(ptype, vals, validity, n_rows))
+    if enc_stats:
+        meta.list_struct(13, [
+            StructWriter().i32(1, pt).i32(2, enc).i32(3, cnt)
+            for pt, enc, cnt in enc_stats
+        ])
     if bloom_off is not None:
         meta.i64(14, bloom_off).i32(15, bloom_len)
     cc = StructWriter().i64(2, chunk_start).struct(3, meta)
@@ -543,8 +554,12 @@ def _write_flat_chunk_paged(out: bytearray, col: dict, n_rows: int,
         maxs.append(mm[1] if mm else b"")
     encodings.append(enc)
     pages_size = len(out) - chunk_start
+    data_pt = PAGE_DATA_V2 if page_version == 2 else PAGE_DATA
+    enc_stats = ([(PAGE_DICT, ENC_PLAIN, 1)] if dict_off is not None else []) \
+        + [(data_pt, enc, len(locs))]
     cc, size = _flat_cc(out, chunk_start, col, n_rows, compression,
-                        encodings, raw_total, pages_size, data_off, dict_off)
+                        encodings, raw_total, pages_size, data_off, dict_off,
+                        enc_stats)
     index_out.append({
         "cc": cc, "locs": locs, "null_pages": null_pages, "mins": mins,
         "maxs": maxs, "null_counts": null_counts, "ptype": ptype,
