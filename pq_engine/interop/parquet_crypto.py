@@ -73,6 +73,10 @@ MOD_DATA_PAGE = 2
 MOD_DICT_PAGE = 3
 MOD_DATA_PAGE_HEADER = 4
 MOD_DICT_PAGE_HEADER = 5
+MOD_COLUMN_INDEX = 6
+MOD_OFFSET_INDEX = 7
+MOD_BLOOM_HEADER = 8
+MOD_BLOOM_BITSET = 9
 
 NONCE_LEN = 12
 TAG_LEN = 16
@@ -277,17 +281,31 @@ def _chunk_span(meta: dict) -> tuple[int, int]:
 
 
 
-def _drop_page_index_fields(p):
-    """Stale auxiliary-structure pointers are not carried through the
-    module transform and must not survive into the output footer:
-    ColumnChunk offset_index_offset/length + column_index_offset/length
-    (fields 4-7; pyarrow-written inputs carry them) and ColumnMetaData
-    bloom_filter_offset/length (fields 14/15; our bloom_columns writer
-    emits them between chunks)."""
-    if len(p) == 5 and p[0] == 4 and p[2] == 1 and p[4] in (4, 5, 6, 7):
-        return True
-    return (len(p) == 6 and p[0] == 4 and p[2] == 1 and p[4] == 3
-            and p[5] in (14, 15))
+def _patch_offset_index(idx_bytes: bytes, page_map: dict) -> bytes:
+    """Rewrite an OffsetIndex's PageLocation offsets/sizes through
+    ``page_map`` (old data-page offset -> (new offset, new size)). The
+    OffsetIndex is the one auxiliary structure holding FILE positions, so
+    unlike the ColumnIndex it cannot be carried verbatim across the
+    module transform — parquet-mr rebuilds it against the encrypted
+    layout for the same reason (ParquetFileWriter.serializeOffsetIndexes).
+    Relies on PageLocation fields being written in field-id order (offset
+    before compressed_page_size), which every compliant writer does."""
+    state = {"cur": None}
+
+    def visit(path, v):
+        if len(path) == 3 and path[0] == 1:
+            if path[2] == 1:
+                state["cur"] = v
+                return page_map[v][0]
+            if path[2] == 2:
+                if state["cur"] is None:
+                    raise ValueError(
+                        "OffsetIndex PageLocation size before offset")
+                return page_map[state["cur"]][1]
+        return None
+
+    out, _ = _transcode(idx_bytes, 0, visit)
+    return out
 
 
 # --------------------------------------------------------- encrypt side
@@ -318,14 +336,21 @@ def encrypt_parquet(plain: bytes, footer_key: bytes,
     # (rg, col) -> {old offset -> new offset}; chunk order preserved
     new_offsets: dict[tuple[int, int], dict[int, int]] = {}
     sizes: dict[tuple[int, int], int] = {}
+    # auxiliary structures carried as their own modules (r6):
+    # blooms -> types 8/9, page index -> types 6/7
+    page_maps: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+    chunk_keys: dict[tuple[int, int], bytes] = {}
+    bloom_new: dict[tuple[int, int], tuple[int, int]] = {}
     for rg_i, rg in enumerate(row_groups):
         for col_i, cc in enumerate(rg.get(1, [])):
             meta = _chunk_meta(cc)
             path = ".".join(p.decode() for p in meta[3])
             key = column_keys.get(path, footer_key)
+            chunk_keys[(rg_i, col_i)] = key
             start, total = _chunk_span(meta)
             dict_off = meta.get(11)
             omap: dict[int, int] = {}
+            pmap: dict[int, tuple[int, int]] = {}
             chunk_start = len(out)
             page_ord = 0
             pos = start
@@ -343,14 +368,59 @@ def encrypt_parquet(plain: bytes, footer_key: bytes,
                 omap[pos] = len(out)
                 out += _encrypt_module(key, hdr_bytes, hmod)
                 out += _encrypt_module(key, body, bmod)
+                if not is_dict:
+                    pmap[pos] = (omap[pos], len(out) - omap[pos])
                 pos += len(hdr_bytes) + len(body)
             new_offsets[(rg_i, col_i)] = omap
+            page_maps[(rg_i, col_i)] = pmap
+            # pages only: bloom modules below are NOT part of
+            # total_compressed_size (mirrors the plaintext layout, and the
+            # decrypt walk spans exactly the page modules)
             sizes[(rg_i, col_i)] = len(out) - chunk_start
             # patched data/dict offsets must exist in the map
             if dict_off is not None and dict_off not in omap:
                 raise ValueError("dictionary_page_offset not on a page boundary")
             if meta[9] not in omap and dict_off is None:
                 raise ValueError("data_page_offset not on a page boundary")
+            boff = meta.get(14)
+            if boff is not None:
+                bhdr, hend = read_struct(plain, boff)
+                nbytes = bhdr[1]
+                new_boff = len(out)
+                out += _encrypt_module(
+                    key, plain[boff:hend],
+                    _module_aad(file_aad, MOD_BLOOM_HEADER, rg_i, col_i))
+                out += _encrypt_module(
+                    key, plain[hend:hend + nbytes],
+                    _module_aad(file_aad, MOD_BLOOM_BITSET, rg_i, col_i))
+                bloom_new[(rg_i, col_i)] = (new_boff, len(out) - new_boff)
+
+    # page index region: ColumnIndex carried verbatim, OffsetIndex
+    # rewritten against the encrypted module layout, each encrypted as its
+    # own module with the chunk's key (spec module types 6/7)
+    pageidx_new: dict[tuple[int, int], dict[str, tuple[int, int]]] = {}
+    for rg_i, rg in enumerate(row_groups):
+        for col_i, cc in enumerate(rg.get(1, [])):
+            entry: dict[str, tuple[int, int]] = {}
+            key = chunk_keys[(rg_i, col_i)]
+            ci_off, ci_len = cc.get(6), cc.get(7)
+            if ci_off is not None:
+                new_off = len(out)
+                out += _encrypt_module(
+                    key, plain[ci_off:ci_off + ci_len],
+                    _module_aad(file_aad, MOD_COLUMN_INDEX, rg_i, col_i))
+                entry["ci"] = (new_off, len(out) - new_off)
+            oi_off, oi_len = cc.get(4), cc.get(5)
+            if oi_off is not None:
+                patched_oi = _patch_offset_index(
+                    plain[oi_off:oi_off + oi_len], page_maps[(rg_i, col_i)])
+                new_off = len(out)
+                out += _encrypt_module(
+                    key, patched_oi,
+                    _module_aad(file_aad, MOD_OFFSET_INDEX, rg_i, col_i))
+                entry["oi"] = (new_off, len(out) - new_off)
+            if entry:
+                pageidx_new[(rg_i, col_i)] = entry
 
     def visit(path, v):
         # FileMetaData.row_groups = 4; RowGroup.columns = 1,
@@ -372,6 +442,18 @@ def encrypt_parquet(plain: bytes, footer_key: bytes,
             if v not in omap:
                 raise ValueError("page offset not on a module boundary")
             return omap[v]
+        if path[4:] == (4,):
+            return pageidx_new[keyc]["oi"][0]
+        if path[4:] == (5,):
+            return pageidx_new[keyc]["oi"][1]
+        if path[4:] == (6,):
+            return pageidx_new[keyc]["ci"][0]
+        if path[4:] == (7,):
+            return pageidx_new[keyc]["ci"][1]
+        if path[4:] == (3, 14):
+            return bloom_new[keyc][0]
+        if path[4:] == (3, 15):
+            return bloom_new[keyc][1]
         return None
 
     # spec mode: ColumnChunk.crypto_metadata (field 8) — union field 1
@@ -408,8 +490,7 @@ def encrypt_parquet(plain: bytes, footer_key: bytes,
         )
         return hdr + union.finish()
 
-    patched, _ = _transcode(plain, fstart, visit, struct_end=struct_end,
-                            drop=_drop_page_index_fields)
+    patched, _ = _transcode(plain, fstart, visit, struct_end=struct_end)
 
     footer_mod = _encrypt_module(
         footer_key, patched, _module_aad(file_aad, MOD_FOOTER))
@@ -474,6 +555,9 @@ def decrypt_parquet(buf: bytes, footer_key: bytes,
     out = bytearray(MAGIC)
     new_offsets: dict[tuple[int, int], dict[int, int]] = {}
     sizes: dict[tuple[int, int], int] = {}
+    page_maps: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+    chunk_keys: dict[tuple[int, int], bytes] = {}
+    bloom_new: dict[tuple[int, int], tuple[int, int]] = {}
     for rg_i, rg in enumerate(row_groups):
         for col_i, cc in enumerate(rg.get(1, [])):
             meta = _chunk_meta(cc)
@@ -487,9 +571,11 @@ def decrypt_parquet(buf: bytes, footer_key: bytes,
                 key = column_keys[path]
             else:
                 key = column_keys.get(path, footer_key)
+            chunk_keys[(rg_i, col_i)] = key
             start, total = _chunk_span(meta)
             has_dict = meta.get(11) is not None
             omap: dict[int, int] = {}
+            pmap: dict[int, tuple[int, int]] = {}
             chunk_start = len(out)
             pos = start
             end = start + total
@@ -507,15 +593,57 @@ def decrypt_parquet(buf: bytes, footer_key: bytes,
                         file_aad, MOD_DATA_PAGE, rg_i, col_i, page_ord)
                     page_ord += 1
                 first = False
+                mod_start = pos
                 omap[pos] = len(out)
                 hdr_bytes, pos = _decrypt_module(key, buf, pos, hmod)
                 body, pos = _decrypt_module(key, buf, pos, bmod)
                 out += hdr_bytes
                 out += body
+                if not is_dict:
+                    pmap[mod_start] = (
+                        omap[mod_start], len(out) - omap[mod_start])
             if pos != end:
                 raise ValueError("encrypted chunk module walk overran span")
             new_offsets[(rg_i, col_i)] = omap
+            page_maps[(rg_i, col_i)] = pmap
             sizes[(rg_i, col_i)] = len(out) - chunk_start
+            boff = meta.get(14)
+            if boff is not None:
+                bhdr_bytes, bpos = _decrypt_module(
+                    key, buf, boff,
+                    _module_aad(file_aad, MOD_BLOOM_HEADER, rg_i, col_i))
+                bits, _ = _decrypt_module(
+                    key, buf, bpos,
+                    _module_aad(file_aad, MOD_BLOOM_BITSET, rg_i, col_i))
+                new_boff = len(out)
+                out += bhdr_bytes
+                out += bits
+                bloom_new[(rg_i, col_i)] = (new_boff, len(out) - new_boff)
+
+    # page index region back to plaintext (ColumnIndex verbatim,
+    # OffsetIndex page locations rewritten to the plaintext layout)
+    pageidx_new: dict[tuple[int, int], dict[str, tuple[int, int]]] = {}
+    for rg_i, rg in enumerate(row_groups):
+        for col_i, cc in enumerate(rg.get(1, [])):
+            entry: dict[str, tuple[int, int]] = {}
+            key = chunk_keys[(rg_i, col_i)]
+            ci_off = cc.get(6)
+            if ci_off is not None:
+                ci, _ = _decrypt_module(
+                    key, buf, ci_off,
+                    _module_aad(file_aad, MOD_COLUMN_INDEX, rg_i, col_i))
+                entry["ci"] = (len(out), len(ci))
+                out += ci
+            oi_off = cc.get(4)
+            if oi_off is not None:
+                oi, _ = _decrypt_module(
+                    key, buf, oi_off,
+                    _module_aad(file_aad, MOD_OFFSET_INDEX, rg_i, col_i))
+                oi = _patch_offset_index(oi, page_maps[(rg_i, col_i)])
+                entry["oi"] = (len(out), len(oi))
+                out += oi
+            if entry:
+                pageidx_new[(rg_i, col_i)] = entry
 
     def visit(path, v):
         if len(path) == 3 and path[0] == 4 and path[2] == 2:
@@ -530,9 +658,21 @@ def decrypt_parquet(buf: bytes, footer_key: bytes,
             return sizes[keyc]
         if path[4:] in ((3, 9), (3, 11)):
             return new_offsets[keyc][v]
+        if path[4:] == (4,):
+            return pageidx_new[keyc]["oi"][0]
+        if path[4:] == (5,):
+            return pageidx_new[keyc]["oi"][1]
+        if path[4:] == (6,):
+            return pageidx_new[keyc]["ci"][0]
+        if path[4:] == (7,):
+            return pageidx_new[keyc]["ci"][1]
+        if path[4:] == (3, 14):
+            return bloom_new[keyc][0]
+        if path[4:] == (3, 15):
+            return bloom_new[keyc][1]
         return None
 
-    patched, _ = _transcode(fbytes, 0, visit, drop=_drop_page_index_fields)
+    patched, _ = _transcode(fbytes, 0, visit)
     out += patched
     out += struct.pack("<I", len(patched))
     out += MAGIC

@@ -598,14 +598,16 @@ def test_bloom_filter_write_and_probe(tmp_path):
         f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0] == n
     assert len(read_parquet_pandas(path)) == n
 
-    # encryption drops the (uncarried) bloom pointers; stats survive
+    # blooms are CARRIED through encryption as their own AES-GCM modules
+    # (spec types 8/9, r6): the decrypted file bloom-prunes identically
     from pq_engine.interop.parquet_crypto import decrypt_parquet, encrypt_parquet
 
     dec = decrypt_parquet(
         encrypt_parquet(open(path, "rb").read(), b"0123456789012345"),
         b"0123456789012345")
     fdf, frep = read_parquet_filtered_pandas(dec, ("eq", "tag", "aa2"))
-    assert len(fdf) == 125 and "blooms_probed" not in frep
+    assert len(fdf) == 125
+    assert frep["row_groups_bloom_pruned"] == 2 and frep["blooms_probed"] == 3
 
 
 def test_xxhash64_public_vectors():

@@ -172,6 +172,63 @@ def test_transcoder_identity(tmp_path):
     assert out == fbytes
 
 
+def test_crypto_carries_page_index_and_blooms(tmp_path):
+    """r6: ColumnIndex/OffsetIndex and bloom filters ride through the
+    encrypt->decrypt round-trip as their own AES-GCM modules (spec module
+    types 6/7/8/9, EncryptionAlgorithm.md 'Protection of auxiliary
+    structures'): the decrypted file page-prunes AND bloom-prunes exactly
+    like the plaintext original. OffsetIndex page locations are rewritten
+    against each layout (parquet-mr serializeOffsetIndexes analog); the
+    ColumnIndex, holding no file offsets, is carried verbatim."""
+    from pq_engine.interop.parquet_reader import read_parquet_filtered_pandas
+
+    n = 4000
+    tags = [(f"aa{i // 1000}" if i % 2 == 0 else f"zz{i // 1000}").encode()
+            for i in range(n)]
+    path = str(tmp_path / "aux.parquet")
+    write_parquet(path, [
+        {"name": "id", "ptype": "int64", "codec": "plain",
+         "values": np.arange(n, dtype=np.int64)},
+        {"name": "tag", "ptype": "string", "codec": "plain",
+         "values": _ragged(tags)},
+    ], n, row_group_size=1000, data_page_rows=100,
+        bloom_columns=["tag", "id"], compression="zstd")
+
+    pred = ("and", ("ge", "id", 2500), ("lt", "id", 2600))
+    df0, rep0 = read_parquet_filtered_pandas(path, pred)
+    assert rep0["pages_scanned"] < rep0["pages_total"]
+
+    enc = encrypt_parquet(open(path, "rb").read(), FK, aad_mode="spec",
+                          column_keys={"tag": CK})
+    dec = decrypt_parquet(enc, FK, column_keys={"tag": CK})
+    df1, rep1 = read_parquet_filtered_pandas(dec, pred)
+    assert list(df1["id"]) == list(df0["id"]) == list(range(2500, 2600))
+    assert rep1 == rep0  # identical page-level pruning post-round-trip
+
+    # bloom survives too (under the COLUMN key): eq on an in-range but
+    # absent tag is disproved by the carried bitset
+    dfb, repb = read_parquet_filtered_pandas(dec, ("eq", "tag", "qq9"))
+    assert len(dfb) == 0 and repb["row_groups_bloom_pruned"] == 4
+
+    # pyarrow-written page index (different writer, first_row_index field,
+    # per-page stats) carries through the same transform
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    p2 = str(tmp_path / "pa_idx.parquet")
+    papq.write_table(
+        pa.table({"x": np.arange(20000, dtype=np.int64),
+                  "s": [f"s{i % 13}" for i in range(20000)]}),
+        p2, write_page_index=True, data_page_size=4096,
+        use_dictionary=False, row_group_size=20000)
+    dfa, repa = read_parquet_filtered_pandas(p2, ("eq", "x", 17))
+    assert repa["pages_scanned"] < repa["pages_total"]
+    dec2 = decrypt_parquet(encrypt_parquet(open(p2, "rb").read(), FK), FK)
+    dfa2, repa2 = read_parquet_filtered_pandas(dec2, ("eq", "x", 17))
+    assert list(dfa2["x"]) == list(dfa["x"]) == [17]
+    assert repa2 == repa
+
+
 def test_module_aad_suffix_shapes():
     aad = b"fileaad!"
     assert _module_aad(aad, 0) == aad + b"\x00"
