@@ -1626,6 +1626,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             scan, "doc_id long, lang string, n_chars long"
         )
 
+    def encrypted_native_scan(spark, sf_dir):
+        """r6: NATIVE filtered scan over encrypted-footer PARE files — the
+        ParquetFileReader + InternalFileDecryptor analog (parquet-hadoop
+        crypto/InternalFileDecryptor.java:36). Each partition writes a
+        sorted multi-row-group file with OUR writer (stats + page index +
+        bloom), encrypts it with spec AAD and a per-column key for `lang`,
+        then the scan passes footer_key straight to the filtered reader:
+        pruning runs BEFORE decryption, so only the footer plus the
+        surviving dictionary/index/page modules are ever decrypted. Each
+        task ASSERTS modules_decrypted < modules_total AND that row groups
+        and pages were skipped — at 100 TB a selective predicate touches a
+        sliver of the ciphertext instead of transforming whole files.
+        Hash-oracled against DuckDB on the same band."""
+        import os as _os
+        import tempfile as _tmp
+        import uuid as _uuid_mod
+
+        src = _read(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        mx = src.agg(F.max("doc_id")).collect()[0][0]
+        lo, hi = int(0.70 * mx), int(0.75 * mx)
+        out_dir = _tmp.mkdtemp(prefix="pq_enc_native_")
+        fk, ck = b"0123456789012345", b"abcdefghijklmnop"
+
+        def write_part(batches):
+            import numpy as _np
+
+            from pq_engine.interop.parquet_crypto import encrypt_parquet
+            from pq_engine.interop.parquet_writer import write_parquet
+            from pq_engine.kernels.ragged import RaggedBytes
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pdf = pdf.sort_values("doc_id")
+                langs = [s.encode() for s in pdf["lang"]]
+                offs = _np.zeros(len(langs) + 1, _np.int64)
+                for i, s in enumerate(langs):
+                    offs[i + 1] = offs[i] + len(s)
+                path = _os.path.join(
+                    out_dir, f"part-{_uuid_mod.uuid4().hex}.pare")
+                cols = [
+                    {"name": "doc_id", "ptype": "int64", "codec": "delta",
+                     "values": pdf["doc_id"].to_numpy(_np.int64)},
+                    {"name": "lang", "ptype": "string", "codec": "dict",
+                     "values": RaggedBytes(
+                         offs, _np.frombuffer(b"".join(langs), _np.uint8))},
+                    {"name": "n_chars", "ptype": "int64", "codec": "plain",
+                     "values": pdf["n_chars"].to_numpy(_np.int64)},
+                ]
+                write_parquet(path + ".plain", cols, len(pdf),
+                              compression="zstd",
+                              row_group_size=max(64, len(pdf) // 6),
+                              data_page_rows=16, bloom_columns=["lang"])
+                plain = open(path + ".plain", "rb").read()
+                _os.unlink(path + ".plain")
+                with open(path, "wb") as f:
+                    f.write(encrypt_parquet(
+                        plain, fk, column_keys={"lang": ck},
+                        aad_mode="spec"))
+                yield pandas.DataFrame({"path": [path]})
+
+        files = src.repartition(2).mapInPandas(write_part, "path string")
+
+        def scan(batches):
+            from pq_engine.interop.parquet_reader import (
+                read_parquet_filtered_pandas,
+            )
+
+            pred = ("and", ("ge", "doc_id", lo), ("lt", "doc_id", hi))
+            for pdf in batches:
+                for p in pdf["path"]:
+                    df, rep = read_parquet_filtered_pandas(
+                        p, pred, footer_key=fk, column_keys={"lang": ck})
+                    assert rep["modules_decrypted"] < rep["modules_total"], \
+                        rep
+                    if rep["row_groups_total"] >= 4:
+                        assert (rep["row_groups_scanned"]
+                                < rep["row_groups_total"]), rep
+                    if rep["pages_total"] >= 12:
+                        assert rep["pages_scanned"] < rep["pages_total"], rep
+                    yield df
+        return files.repartition(4).mapInPandas(
+            scan, "doc_id long, lang string, n_chars long"
+        )
+
     def external_struct_map_rt(spark, sf_dir):
         """r6: MAP/STRUCT through the from-scratch parquet writer AND
         reader (both directions new this round — parquet_reader.py read
@@ -2043,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "external_filtered_scan": external_filtered_scan,  # new in r6
         "own_filtered_scan": own_filtered_scan,  # new in r6
         "encrypted_parquet_interop": encrypted_parquet_interop,  # new in r6
+        "encrypted_native_scan": encrypted_native_scan,  # new in r6
         "external_struct_map_rt": external_struct_map_rt,  # new in r6
         "streaming_table_sink": streaming_table_sink,  # new in r6
     })
@@ -2187,6 +2275,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM documents",
         "encrypted_parquet_interop":
             "SELECT doc_id, lang, n_chars FROM documents",
+        "encrypted_native_scan": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id >= (SELECT CAST(FLOOR(0.70 * MAX(doc_id)) AS BIGINT)
+                             FROM documents)
+              AND doc_id <  (SELECT CAST(FLOOR(0.75 * MAX(doc_id)) AS BIGINT)
+                             FROM documents)
+        """,
         "media_png_features": """
             SELECT doc_id,
                    8.0 AS h, 16.0 AS w, 3.0 AS c,

@@ -82,7 +82,14 @@ def read_footer(buf: bytes) -> dict:
     if buf[:4] != MAGIC or buf[-4:] != MAGIC:
         raise ValueError("not a parquet file (magic)")
     flen = int.from_bytes(buf[-8:-4], "little")
-    fmeta, _ = read_struct(buf[len(buf) - 8 - flen : len(buf) - 8])
+    return parse_footer_bytes(buf[len(buf) - 8 - flen : len(buf) - 8])
+
+
+def parse_footer_bytes(fbytes: bytes) -> dict:
+    """Parse raw FileMetaData thrift bytes (the footer struct itself) —
+    the entry point for encrypted files, whose footer arrives as a
+    decrypted module rather than a tail slice."""
+    fmeta, _ = read_struct(fbytes)
     schema_elems = fmeta.get(2, [])
     if not schema_elems:
         raise ValueError("parquet footer missing schema")
@@ -166,13 +173,15 @@ def read_footer(buf: bytes) -> dict:
     if len(cols) != ncols:
         raise ValueError(f"schema children {len(cols)} != root count {ncols}")
     row_groups = []
-    for rg in fmeta.get(4, []):
+    for rg_i, rg in enumerate(fmeta.get(4, [])):
         chunks = []
-        for cc in rg.get(1, []):
+        for col_i, cc in enumerate(rg.get(1, [])):
             md = cc.get(3)
             if md is None:
                 raise ValueError("column chunk without inline metadata")
             chunks.append({
+                "rg": rg_i,
+                "col": col_i,
                 "path": [p.decode() for p in md[3]],
                 "codec": _CODEC.get(md[4], f"codec{md[4]}"),
                 "num_values": md[5],
@@ -934,18 +943,20 @@ def _all_pages_dict(chunk):
     return saw_data
 
 
-def _rg_dict_can_match(pred, rg, by_name, buf, report):
+def _rg_dict_can_match(pred, rg, by_name, buf, report, crypto=None):
     """L2: decode ONLY the dictionary page of a provably-all-dict chunk and
     evaluate the comparison over the dictionary's value set — the
     DictionaryFilter canDrop analog. Null rows never satisfy a comparison,
     so membership over the dictionary alone is decisive for eq/lt/le/gt/ge;
      'ne' would additionally need null counts (conservative True here)."""
     if pred[0] == "and":
-        return (_rg_dict_can_match(pred[1], rg, by_name, buf, report)
-                and _rg_dict_can_match(pred[2], rg, by_name, buf, report))
+        return (_rg_dict_can_match(pred[1], rg, by_name, buf, report, crypto)
+                and _rg_dict_can_match(pred[2], rg, by_name, buf, report,
+                                       crypto))
     if pred[0] == "or":
-        return (_rg_dict_can_match(pred[1], rg, by_name, buf, report)
-                or _rg_dict_can_match(pred[2], rg, by_name, buf, report))
+        return (_rg_dict_can_match(pred[1], rg, by_name, buf, report, crypto)
+                or _rg_dict_can_match(pred[2], rg, by_name, buf, report,
+                                      crypto))
     op, name, val = pred
     if op == "ne":
         return True
@@ -953,10 +964,15 @@ def _rg_dict_can_match(pred, rg, by_name, buf, report):
     if chunk["dict_off"] is None or not _all_pages_dict(chunk):
         return True
     leaf = by_name[name]
-    hdr, body_pos = read_struct(buf, chunk["dict_off"])
+    if crypto is None:
+        hdr, body_pos = read_struct(buf, chunk["dict_off"])
+        body = buf[body_pos : body_pos + hdr[3]]
+    else:
+        hb, body, _ = crypto.page(chunk["rg"], chunk["col"],
+                                  chunk["dict_off"], is_dict=True)
+        hdr, _ = read_struct(hb)
     if hdr[1] != PAGE_DICT:
         return True
-    body = buf[body_pos : body_pos + hdr[3]]
     dvals = _decode_dict_page(hdr, body, chunk, leaf["physical"],
                               leaf["type_length"])
     if getattr(dvals, "ndim", 1) == 2:
@@ -991,18 +1007,22 @@ def _bloom_hash_literal(leaf, val):
     return xxhash64_bytes(b)
 
 
-def _rg_bloom_can_match(pred, rg, by_name, buf, report):
+def _rg_bloom_can_match(pred, rg, by_name, buf, report, crypto=None):
     """L3 for external files: probe the chunk's split-block bloom filter
     for eq literals — the BloomFilterReader / readBloomFilter analog
     (parquet-hadoop ParquetFileReader.java readBloomFilter). Only an eq
     that the bloom DISPROVES can drop the row group; every other shape
     returns True."""
     if pred[0] == "and":
-        return (_rg_bloom_can_match(pred[1], rg, by_name, buf, report)
-                and _rg_bloom_can_match(pred[2], rg, by_name, buf, report))
+        return (_rg_bloom_can_match(pred[1], rg, by_name, buf, report,
+                                    crypto)
+                and _rg_bloom_can_match(pred[2], rg, by_name, buf, report,
+                                        crypto))
     if pred[0] == "or":
-        return (_rg_bloom_can_match(pred[1], rg, by_name, buf, report)
-                or _rg_bloom_can_match(pred[2], rg, by_name, buf, report))
+        return (_rg_bloom_can_match(pred[1], rg, by_name, buf, report,
+                                    crypto)
+                or _rg_bloom_can_match(pred[2], rg, by_name, buf, report,
+                                       crypto))
     op, name, val = pred
     if op != "eq":
         return True
@@ -1010,25 +1030,32 @@ def _rg_bloom_can_match(pred, rg, by_name, buf, report):
     off, _ln = chunk.get("bloom", (None, None))
     if off is None:
         return True
-    hdr, pos = read_struct(buf, off)
+    if crypto is None:
+        hdr, pos = read_struct(buf, off)
+        bits = buf[pos : pos + hdr[1]]
+    else:
+        hdr, bits = crypto.bloom(chunk["rg"], chunk["col"], off)
     # BloomFilterHeader: 1 numBytes, 2 algorithm union (1=BLOCK),
     # 3 hash union (1=XXHASH), 4 compression union (1=UNCOMPRESSED)
     if 1 not in hdr.get(2, {1: {}}) or 1 not in hdr.get(3, {1: {}}) \
             or 1 not in hdr.get(4, {1: {}}):
         return True  # unknown algorithm/hash/codec: cannot disprove
-    nbytes = hdr[1]
     h = _bloom_hash_literal(by_name[name], val)
     if h is None:
         return True
     from ..kernels.bloom import BlockSplitBloomFilter
 
-    bf = BlockSplitBloomFilter.deserialize(buf[pos : pos + nbytes])
+    bf = BlockSplitBloomFilter.deserialize(bits[: hdr[1]])
     report["blooms_probed"] = report.get("blooms_probed", 0) + 1
     return bool(bf.contains_hashes(np.array([h], dtype=np.uint64))[0])
 
 
-def _parse_column_index(buf, off, ln):
-    ci, _ = read_struct(buf[off : off + ln])
+def _parse_column_index(buf, off, ln, chunk=None, crypto=None):
+    if crypto is not None:
+        ci, _ = read_struct(crypto.column_index(chunk["rg"], chunk["col"],
+                                                off))
+    else:
+        ci, _ = read_struct(buf[off : off + ln])
     return {
         "null_pages": ci.get(1, []),
         "mins": ci.get(2, []),
@@ -1037,8 +1064,12 @@ def _parse_column_index(buf, off, ln):
     }
 
 
-def _parse_offset_index(buf, off, ln):
-    oi, _ = read_struct(buf[off : off + ln])
+def _parse_offset_index(buf, off, ln, chunk=None, crypto=None):
+    if crypto is not None:
+        oi, _ = read_struct(crypto.offset_index(chunk["rg"], chunk["col"],
+                                                off))
+    else:
+        oi, _ = read_struct(buf[off : off + ln])
     return [(pl[1], pl[2], pl[3]) for pl in oi.get(1, [])]
     # (offset, compressed_page_size, first_row_index)
 
@@ -1067,19 +1098,23 @@ def _intersect_ranges(a, b):
     return out
 
 
-def _pred_page_ranges(pred, rg, by_name, buf, nrows, report):
+def _pred_page_ranges(pred, rg, by_name, buf, nrows, report, crypto=None):
     """RowRanges from the predicate columns' ColumnIndexes — the
     ColumnIndexFilter.calculateRowRanges analog. Columns without a page
     index contribute the full range."""
     if pred[0] == "and":
         return _intersect_ranges(
-            _pred_page_ranges(pred[1], rg, by_name, buf, nrows, report),
-            _pred_page_ranges(pred[2], rg, by_name, buf, nrows, report),
+            _pred_page_ranges(pred[1], rg, by_name, buf, nrows, report,
+                              crypto),
+            _pred_page_ranges(pred[2], rg, by_name, buf, nrows, report,
+                              crypto),
         )
     if pred[0] == "or":
         return _merge_ranges(
-            _pred_page_ranges(pred[1], rg, by_name, buf, nrows, report)
-            + _pred_page_ranges(pred[2], rg, by_name, buf, nrows, report)
+            _pred_page_ranges(pred[1], rg, by_name, buf, nrows, report,
+                              crypto)
+            + _pred_page_ranges(pred[2], rg, by_name, buf, nrows, report,
+                                crypto)
         )
     op, name, val = pred
     leaf = by_name[name]
@@ -1088,8 +1123,8 @@ def _pred_page_ranges(pred, rg, by_name, buf, nrows, report):
     oi_off, oi_len = chunk["offidx"]
     if ci_off is None or oi_off is None:
         return [(0, nrows)]
-    ci = _parse_column_index(buf, ci_off, ci_len)
-    locs = _parse_offset_index(buf, oi_off, oi_len)
+    ci = _parse_column_index(buf, ci_off, ci_len, chunk, crypto)
+    locs = _parse_offset_index(buf, oi_off, oi_len, chunk, crypto)
     val = _coerce(val, leaf)
     keep = []
     for i in range(len(locs)):
@@ -1104,30 +1139,52 @@ def _pred_page_ranges(pred, rg, by_name, buf, nrows, report):
     return _merge_ranges(keep)
 
 
-def _decode_chunk_rows(buf, chunk, col, nrows, ranges, report):
+def _decode_chunk_rows(buf, chunk, col, nrows, ranges, report, crypto=None):
     """Decode only the pages of ``chunk`` overlapping ``ranges`` (via its
     OffsetIndex when present) and return (values, validity, covered_rows
-    bool[nrows])."""
+    bool[nrows]). With ``crypto`` (an encrypted file scanned natively),
+    ONLY the surviving page modules are decrypted."""
     oi_off, oi_len = chunk["offidx"]
     covered = np.zeros(nrows, dtype=bool)
     if oi_off is None:
         report["pages_scanned"] += 1
         report["pages_total"] += 1
-        values, validity, _ = _read_chunk(buf, chunk, col)
+        if crypto is not None:
+            start = chunk["data_off"]
+            if chunk["dict_off"] is not None:
+                start = min(start, chunk["dict_off"])
+            plain, omap = crypto.chunk_plain(
+                chunk["rg"], chunk["col"], start, chunk["total_compressed"],
+                chunk["dict_off"] is not None)
+            pchunk = dict(chunk, data_off=omap[chunk["data_off"]],
+                          dict_off=None if chunk["dict_off"] is None
+                          else omap[chunk["dict_off"]])
+            values, validity, _ = _read_chunk(plain, pchunk, col)
+        else:
+            values, validity, _ = _read_chunk(buf, chunk, col)
         covered[:] = True
         return values, validity, covered
-    locs = _parse_offset_index(buf, oi_off, oi_len)
+    locs = _parse_offset_index(buf, oi_off, oi_len, chunk, crypto)
     report["pages_total"] += len(locs)
     pages = []
+    keep_idx = []
     for i, (off, _size, first) in enumerate(locs):
         last = locs[i + 1][2] if i + 1 < len(locs) else nrows
         if any(s < last and first < e for s, e in ranges):
             pages.append((off, last - first))
+            keep_idx.append(i)
             covered[first:last] = True
     report["pages_scanned"] += len(pages)
     if not pages:
         return None, None, covered
-    values, validity, _ = _read_chunk(buf, chunk, col, pages=pages)
+    if crypto is not None:
+        plain, new_dict, omap = crypto.pages_plain(
+            chunk["rg"], chunk["col"], chunk["dict_off"], locs, keep_idx)
+        pchunk = dict(chunk, dict_off=new_dict)
+        pages = [(omap[off], rows) for off, rows in pages]
+        values, validity, _ = _read_chunk(plain, pchunk, col, pages=pages)
+    else:
+        values, validity, _ = _read_chunk(buf, chunk, col, pages=pages)
     return values, validity, covered
 
 
@@ -1215,12 +1272,22 @@ def _cmp_ragged(op, rb: RaggedBytes, val: bytes):
 
 
 def read_parquet_filtered(path_or_buf, predicate,
-                          columns: list[str] | None = None):
+                          columns: list[str] | None = None,
+                          footer_key: bytes | None = None,
+                          column_keys: dict[str, bytes] | None = None,
+                          aad_prefix: bytes = b""):
     """Filtered read: row groups pruned by chunk Statistics, pages pruned
     by ColumnIndex/OffsetIndex row ranges (only surviving pages are
     DECODED), then exact record-level evaluation. FLAT primitive columns
     only. ``predicate`` is a nested tuple: ("and"|"or", p, q) or
     (op, column, value) with op in eq/ne/lt/le/gt/ge.
+
+    With ``footer_key`` the same pruning runs NATIVELY over an
+    encrypted-footer (PARE) file — the ParquetFileReader +
+    InternalFileDecryptor path: the footer module is decrypted, pruning
+    works off the (plaintext-in-footer) stats/indexes, and only the
+    surviving dictionary/bloom/index/page MODULES are ever decrypted.
+    The report then carries modules_decrypted vs modules_total.
 
     Returns (schema, {name: (values, validity)}, report) where report
     counts row_groups/pages total vs scanned — the
@@ -1230,7 +1297,18 @@ def read_parquet_filtered(path_or_buf, predicate,
     else:
         with open(path_or_buf, "rb") as f:
             buf = f.read()
-    meta = read_footer(buf)
+    crypto = None
+    if buf[-4:] == b"PARE":
+        if footer_key is None:
+            raise ValueError(
+                "encrypted-footer parquet file: pass footer_key "
+                "(and column_keys for column-key-encrypted chunks)")
+        from .parquet_crypto import FileDecryptor
+
+        crypto = FileDecryptor(buf, footer_key, column_keys, aad_prefix)
+        meta = parse_footer_bytes(crypto.footer_bytes)
+    else:
+        meta = read_footer(buf)
     by_name = {c["name"]: c for c in meta["schema"]}
     want = columns or [c["name"] for c in meta["schema"]]
     for name in set(want) | _pred_cols(predicate):
@@ -1252,15 +1330,18 @@ def read_parquet_filtered(path_or_buf, predicate,
         nrows = rg["num_rows"]
         if not _rg_can_match(predicate, rg, by_name):
             continue  # L1: whole row group skipped — nothing decoded
-        if not _rg_dict_can_match(predicate, rg, by_name, buf, report):
+        if not _rg_dict_can_match(predicate, rg, by_name, buf, report,
+                                  crypto):
             report["row_groups_dict_pruned"] = (
                 report.get("row_groups_dict_pruned", 0) + 1)
             continue  # L2: dictionary disproves the comparison
-        if not _rg_bloom_can_match(predicate, rg, by_name, buf, report):
+        if not _rg_bloom_can_match(predicate, rg, by_name, buf, report,
+                                   crypto):
             report["row_groups_bloom_pruned"] = (
                 report.get("row_groups_bloom_pruned", 0) + 1)
             continue  # L3: bloom disproves an eq literal for this group
-        ranges = _pred_page_ranges(predicate, rg, by_name, buf, nrows, report)
+        ranges = _pred_page_ranges(predicate, rg, by_name, buf, nrows,
+                                   report, crypto)
         if not ranges:
             continue  # page index proved no page can match
         report["row_groups_scanned"] += 1
@@ -1269,7 +1350,7 @@ def read_parquet_filtered(path_or_buf, predicate,
         for name in read_cols:
             chunk = _find_chunk(rg, [name])
             values, validity, covered = _decode_chunk_rows(
-                buf, chunk, by_name[name], nrows, ranges, report
+                buf, chunk, by_name[name], nrows, ranges, report, crypto
             )
             decoded[name] = (values, validity, covered)
             covered_all = covered if covered_all is None \
@@ -1306,6 +1387,9 @@ def read_parquet_filtered(path_or_buf, predicate,
             continue
         values, validity, _ = _concat_chunk_parts(parts)
         out[name] = (values, validity)
+    if crypto is not None:
+        report["modules_decrypted"] = crypto.modules_decrypted
+        report["modules_total"] = crypto.count_modules()
     return meta["schema"], out, report
 
 
@@ -1323,13 +1407,16 @@ def _empty_values(leaf):
 
 
 def read_parquet_filtered_pandas(path_or_buf, predicate,
-                                 columns: list[str] | None = None):
+                                 columns: list[str] | None = None,
+                                 footer_key: bytes | None = None,
+                                 column_keys: dict[str, bytes] | None = None,
+                                 aad_prefix: bytes = b""):
     """Filtered read -> (pandas DataFrame, prune report)."""
     import pandas as pd
     import pyarrow as pa
 
     schema, data, report = read_parquet_filtered(
-        path_or_buf, predicate, columns
+        path_or_buf, predicate, columns, footer_key, column_keys, aad_prefix
     )
     by_name = {c["name"]: c for c in schema}
     cols = {}

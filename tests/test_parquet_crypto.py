@@ -229,6 +229,72 @@ def test_crypto_carries_page_index_and_blooms(tmp_path):
     assert repa2 == repa
 
 
+def test_native_encrypted_filtered_scan(tmp_path):
+    """r6: the filtered reader scans a PARE file NATIVELY (footer_key
+    passed straight to read_parquet_filtered) — the ParquetFileReader +
+    InternalFileDecryptor path. Pruning runs BEFORE decryption: only the
+    footer plus the surviving dictionary/bloom/index/page modules are
+    decrypted, proven by modules_decrypted << modules_total in the
+    report. Results and prune counters match the plaintext original."""
+    from pq_engine.interop.parquet_reader import read_parquet_filtered_pandas
+
+    n = 4000
+    tags = [(f"aa{i // 1000}" if i % 2 == 0 else f"zz{i // 1000}").encode()
+            for i in range(n)]
+    path = str(tmp_path / "nat.parquet")
+    write_parquet(path, [
+        {"name": "id", "ptype": "int64", "codec": "plain",
+         "values": np.arange(n, dtype=np.int64)},
+        {"name": "tag", "ptype": "string", "codec": "plain",
+         "values": _ragged(tags)},
+        {"name": "score", "ptype": "float64", "codec": "plain",
+         "values": np.arange(n) * 0.25},
+    ], n, row_group_size=1000, data_page_rows=100,
+        bloom_columns=["tag"], compression="zstd")
+    enc = encrypt_parquet(open(path, "rb").read(), FK, aad_mode="spec",
+                          column_keys={"tag": CK})
+
+    pred = ("and", ("ge", "id", 2500), ("lt", "id", 2600))
+    df0, rep0 = read_parquet_filtered_pandas(path, pred)
+    df1, rep1 = read_parquet_filtered_pandas(
+        enc, pred, footer_key=FK, column_keys={"tag": CK})
+    assert list(df1["id"]) == list(df0["id"]) == list(range(2500, 2600))
+    assert list(df1["tag"]) == list(df0["tag"])
+    assert list(df1["score"]) == list(df0["score"])
+    # identical page-level pruning, and only a sliver of ciphertext touched
+    assert {k: rep1[k] for k in rep0} == rep0
+    # 3 row groups stats-pruned; survivor: 3 cols x (1 page hdr+body) + 3
+    # OffsetIndexes + pred-col ColumnIndexes + footer — far under total
+    assert rep1["modules_decrypted"] < rep1["modules_total"] // 10
+
+    # bloom disproof path decrypts ONLY footer + bloom modules (no pages)
+    dfb, repb = read_parquet_filtered_pandas(
+        enc, ("eq", "tag", "qq9"), footer_key=FK, column_keys={"tag": CK})
+    assert len(dfb) == 0 and repb["row_groups_bloom_pruned"] == 4
+    assert repb["pages_scanned"] == 0
+    assert repb["modules_decrypted"] == 1 + 2 * 4  # footer + 4 blooms
+
+    # missing column key refuses by name
+    with pytest.raises(ValueError, match="column key"):
+        read_parquet_filtered_pandas(enc, pred, footer_key=FK)
+
+    # a DuckDB-ENCRYPTED file scans natively too (empty AAD, its scheme):
+    # stats prune the out-of-range groups without decrypting their pages
+    duckdb = pytest.importorskip("duckdb")
+    dpath = str(tmp_path / "duck_enc.parquet")
+    con = duckdb.connect()
+    con.execute(f"PRAGMA add_parquet_key('k1', '{FK.decode()}')")
+    con.execute(
+        "COPY (SELECT i AS id, CAST(i AS DOUBLE) / 4 AS d FROM range(40000) "
+        "t(i) ORDER BY i) TO '" + dpath +
+        "' (ENCRYPTION_CONFIG {footer_key: 'k1'}, ROW_GROUP_SIZE 10000)")
+    dfd, repd = read_parquet_filtered_pandas(
+        dpath, ("eq", "id", 25000), footer_key=FK)
+    assert list(dfd["id"]) == [25000]
+    assert repd["row_groups_scanned"] == 1 < repd["row_groups_total"]
+    assert repd["modules_decrypted"] < repd["modules_total"]
+
+
 def test_module_aad_suffix_shapes():
     aad = b"fileaad!"
     assert _module_aad(aad, 0) == aad + b"\x00"
