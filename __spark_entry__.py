@@ -1713,6 +1713,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             scan, "doc_id long, lang string, n_chars long"
         )
 
+    def plaintext_footer_scan(spark, sf_dir):
+        """r6: PLAINTEXT-FOOTER encryption mode (Encryption.md's other
+        mode; FileEncryptionProperties plaintext-footer branch +
+        ParquetFileWriter footer signing). Files keep the PAR1 magic and a
+        SIGNED plaintext footer; `lang` is column-key-encrypted with its
+        footer ColumnMetaData redacted (stats only inside
+        encrypted_column_metadata). The scan reads everything back with
+        the keys — signature verified, redacted stats restored, identical
+        band — while each task ALSO reads the plaintext columns of the
+        SAME encrypted file with DuckDB and NO key (the legacy-reader
+        contract that motivates the mode) and asserts the band count
+        matches. Hash-oracled against the documents view."""
+        import os as _os
+        import tempfile as _tmp
+        import uuid as _uuid_mod
+
+        src = _read(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        mx = src.agg(F.max("doc_id")).collect()[0][0]
+        lo, hi = int(0.80 * mx), int(0.85 * mx)
+        out_dir = _tmp.mkdtemp(prefix="pq_pf_scan_")
+        fk, ck = b"0123456789012345", b"abcdefghijklmnop"
+
+        def write_part(batches):
+            import numpy as _np
+
+            from pq_engine.interop.parquet_crypto import (
+                encrypt_parquet_plaintext_footer,
+            )
+            from pq_engine.interop.parquet_writer import write_parquet
+            from pq_engine.kernels.ragged import RaggedBytes
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pdf = pdf.sort_values("doc_id")
+                langs = [s.encode() for s in pdf["lang"]]
+                offs = _np.zeros(len(langs) + 1, _np.int64)
+                for i, s in enumerate(langs):
+                    offs[i + 1] = offs[i] + len(s)
+                path = _os.path.join(
+                    out_dir, f"part-{_uuid_mod.uuid4().hex}.parquet")
+                write_parquet(path + ".plain", [
+                    {"name": "doc_id", "ptype": "int64", "codec": "delta",
+                     "values": pdf["doc_id"].to_numpy(_np.int64)},
+                    {"name": "lang", "ptype": "string", "codec": "dict",
+                     "values": RaggedBytes(
+                         offs, _np.frombuffer(b"".join(langs), _np.uint8))},
+                    {"name": "n_chars", "ptype": "int64", "codec": "plain",
+                     "values": pdf["n_chars"].to_numpy(_np.int64)},
+                ], len(pdf), compression="zstd",
+                    row_group_size=max(64, len(pdf) // 6),
+                    data_page_rows=16)
+                plain = open(path + ".plain", "rb").read()
+                _os.unlink(path + ".plain")
+                with open(path, "wb") as f:
+                    f.write(encrypt_parquet_plaintext_footer(
+                        plain, fk, {"lang": ck}, aad_mode="spec"))
+                yield pandas.DataFrame({"path": [path]})
+
+        files = src.repartition(2).mapInPandas(write_part, "path string")
+
+        def scan(batches):
+            import duckdb as _dd
+
+            from pq_engine.interop.parquet_reader import (
+                read_parquet_filtered_pandas,
+            )
+
+            pred = ("and", ("ge", "doc_id", lo), ("lt", "doc_id", hi))
+            for pdf in batches:
+                for p in pdf["path"]:
+                    df, rep = read_parquet_filtered_pandas(
+                        p, pred, footer_key=fk, column_keys={"lang": ck})
+                    assert rep["modules_decrypted"] < rep["modules_total"] \
+                        + 1, rep
+                    if rep["row_groups_total"] >= 4:
+                        assert (rep["row_groups_scanned"]
+                                < rep["row_groups_total"]), rep
+                    # legacy reader: DuckDB, no key, plaintext columns of
+                    # the SAME signed encrypted file
+                    n_dd = _dd.sql(
+                        "SELECT count(*) FROM (SELECT doc_id FROM "
+                        f"read_parquet('{p}')) WHERE doc_id >= {lo} "
+                        f"AND doc_id < {hi}").fetchone()[0]
+                    assert n_dd == len(df), (n_dd, len(df))
+                    yield df
+        return files.repartition(4).mapInPandas(
+            scan, "doc_id long, lang string, n_chars long"
+        )
+
     def external_struct_map_rt(spark, sf_dir):
         """r6: MAP/STRUCT through the from-scratch parquet writer AND
         reader (both directions new this round — parquet_reader.py read
@@ -2131,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "own_filtered_scan": own_filtered_scan,  # new in r6
         "encrypted_parquet_interop": encrypted_parquet_interop,  # new in r6
         "encrypted_native_scan": encrypted_native_scan,  # new in r6
+        "plaintext_footer_scan": plaintext_footer_scan,  # new in r6
         "external_struct_map_rt": external_struct_map_rt,  # new in r6
         "streaming_table_sink": streaming_table_sink,  # new in r6
     })
@@ -2280,6 +2373,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id >= (SELECT CAST(FLOOR(0.70 * MAX(doc_id)) AS BIGINT)
                              FROM documents)
               AND doc_id <  (SELECT CAST(FLOOR(0.75 * MAX(doc_id)) AS BIGINT)
+                             FROM documents)
+        """,
+        "plaintext_footer_scan": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id >= (SELECT CAST(FLOOR(0.80 * MAX(doc_id)) AS BIGINT)
+                             FROM documents)
+              AND doc_id <  (SELECT CAST(FLOOR(0.85 * MAX(doc_id)) AS BIGINT)
                              FROM documents)
         """,
         "media_png_features": """

@@ -759,21 +759,35 @@ def _cli_keys(args) -> tuple[bytes, dict[str, bytes]]:
 
 def cmd_encrypt_parquet(args):
     """Parquet modular encryption (Encryption.md / parquet-hadoop crypto):
-    plaintext parquet file → encrypted-footer PARE file. --aad spec writes
-    aad_file_unique + per-module AAD suffixes; --aad empty is
-    DuckDB-compatible."""
-    from .interop.parquet_crypto import encrypt_parquet
+    plaintext parquet file → encrypted-footer PARE file, or with
+    --plaintext-footer the spec's other mode (PAR1 kept, signed plaintext
+    footer, column-key columns redacted — legacy readers keep reading the
+    plaintext columns). --aad spec writes aad_file_unique + per-module AAD
+    suffixes; --aad empty is DuckDB-compatible."""
+    from .interop.parquet_crypto import (
+        encrypt_parquet,
+        encrypt_parquet_plaintext_footer,
+    )
 
     if not args.out:
         sys.exit("--out required")
     fk, column_keys = _cli_keys(args)
     plain = open(args.path, "rb").read()
-    enc = encrypt_parquet(plain, fk, column_keys=column_keys,
-                          aad_mode=args.aad)
+    if args.plaintext_footer:
+        if not column_keys:
+            sys.exit("--plaintext-footer requires --column-key "
+                     "(the footer key only signs)")
+        enc = encrypt_parquet_plaintext_footer(
+            plain, fk, column_keys, aad_mode=args.aad)
+        mode = "plaintext-footer"
+    else:
+        enc = encrypt_parquet(plain, fk, column_keys=column_keys,
+                              aad_mode=args.aad)
+        mode = "encrypted-footer"
     with open(args.out, "wb") as f:
         f.write(enc)
     print(f"encrypted {args.path} ({len(plain)} B) → {args.out} "
-          f"({len(enc)} B, aad={args.aad}, "
+          f"({len(enc)} B, {mode}, aad={args.aad}, "
           f"{len(column_keys)} column key(s))")
 
 
@@ -1298,6 +1312,10 @@ def main(argv=None):
     ap.add_argument("--aad", choices=["spec", "empty"], default="spec",
                     help="module AAD mode: spec (aad_file_unique + "
                          "suffixes) or empty (DuckDB-compatible)")
+    ap.add_argument("--plaintext-footer", action="store_true",
+                    help="encrypt-parquet: plaintext-footer mode (signed "
+                         "footer, column keys only, legacy-readable "
+                         "plaintext columns)")
     args = ap.parse_args(argv)
     if args.command == "version":
         cmd_version(args)

@@ -26,10 +26,24 @@ files this module decrypts).
 
 Column keys: pages of a column listed in ``column_keys`` are encrypted
 with that key and the chunk carries ENCRYPTION_WITH_COLUMN_KEY crypto
-metadata. Declared scope: the footer itself always uses the footer key
-(encrypted-footer mode only — plaintext-footer mode and
-encrypted_column_metadata redaction raise/are not emitted), AES_GCM_V1
-only (AES_GCM_CTR_V1 raises by name).
+metadata.
+
+Also here (r6):
+
+- :class:`FileDecryptor` — the InternalFileDecryptor analog backing the
+  NATIVE encrypted scan in :mod:`parquet_reader`: lazy module-granular
+  decryption so pruning runs before decryption.
+- :func:`encrypt_parquet_plaintext_footer` — the spec's PLAINTEXT FOOTER
+  mode: PAR1 magic kept, footer plaintext but SIGNED (AES-GCM nonce+tag),
+  column-key-encrypted columns with their footer ColumnMetaData REDACTED
+  (full metadata in ``encrypted_column_metadata`` under the column key);
+  legacy readers keep reading the plaintext columns (DuckDB does,
+  test-pinned).
+
+Declared scope: in encrypted-footer mode the footer metadata is a single
+uniform trust domain under the footer key (column-metadata redaction is
+implemented for plaintext-footer mode, where the spec mandates it);
+AES_GCM_V1 only (AES_GCM_CTR_V1 raises by name).
 
 The footer offset rewrite uses a generic thrift-compact TRANSCODER: it
 re-emits any struct byte-for-byte while a visitor patches integer fields
@@ -508,6 +522,319 @@ def encrypt_parquet(plain: bytes, footer_key: bytes,
     return bytes(out)
 
 
+def _md_spans(fbytes: bytes) -> dict[tuple[int, int], tuple[int, int]]:
+    """Byte spans of every ColumnChunk.meta_data struct inside raw
+    FileMetaData bytes: {(rg_i, col_i): (start, end)}. Walks only the
+    row_groups(4) -> columns(1) -> meta_data(3) spine; everything else is
+    skipped with the generic value parser."""
+    spans: dict[tuple[int, int], tuple[int, int]] = {}
+
+    def walk(pos, depth, rg_i=-1, col_i=-1):
+        # depth 0 = FileMetaData, 1 = RowGroup, 2 = ColumnChunk
+        last = 0
+        while True:
+            hb = fbytes[pos]
+            pos += 1
+            if hb == CT_STOP:
+                return pos
+            ctype = hb & 0x0F
+            delta = hb >> 4
+            if delta:
+                fid = last + delta
+            else:
+                z, pos = _read_uvar(fbytes, pos)
+                fid = _unzig(z)
+            last = fid
+            spine = (
+                (depth == 0 and fid == 4 and ctype == CT_LIST)
+                or (depth == 1 and fid == 1 and ctype == CT_LIST)
+            )
+            if spine:
+                lh = fbytes[pos]
+                pos += 1
+                size = lh >> 4
+                if size == 15:
+                    size, pos = _read_uvar(fbytes, pos)
+                for i in range(size):
+                    pos = walk(pos, depth + 1,
+                               i if depth == 0 else rg_i,
+                               i if depth == 1 else col_i)
+                continue
+            if depth == 2 and fid == 3 and ctype == CT_STRUCT:
+                start = pos
+                _, pos = _read_value(fbytes, pos, ctype)
+                spans[(rg_i, col_i)] = (start, pos)
+                continue
+            _, pos = _read_value(fbytes, pos, ctype)
+
+    walk(0, 0)
+    return spans
+
+
+def encrypt_parquet_plaintext_footer(
+        plain: bytes, footer_key: bytes, column_keys: dict[str, bytes],
+        aad_mode: str = "spec",
+        footer_key_metadata: bytes | None = None) -> bytes:
+    """Plaintext parquet bytes -> PLAINTEXT-FOOTER encrypted file
+    (Encryption.md 'plaintext footer mode'; parquet-hadoop
+    ParquetFileWriter.serializeFooter signing path + FileEncryptionProperties
+    plaintext-footer branch). The file keeps the PAR1 magic and a plaintext
+    FileMetaData, so legacy readers can still read the UNENCRYPTED columns;
+    columns listed in ``column_keys`` are encrypted page-by-page exactly as
+    in encrypted-footer mode (same module AAD scheme), and for those
+    columns the footer's plaintext ColumnMetaData is REDACTED (Statistics
+    and SizeStatistics stripped) with the full metadata carried in
+    ``encrypted_column_metadata`` under the column key — a footer reader
+    without the key learns structure, not values. The footer itself is
+    SIGNED with the footer key: AES-GCM over the footer bytes with the
+    footer-module AAD, nonce + tag (28 bytes) stored between the footer
+    and its length, which covers both."""
+    if plain[:4] != MAGIC or plain[-4:] != MAGIC:
+        raise ValueError(
+            "encrypt_parquet_plaintext_footer input is not a plaintext "
+            "parquet file")
+    if aad_mode not in ("spec", "empty"):
+        raise ValueError("aad_mode must be 'spec' or 'empty'")
+    if not column_keys:
+        raise ValueError(
+            "plaintext footer mode encrypts columns under column keys; "
+            "pass a non-empty column_keys")
+    _aesgcm(footer_key)  # validate key length up front
+    file_aad = os.urandom(8) if aad_mode == "spec" else b""
+
+    flen = int.from_bytes(plain[-8:-4], "little")
+    fstart = len(plain) - 8 - flen
+    fbytes = plain[fstart : fstart + flen]
+    fmeta, _ = read_struct(fbytes)
+    if fmeta.get(8) is not None:
+        raise ValueError("file already carries an encryption_algorithm")
+    row_groups = fmeta.get(4, [])
+    md_spans = _md_spans(fbytes)
+
+    out = bytearray(MAGIC)
+    new_offsets: dict[tuple[int, int], dict[int, int]] = {}
+    sizes: dict[tuple[int, int], int] = {}
+    page_maps: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+    encrypted: set[tuple[int, int]] = set()
+    chunk_keys: dict[tuple[int, int], bytes] = {}
+    bloom_new: dict[tuple[int, int], tuple[int, int]] = {}
+    seen_cols: set[str] = set()
+    for rg_i, rg in enumerate(row_groups):
+        for col_i, cc in enumerate(rg.get(1, [])):
+            meta = _chunk_meta(cc)
+            path = ".".join(p.decode() for p in meta[3])
+            start, total = _chunk_span(meta)
+            dict_off = meta.get(11)
+            omap: dict[int, int] = {}
+            pmap: dict[int, tuple[int, int]] = {}
+            chunk_start = len(out)
+            key = column_keys.get(path)
+            if key is None:
+                # plaintext chunk: pages copied verbatim, offsets shifted
+                shift = chunk_start - start
+                out += plain[start : start + total]
+                pos = start
+                first = True
+                for hdr_b, _hdr, body in _walk_pages(plain, start, total):
+                    omap[pos] = pos + shift
+                    if not (dict_off is not None and first):
+                        pmap[pos] = (pos + shift, len(hdr_b) + len(body))
+                    first = False
+                    pos += len(hdr_b) + len(body)
+                boff = meta.get(14)
+                if boff is not None:
+                    bhdr, hend = read_struct(plain, boff)
+                    span = (hend - boff) + bhdr[1]
+                    bloom_new[(rg_i, col_i)] = (len(out), span)
+                    out += plain[boff : boff + span]
+            else:
+                seen_cols.add(path)
+                encrypted.add((rg_i, col_i))
+                chunk_keys[(rg_i, col_i)] = key
+                page_ord = 0
+                pos = start
+                end = start + total
+                for hdr_bytes, hdr, body in _walk_pages(plain, start, total):
+                    is_dict = hdr.get(1) == 2
+                    if is_dict:
+                        hmod = _module_aad(
+                            file_aad, MOD_DICT_PAGE_HEADER, rg_i, col_i)
+                        bmod = _module_aad(
+                            file_aad, MOD_DICT_PAGE, rg_i, col_i)
+                    else:
+                        hmod = _module_aad(file_aad, MOD_DATA_PAGE_HEADER,
+                                           rg_i, col_i, page_ord)
+                        bmod = _module_aad(file_aad, MOD_DATA_PAGE,
+                                           rg_i, col_i, page_ord)
+                        page_ord += 1
+                    omap[pos] = len(out)
+                    out += _encrypt_module(key, hdr_bytes, hmod)
+                    out += _encrypt_module(key, body, bmod)
+                    if not is_dict:
+                        pmap[pos] = (omap[pos], len(out) - omap[pos])
+                    pos += len(hdr_bytes) + len(body)
+                boff = meta.get(14)
+                if boff is not None:
+                    bhdr, hend = read_struct(plain, boff)
+                    new_boff = len(out)
+                    out += _encrypt_module(
+                        key, plain[boff:hend],
+                        _module_aad(file_aad, MOD_BLOOM_HEADER, rg_i, col_i))
+                    out += _encrypt_module(
+                        key, plain[hend : hend + bhdr[1]],
+                        _module_aad(file_aad, MOD_BLOOM_BITSET, rg_i, col_i))
+                    bloom_new[(rg_i, col_i)] = (new_boff, len(out) - new_boff)
+            new_offsets[(rg_i, col_i)] = omap
+            page_maps[(rg_i, col_i)] = pmap
+            sizes[(rg_i, col_i)] = (
+                (len(out) - chunk_start)
+                if (rg_i, col_i) in encrypted else total)
+            if (rg_i, col_i) in encrypted:
+                # bloom modules sit outside total_compressed_size
+                sizes[(rg_i, col_i)] -= (
+                    bloom_new.get((rg_i, col_i), (0, 0))[1])
+    missing = set(column_keys) - seen_cols
+    if missing:
+        raise ValueError(f"column_keys name absent columns: {sorted(missing)}")
+
+    # page index region: encrypted columns as modules, plaintext columns
+    # verbatim (OffsetIndex page locations rewritten for both — the whole
+    # layout moved)
+    pageidx_new: dict[tuple[int, int], dict[str, tuple[int, int]]] = {}
+    for rg_i, rg in enumerate(row_groups):
+        for col_i, cc in enumerate(rg.get(1, [])):
+            entry: dict[str, tuple[int, int]] = {}
+            enc = (rg_i, col_i) in encrypted
+            ci_off, ci_len = cc.get(6), cc.get(7)
+            if ci_off is not None:
+                ci = plain[ci_off : ci_off + ci_len]
+                if enc:
+                    ci = _encrypt_module(
+                        chunk_keys[(rg_i, col_i)], ci,
+                        _module_aad(file_aad, MOD_COLUMN_INDEX, rg_i, col_i))
+                entry["ci"] = (len(out), len(ci))
+                out += ci
+            oi_off, oi_len = cc.get(4), cc.get(5)
+            if oi_off is not None:
+                oi = _patch_offset_index(
+                    plain[oi_off : oi_off + oi_len], page_maps[(rg_i, col_i)])
+                if enc:
+                    oi = _encrypt_module(
+                        chunk_keys[(rg_i, col_i)], oi,
+                        _module_aad(file_aad, MOD_OFFSET_INDEX, rg_i, col_i))
+                entry["oi"] = (len(out), len(oi))
+                out += oi
+            if entry:
+                pageidx_new[(rg_i, col_i)] = entry
+
+    def md_visit(keyc):
+        # offset patches addressed relative to one ColumnMetaData struct
+        def visit(path, v):
+            if path == (7,):
+                return sizes[keyc]
+            if path in ((9,), (11,)):
+                return new_offsets[keyc][v]
+            if path == (14,):
+                return bloom_new[keyc][0]
+            if path == (15,):
+                return bloom_new[keyc][1]
+            return None
+        return visit
+
+    enc_md: dict[tuple[int, int], bytes] = {}
+    for keyc in encrypted:
+        s, e = md_spans[keyc]
+        patched_md, _ = _transcode(fbytes, s, md_visit(keyc))
+        enc_md[keyc] = _encrypt_module(
+            chunk_keys[keyc], patched_md,
+            _module_aad(file_aad, MOD_COLUMN_METADATA, keyc[0], keyc[1]))
+
+    def visit(path, v):
+        if len(path) == 3 and path[0] == 4 and path[2] == 2:
+            return sum(sz for (rg_i, _), sz in sizes.items()
+                       if rg_i == path[1])
+        if len(path) < 5 or path[0] != 4 or path[2] != 1:
+            return None
+        keyc = (path[1], path[3])
+        if path[4:] == (2,):
+            omap = new_offsets[keyc]
+            return omap.get(v, min(omap.values()))
+        if path[4:] == (3, 7):
+            return sizes[keyc]
+        if path[4:] in ((3, 9), (3, 11)):
+            return new_offsets[keyc][v]
+        if path[4:] == (4,):
+            return pageidx_new[keyc]["oi"][0]
+        if path[4:] == (5,):
+            return pageidx_new[keyc]["oi"][1]
+        if path[4:] == (6,):
+            return pageidx_new[keyc]["ci"][0]
+        if path[4:] == (7,):
+            return pageidx_new[keyc]["ci"][1]
+        if path[4:] == (3, 14):
+            return bloom_new[keyc][0]
+        if path[4:] == (3, 15):
+            return bloom_new[keyc][1]
+        return None
+
+    def drop(p):
+        # redaction: Statistics (12) / SizeStatistics (16) of ENCRYPTED
+        # columns leave the plaintext footer — the full ColumnMetaData
+        # travels only inside encrypted_column_metadata
+        return (len(p) == 6 and p[0] == 4 and p[2] == 1 and p[4] == 3
+                and p[5] in (12, 16) and (p[1], p[3]) in encrypted)
+
+    def _field_hdr(fid, last_fid, ctype):
+        delta = fid - last_fid
+        if 0 < delta <= 15:
+            return bytes([(delta << 4) | ctype])
+        return bytes([ctype]) + _uvarint(_zigzag(fid, 16))
+
+    chunk_paths = {
+        (rg_i, col_i): ".".join(p.decode() for p in _chunk_meta(cc)[3])
+        for rg_i, rg in enumerate(row_groups)
+        for col_i, cc in enumerate(rg.get(1, []))
+    }
+
+    def struct_end(path, last_fid):
+        if path == ():
+            # FileMetaData.encryption_algorithm(8) marks the file as
+            # plaintext-footer encrypted; footer_signing_key_metadata(9)
+            algo = StructWriter()
+            if file_aad:
+                algo.binary(2, file_aad)  # AesGcmV1.aad_file_unique
+            extra = (_field_hdr(8, last_fid, CT_STRUCT)
+                     + StructWriter().struct(1, algo).finish())
+            if footer_key_metadata:
+                extra += (_field_hdr(9, 8, CT_BINARY)
+                          + _uvarint(len(footer_key_metadata))
+                          + footer_key_metadata)
+            return extra
+        if not (len(path) == 4 and path[0] == 4 and path[2] == 1):
+            return b""
+        keyc = (path[1], path[3])
+        if keyc not in encrypted or last_fid >= 8:
+            return b""
+        union = StructWriter().struct(
+            2, StructWriter().list_string(
+                1, chunk_paths[keyc].split(".")))
+        emd = enc_md[keyc]
+        return (_field_hdr(8, last_fid, CT_STRUCT) + union.finish()
+                + _field_hdr(9, 8, CT_BINARY) + _uvarint(len(emd)) + emd)
+
+    patched, _ = _transcode(fbytes, 0, visit, struct_end=struct_end,
+                            drop=drop)
+
+    sig = _encrypt_module(
+        footer_key, patched, _module_aad(file_aad, MOD_FOOTER))
+    nonce, tag = sig[4 : 4 + NONCE_LEN], sig[-TAG_LEN:]
+    out += patched
+    out += nonce + tag
+    out += struct.pack("<I", len(patched) + NONCE_LEN + TAG_LEN)
+    out += MAGIC
+    return bytes(out)
+
+
 # --------------------------------------------------------- decrypt side
 
 def read_crypto_footer(buf: bytes) -> dict:
@@ -694,22 +1021,61 @@ class FileDecryptor:
     def __init__(self, buf: bytes, footer_key: bytes,
                  column_keys: dict[str, bytes] | None = None,
                  aad_prefix: bytes = b""):
-        info = read_crypto_footer(buf)
-        if info["supply_aad_prefix"] and not aad_prefix:
-            raise ValueError("file requires caller-supplied aad_prefix")
         self.buf = buf
-        self.file_aad = (aad_prefix or info["aad_prefix"]) \
-            + info["aad_file_unique"]
         self.column_keys = column_keys or {}
         self.modules_decrypted = 0
         self._idx_cache: dict[int, bytes] = {}
-        self.footer_bytes, _ = _decrypt_module(
-            footer_key, buf, info["footer_module_start"],
-            _module_aad(self.file_aad, MOD_FOOTER))
-        self.modules_decrypted += 1
+        self._md_override: dict[tuple[int, int], dict] = {}
+        if buf[-4:] == EMAGIC:
+            self.plaintext_footer = False
+            info = read_crypto_footer(buf)
+            if info["supply_aad_prefix"] and not aad_prefix:
+                raise ValueError("file requires caller-supplied aad_prefix")
+            self.file_aad = (aad_prefix or info["aad_prefix"]) \
+                + info["aad_file_unique"]
+            self.footer_bytes, _ = _decrypt_module(
+                footer_key, buf, info["footer_module_start"],
+                _module_aad(self.file_aad, MOD_FOOTER))
+            self.modules_decrypted += 1
+        elif buf[-4:] == MAGIC:
+            # plaintext-footer mode: PAR1 magic, FileMetaData in the clear
+            # with encryption_algorithm set, footer SIGNED (nonce + GCM
+            # tag between footer and length) — verified by re-encrypting
+            # the footer bytes with the stored nonce and comparing tags
+            # (the InternalFileDecryptor footer-signature contract)
+            self.plaintext_footer = True
+            flen = int.from_bytes(buf[-8:-4], "little")
+            combined = buf[len(buf) - 8 - flen : len(buf) - 8]
+            if len(combined) <= NONCE_LEN + TAG_LEN:
+                raise ValueError("footer too short for a signature")
+            self.footer_bytes = combined[: -(NONCE_LEN + TAG_LEN)]
+            nonce = combined[-(NONCE_LEN + TAG_LEN) : -TAG_LEN]
+            tag = combined[-TAG_LEN:]
+            fmeta0, _ = read_struct(self.footer_bytes)
+            algo = fmeta0.get(8)
+            if algo is None:
+                raise ValueError(
+                    "plaintext parquet file carries no encryption_algorithm")
+            if 2 in algo and 1 not in algo:
+                raise ValueError(
+                    "unsupported encryption algorithm AES_GCM_CTR_V1")
+            gcm = algo.get(1) or {}
+            if gcm.get(3) and not aad_prefix:
+                raise ValueError("file requires caller-supplied aad_prefix")
+            self.file_aad = (aad_prefix or gcm.get(1, b"")) + gcm.get(2, b"")
+            ct = _aesgcm(footer_key).encrypt(
+                nonce, self.footer_bytes,
+                _module_aad(self.file_aad, MOD_FOOTER) or None)
+            if ct[-TAG_LEN:] != tag:
+                raise ValueError(
+                    "footer signature verification failed (wrong footer "
+                    "key or tampered footer)")
+        else:
+            raise ValueError("not a parquet file (magic)")
         fmeta, _ = read_struct(self.footer_bytes)
-        # per-chunk key resolution is a footer-only walk (no data decrypt)
-        self._keys: dict[tuple[int, int], bytes] = {}
+        # per-chunk key resolution is a footer-only walk (no data decrypt);
+        # key None = plaintext chunk (plaintext-footer mode only)
+        self._keys: dict[tuple[int, int], bytes | None] = {}
         for rg_i, rg in enumerate(fmeta.get(4, [])):
             for col_i, cc in enumerate(rg.get(1, [])):
                 meta = _chunk_meta(cc)
@@ -721,10 +1087,37 @@ class FileDecryptor:
                             f"column {path!r} is encrypted with a column "
                             "key; pass it in column_keys")
                     self._keys[(rg_i, col_i)] = self.column_keys[path]
+                elif self.plaintext_footer:
+                    if crypto is not None:
+                        raise ValueError(
+                            "plaintext-footer mode: footer-key-encrypted "
+                            "columns are not allowed by the spec")
+                    self._keys[(rg_i, col_i)] = None
                 else:
                     self._keys[(rg_i, col_i)] = self.column_keys.get(
                         path, footer_key)
+                emd = cc.get(9)
+                if emd is not None and self._keys[(rg_i, col_i)] is not None:
+                    # encrypted_column_metadata: the unredacted
+                    # ColumnMetaData under the column key
+                    md_plain, _ = _decrypt_module(
+                        self._keys[(rg_i, col_i)], emd, 0,
+                        _module_aad(self.file_aad, MOD_COLUMN_METADATA,
+                                    rg_i, col_i))
+                    self.modules_decrypted += 1
+                    self._md_override[(rg_i, col_i)], _ = read_struct(
+                        md_plain)
         self._fmeta = fmeta
+
+    def is_plain(self, rg_i: int, col_i: int) -> bool:
+        """True for an unencrypted chunk of a plaintext-footer file — the
+        reader bypasses decryption for these (the legacy-readable part)."""
+        return self._keys[(rg_i, col_i)] is None
+
+    def md_override(self, rg_i: int, col_i: int) -> dict | None:
+        """The decrypted (unredacted) ColumnMetaData thrift dict for a
+        column-key chunk, or None when the footer copy is authoritative."""
+        return self._md_override.get((rg_i, col_i))
 
     def _mod(self, rg_i: int, col_i: int, pos: int, module: int,
              page: int = -1) -> tuple[bytes, int]:
@@ -819,11 +1212,14 @@ class FileDecryptor:
 
     def count_modules(self) -> int:
         """Total modules in the file WITHOUT decrypting anything: walk the
-        4-byte length framing across every chunk span, bloom and page-index
-        pointer, plus the footer module."""
-        total = 1  # footer
-        for rg in self._fmeta.get(4, []):
-            for cc in rg.get(1, []):
+        4-byte length framing across every ENCRYPTED chunk span, bloom and
+        page-index pointer, plus the footer module (encrypted-footer mode)
+        and each encrypted_column_metadata."""
+        total = 0 if self.plaintext_footer else 1  # footer
+        for rg_i, rg in enumerate(self._fmeta.get(4, [])):
+            for col_i, cc in enumerate(rg.get(1, [])):
+                if self.is_plain(rg_i, col_i):
+                    continue
                 meta = _chunk_meta(cc)
                 start, span = _chunk_span(meta)
                 pos, end = start, start + span
@@ -834,6 +1230,8 @@ class FileDecryptor:
                 if meta.get(14) is not None:
                     total += 2  # bloom header + bitset
                 total += sum(1 for f in (4, 6) if cc.get(f) is not None)
+                if cc.get(9) is not None:
+                    total += 1  # encrypted_column_metadata
         return total
 
 

@@ -182,20 +182,33 @@ def parse_footer_bytes(fbytes: bytes) -> dict:
             chunks.append({
                 "rg": rg_i,
                 "col": col_i,
-                "path": [p.decode() for p in md[3]],
-                "codec": _CODEC.get(md[4], f"codec{md[4]}"),
-                "num_values": md[5],
-                "total_compressed": md[7],
-                "data_off": md[9],
-                "dict_off": md.get(11),
-                "stats": md.get(12),  # Statistics struct (thrift field ids)
-                "encstats": md.get(13),  # PageEncodingStats list
-                "bloom": (md.get(14), md.get(15)),  # bloom filter off/len
+                **_chunk_fields(md),
                 "offidx": (cc.get(4), cc.get(5)),   # OffsetIndex off/len
                 "colidx": (cc.get(6), cc.get(7)),   # ColumnIndex off/len
+                "crypto": cc.get(8),  # ColumnCryptoMetaData union
             })
         row_groups.append({"num_rows": rg[3], "chunks": chunks})
-    return {"num_rows": fmeta[3], "schema": cols, "row_groups": row_groups}
+    return {"num_rows": fmeta[3], "schema": cols, "row_groups": row_groups,
+            # present on plaintext-footer encrypted files (PAR1 magic +
+            # per-column encryption): FileMetaData field 8
+            "encryption_algorithm": fmeta.get(8)}
+
+
+def _chunk_fields(md: dict) -> dict:
+    """ColumnMetaData thrift struct -> the reader's chunk-dict fields.
+    Also applied to a decrypted encrypted_column_metadata to restore the
+    redacted statistics of a column-key chunk (plaintext-footer mode)."""
+    return {
+        "path": [p.decode() for p in md[3]],
+        "codec": _CODEC.get(md[4], f"codec{md[4]}"),
+        "num_values": md[5],
+        "total_compressed": md[7],
+        "data_off": md[9],
+        "dict_off": md.get(11),
+        "stats": md.get(12),  # Statistics struct (thrift field ids)
+        "encstats": md.get(13),  # PageEncodingStats list
+        "bloom": (md.get(14), md.get(15)),  # bloom filter off/len
+    }
 
 
 def _decompress(body: bytes, codec: str, raw_size: int) -> bytes:
@@ -531,6 +544,20 @@ def read_parquet(path_or_buf, columns: list[str] | None = None):
     meta = read_footer(buf)
     by_name = {c["name"]: c for c in meta["schema"]}
     want = columns or [c["name"] for c in meta["schema"]]
+    if meta.get("encryption_algorithm") is not None:
+        # plaintext-footer encrypted file: only the plaintext columns are
+        # readable here (the legacy-reader contract); the keyed path is
+        # read_parquet_filtered(..., footer_key=...)
+        enc_names = {
+            ch["path"][0]
+            for rg in meta["row_groups"] for ch in rg["chunks"]
+            if ch.get("crypto") is not None
+        }
+        bad = sorted(set(want) & enc_names)
+        if bad:
+            raise ValueError(
+                f"columns {bad} are encrypted; use read_parquet_filtered "
+                "with footer_key/column_keys")
     out = {}
     for name in want:
         col = by_name[name]
@@ -964,6 +991,7 @@ def _rg_dict_can_match(pred, rg, by_name, buf, report, crypto=None):
     if chunk["dict_off"] is None or not _all_pages_dict(chunk):
         return True
     leaf = by_name[name]
+    crypto = _chunk_crypto(crypto, chunk)
     if crypto is None:
         hdr, body_pos = read_struct(buf, chunk["dict_off"])
         body = buf[body_pos : body_pos + hdr[3]]
@@ -1030,6 +1058,7 @@ def _rg_bloom_can_match(pred, rg, by_name, buf, report, crypto=None):
     off, _ln = chunk.get("bloom", (None, None))
     if off is None:
         return True
+    crypto = _chunk_crypto(crypto, chunk)
     if crypto is None:
         hdr, pos = read_struct(buf, off)
         bits = buf[pos : pos + hdr[1]]
@@ -1050,7 +1079,17 @@ def _rg_bloom_can_match(pred, rg, by_name, buf, report, crypto=None):
     return bool(bf.contains_hashes(np.array([h], dtype=np.uint64))[0])
 
 
+def _chunk_crypto(crypto, chunk):
+    """The decryptor to use for THIS chunk: None for plaintext chunks of a
+    plaintext-footer file (read directly), the FileDecryptor otherwise."""
+    if crypto is None or crypto.is_plain(chunk["rg"], chunk["col"]):
+        return None
+    return crypto
+
+
 def _parse_column_index(buf, off, ln, chunk=None, crypto=None):
+    if crypto is not None:
+        crypto = _chunk_crypto(crypto, chunk)
     if crypto is not None:
         ci, _ = read_struct(crypto.column_index(chunk["rg"], chunk["col"],
                                                 off))
@@ -1065,6 +1104,8 @@ def _parse_column_index(buf, off, ln, chunk=None, crypto=None):
 
 
 def _parse_offset_index(buf, off, ln, chunk=None, crypto=None):
+    if crypto is not None:
+        crypto = _chunk_crypto(crypto, chunk)
     if crypto is not None:
         oi, _ = read_struct(crypto.offset_index(chunk["rg"], chunk["col"],
                                                 off))
@@ -1144,6 +1185,7 @@ def _decode_chunk_rows(buf, chunk, col, nrows, ranges, report, crypto=None):
     OffsetIndex when present) and return (values, validity, covered_rows
     bool[nrows]). With ``crypto`` (an encrypted file scanned natively),
     ONLY the surviving page modules are decrypted."""
+    crypto = _chunk_crypto(crypto, chunk)
     oi_off, oi_len = chunk["offidx"]
     covered = np.zeros(nrows, dtype=bool)
     if oi_off is None:
@@ -1298,6 +1340,7 @@ def read_parquet_filtered(path_or_buf, predicate,
         with open(path_or_buf, "rb") as f:
             buf = f.read()
     crypto = None
+    enc_names: set[str] = set()
     if buf[-4:] == b"PARE":
         if footer_key is None:
             raise ValueError(
@@ -1309,6 +1352,28 @@ def read_parquet_filtered(path_or_buf, predicate,
         meta = parse_footer_bytes(crypto.footer_bytes)
     else:
         meta = read_footer(buf)
+        if meta.get("encryption_algorithm") is not None:
+            # plaintext-footer mode (PAR1 magic, per-column encryption)
+            if footer_key is None:
+                # legacy-reader path: the plaintext columns remain
+                # readable without any key — the point of the mode
+                enc_names = {
+                    ch["path"][0]
+                    for rg in meta["row_groups"] for ch in rg["chunks"]
+                    if ch.get("crypto") is not None
+                }
+            else:
+                from .parquet_crypto import FileDecryptor
+
+                crypto = FileDecryptor(buf, footer_key, column_keys,
+                                       aad_prefix)
+                for rg in meta["row_groups"]:
+                    for ch in rg["chunks"]:
+                        md = crypto.md_override(ch["rg"], ch["col"])
+                        if md is not None:
+                            # restore the redacted stats/bloom pointers
+                            # from encrypted_column_metadata
+                            ch.update(_chunk_fields(md))
     by_name = {c["name"]: c for c in meta["schema"]}
     want = columns or [c["name"] for c in meta["schema"]]
     for name in set(want) | _pred_cols(predicate):
@@ -1316,6 +1381,10 @@ def read_parquet_filtered(path_or_buf, predicate,
             raise ValueError(
                 f"filtered scan: column {name!r} is nested (flat only)"
             )
+        if name in enc_names:
+            raise ValueError(
+                f"column {name!r} is encrypted; pass footer_key and its "
+                "column key to read it")
     read_cols = list(dict.fromkeys(list(want) + sorted(
         _pred_cols(predicate) - set(want)
     )))

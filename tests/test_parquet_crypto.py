@@ -295,6 +295,100 @@ def test_native_encrypted_filtered_scan(tmp_path):
     assert repd["modules_decrypted"] < repd["modules_total"]
 
 
+def test_plaintext_footer_mode(tmp_path):
+    """r6: PLAINTEXT-FOOTER encryption (Encryption.md plaintext footer
+    mode — the other spec mode, previously a declared gap): PAR1 magic,
+    plaintext FileMetaData with encryption_algorithm set and a 28-byte
+    GCM footer signature, column-key-encrypted columns whose footer
+    ColumnMetaData is REDACTED (stats stripped) with the full metadata in
+    encrypted_column_metadata. Legacy readers read the plaintext columns
+    (DuckDB does, in this test); key holders get everything back including
+    restored stats/bloom pruning; the signature catches tampering."""
+    from pq_engine.interop.parquet_crypto import (
+        encrypt_parquet_plaintext_footer,
+    )
+    from pq_engine.interop.parquet_reader import (
+        read_footer,
+        read_parquet_filtered_pandas,
+    )
+
+    n = 4000
+    tags = [(f"aa{i // 1000}" if i % 2 == 0 else f"zz{i // 1000}").encode()
+            for i in range(n)]
+    path = str(tmp_path / "pf.parquet")
+    write_parquet(path, [
+        {"name": "id", "ptype": "int64", "codec": "plain",
+         "values": np.arange(n, dtype=np.int64)},
+        {"name": "tag", "ptype": "string", "codec": "plain",
+         "values": _ragged(tags)},
+        {"name": "score", "ptype": "float64", "codec": "plain",
+         "values": np.arange(n) * 0.25},
+    ], n, row_group_size=1000, data_page_rows=100,
+        bloom_columns=["tag"], compression="zstd")
+    plain = open(path, "rb").read()
+    enc = encrypt_parquet_plaintext_footer(plain, FK, {"tag": CK})
+    assert enc[:4] == b"PAR1" and enc[-4:] == b"PAR1"
+
+    # redaction: no key needed to see the footer, but the encrypted
+    # column's stats are gone; the plaintext column keeps its stats
+    meta = read_footer(enc)
+    chunks0 = meta["row_groups"][0]["chunks"]
+    assert chunks0[1]["crypto"] is not None and chunks0[1]["stats"] is None
+    assert chunks0[0]["crypto"] is None and chunks0[0]["stats"] is not None
+
+    # key holder: identical rows AND identical pruning vs the plaintext
+    # original (stats/bloom restored from encrypted_column_metadata)
+    pred = ("and", ("ge", "id", 2500), ("lt", "id", 2600))
+    df0, rep0 = read_parquet_filtered_pandas(path, pred)
+    df1, rep1 = read_parquet_filtered_pandas(
+        enc, pred, footer_key=FK, column_keys={"tag": CK})
+    assert list(df1["id"]) == list(df0["id"])
+    assert list(df1["tag"]) == list(df0["tag"])
+    assert {k: rep1[k] for k in rep0} == rep0
+    assert rep1["modules_decrypted"] < rep1["modules_total"] // 10
+
+    # bloom pruning ON the encrypted column, from the carried modules
+    dfb, repb = read_parquet_filtered_pandas(
+        enc, ("eq", "tag", "qq9"), footer_key=FK, column_keys={"tag": CK})
+    assert len(dfb) == 0 and repb["row_groups_bloom_pruned"] == 4
+
+    # legacy reader path: plaintext columns readable with NO keys...
+    dfl, _ = read_parquet_filtered_pandas(
+        enc, ("ge", "id", 3990), columns=["id", "score"])
+    assert list(dfl["id"]) == list(range(3990, 4000))
+    assert len(read_parquet_pandas(enc, columns=["id", "score"])) == n
+    # ...and DuckDB (a real legacy reader) reads them from the same bytes
+    duckdb = pytest.importorskip("duckdb")
+    ep = str(tmp_path / "pf_enc.parquet")
+    open(ep, "wb").write(enc)
+    cnt, sm = duckdb.sql(
+        f"SELECT count(*), sum(id) FROM (SELECT id FROM "
+        f"read_parquet('{ep}'))").fetchone()
+    assert (cnt, sm) == (n, n * (n - 1) // 2)
+
+    # the encrypted column refuses BY NAME without keys
+    with pytest.raises(ValueError, match="encrypted"):
+        read_parquet_filtered_pandas(enc, ("eq", "tag", "aa1"))
+    with pytest.raises(ValueError, match="encrypted"):
+        read_parquet_pandas(enc)
+
+    # footer signature: wrong key and tampered footer both refuse
+    with pytest.raises(ValueError, match="signature"):
+        read_parquet_filtered_pandas(enc, pred, footer_key=CK,
+                                     column_keys={"tag": CK})
+    bad = bytearray(enc)
+    bad[-40] ^= 1
+    with pytest.raises(ValueError, match="signature"):
+        read_parquet_filtered_pandas(bytes(bad), pred, footer_key=FK,
+                                     column_keys={"tag": CK})
+
+    # guard rails: empty column_keys and absent columns refuse
+    with pytest.raises(ValueError, match="column_keys"):
+        encrypt_parquet_plaintext_footer(plain, FK, {})
+    with pytest.raises(ValueError, match="absent"):
+        encrypt_parquet_plaintext_footer(plain, FK, {"nope": CK})
+
+
 def test_module_aad_suffix_shapes():
     aad = b"fileaad!"
     assert _module_aad(aad, 0) == aad + b"\x00"
@@ -368,6 +462,18 @@ def test_cli_encrypt_decrypt_commands(tmp_path, capsys):
     # missing key exits with a clear message
     with pytest.raises(SystemExit, match="--key"):
         main(["decrypt-parquet", enc, "--out", dec])
+    # plaintext-footer mode via the flag: PAR1 magic kept, legacy read of
+    # the plaintext columns works straight off the output
+    pf = str(tmp_path / "pf.parquet")
+    main(["encrypt-parquet", ppath, "--out", pf,
+          "--key", FK.hex(), "--column-key", f"name={CK.hex()}",
+          "--plaintext-footer"])
+    assert open(pf, "rb").read()[:4] == b"PAR1"
+    assert "plaintext-footer" in capsys.readouterr().out
+    assert len(read_parquet_pandas(pf, columns=["id", "score"])) == 400
+    with pytest.raises(SystemExit, match="column-key"):
+        main(["encrypt-parquet", ppath, "--out", pf, "--key", FK.hex(),
+              "--plaintext-footer"])
 
 
 def test_encrypt_pyarrow_written_file_drops_stale_page_index(tmp_path):
