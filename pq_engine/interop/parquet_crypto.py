@@ -322,18 +322,34 @@ def _patch_offset_index(idx_bytes: bytes, page_map: dict) -> bytes:
     return out
 
 
+def _patch_page_size(hdr_bytes: bytes, new_size: int) -> bytes:
+    """Rewrite PageHeader.compressed_page_size (field 3). The spec makes
+    this field the CIPHERTEXT length for encrypted pages (the reader must
+    know how many file bytes the body module occupies — parquet-cpp and
+    parquet-mr both write it so); the decrypt direction restores the
+    plaintext length."""
+    out, _ = _transcode(
+        hdr_bytes, 0, lambda p, v: new_size if p == (3,) else None)
+    return out
+
+
 # --------------------------------------------------------- encrypt side
 
 def encrypt_parquet(plain: bytes, footer_key: bytes,
                     column_keys: dict[str, bytes] | None = None,
                     aad_mode: str = "spec",
-                    key_metadata: bytes | None = None) -> bytes:
+                    key_metadata: bytes | None = None,
+                    column_key_metadata: dict[str, bytes] | None = None
+                    ) -> bytes:
     """Plaintext parquet bytes -> encrypted-footer (PARE) file bytes.
 
     ``column_keys`` maps dotted column paths to per-column AES keys; other
     columns use ``footer_key``. ``aad_mode='spec'`` stores a random
     aad_file_unique and applies the per-module AAD suffixes;
-    ``'empty'`` uses empty AAD (DuckDB-compatible)."""
+    ``'empty'`` uses empty AAD (DuckDB-compatible). ``key_metadata`` /
+    ``column_key_metadata`` attach opaque key identifiers (e.g. the
+    keytools PKMT1 envelopes) to the footer and to each column-key
+    chunk's crypto metadata."""
     if plain[:4] != MAGIC or plain[-4:] != MAGIC:
         raise ValueError("encrypt_parquet input is not a plaintext parquet file")
     if aad_mode not in ("spec", "empty"):
@@ -380,8 +396,14 @@ def encrypt_parquet(plain: bytes, footer_key: bytes,
                         file_aad, MOD_DATA_PAGE, rg_i, col_i, page_ord)
                     page_ord += 1
                 omap[pos] = len(out)
-                out += _encrypt_module(key, hdr_bytes, hmod)
-                out += _encrypt_module(key, body, bmod)
+                body_mod = _encrypt_module(key, body, bmod)
+                # spec (parquet-mr/arrow): compressed_page_size holds the
+                # ciphertext module length; DuckDB 1.x (empty-AAD peer)
+                # expects the plaintext length and over-reads otherwise
+                hdr_out = (_patch_page_size(hdr_bytes, len(body_mod))
+                           if aad_mode == "spec" else hdr_bytes)
+                out += _encrypt_module(key, hdr_out, hmod)
+                out += body_mod
                 if not is_dict:
                     pmap[pos] = (omap[pos], len(out) - omap[pos])
                 pos += len(hdr_bytes) + len(body)
@@ -472,8 +494,13 @@ def encrypt_parquet(plain: bytes, footer_key: bytes,
 
     # spec mode: ColumnChunk.crypto_metadata (field 8) — union field 1
     # (ENCRYPTION_WITH_FOOTER_KEY, empty struct) for footer-key chunks,
-    # union field 2 (ENCRYPTION_WITH_COLUMN_KEY{path_in_schema}) for
-    # column-key chunks, spliced delta-correctly before each chunk's STOP.
+    # union field 2 (ENCRYPTION_WITH_COLUMN_KEY{path_in_schema,
+    # key_metadata}) for column-key chunks, spliced delta-correctly before
+    # each chunk's STOP. Column-key chunks ALSO get field 9
+    # encrypted_column_metadata — the full ColumnMetaData (offsets patched
+    # to the encrypted layout) as its own module under the COLUMN key:
+    # parquet-cpp/mr readers require it for column-key chunks, and it is
+    # what makes the column's stats readable only to column-key holders.
     # empty mode matches DuckDB, which writes no crypto_metadata at all.
     chunk_paths = {
         (rg_i, col_i): ".".join(p.decode() for p in _chunk_meta(cc)[3])
@@ -481,28 +508,48 @@ def encrypt_parquet(plain: bytes, footer_key: bytes,
         for col_i, cc in enumerate(rg.get(1, []))
     }
 
+    md_spans = _md_spans(plain[fstart : fstart + flen]) if column_keys \
+        else {}
+
+    def _field_hdr(fid, last_fid, ctype):
+        delta = fid - last_fid
+        if 0 < delta <= 15:
+            return bytes([(delta << 4) | ctype])
+        return bytes([ctype]) + _uvarint(_zigzag(fid, 16))
+
     def struct_end(path, last_fid):
         if not (len(path) == 4 and path[0] == 4 and path[2] == 1):
             return b""
         if aad_mode != "spec" and not column_keys:
             return b""
-        cpath = chunk_paths.get((path[1], path[3]))
+        keyc = (path[1], path[3])
+        cpath = chunk_paths.get(keyc)
         if cpath is None or 8 <= last_fid:
             return b""
         if cpath in column_keys:
-            union = StructWriter().struct(
-                2, StructWriter().list_string(1, cpath.split(".")))
-        elif aad_mode == "spec":
-            union = StructWriter().struct(1, StructWriter())
-        else:
-            return b""
-        delta = 8 - last_fid
-        hdr = (
-            bytes([(delta << 4) | CT_STRUCT])
-            if 0 < delta <= 15
-            else bytes([CT_STRUCT]) + _uvarint(_zigzag(8, 16))
-        )
-        return hdr + union.finish()
+            inner = StructWriter().list_string(1, cpath.split("."))
+            ckm = (column_key_metadata or {}).get(cpath)
+            if ckm:
+                inner.binary(2, ckm)
+            union = StructWriter().struct(2, inner)
+            s, e = md_spans[keyc]
+            patched_md, _ = _transcode(
+                plain, fstart + s,
+                lambda p, v, kc=keyc: visit((4, kc[0], 1, kc[1], 3) + p, v))
+            emd = _encrypt_module(
+                column_keys[cpath], patched_md,
+                _module_aad(file_aad, MOD_COLUMN_METADATA,
+                            keyc[0], keyc[1]))
+            return (_field_hdr(8, last_fid, CT_STRUCT) + union.finish()
+                    + _field_hdr(9, 8, CT_BINARY)
+                    + _uvarint(len(emd)) + emd)
+        # footer-key chunk: tagged ENCRYPTION_WITH_FOOTER_KEY in spec
+        # mode AND whenever column keys exist — in a file with any
+        # tagged chunk, untagged means PLAINTEXT (the arrow/parquet-mr
+        # subset-encryption contract), so partial tagging would
+        # misread footer-key chunks as plaintext
+        union = StructWriter().struct(1, StructWriter())
+        return _field_hdr(8, last_fid, CT_STRUCT) + union.finish()
 
     patched, _ = _transcode(plain, fstart, visit, struct_end=struct_end)
 
@@ -668,8 +715,11 @@ def encrypt_parquet_plaintext_footer(
                                            rg_i, col_i, page_ord)
                         page_ord += 1
                     omap[pos] = len(out)
-                    out += _encrypt_module(key, hdr_bytes, hmod)
-                    out += _encrypt_module(key, body, bmod)
+                    body_mod = _encrypt_module(key, body, bmod)
+                    hdr_out = (_patch_page_size(hdr_bytes, len(body_mod))
+                               if aad_mode == "spec" else hdr_bytes)
+                    out += _encrypt_module(key, hdr_out, hmod)
+                    out += body_mod
                     if not is_dict:
                         pmap[pos] = (omap[pos], len(out) - omap[pos])
                     pos += len(hdr_bytes) + len(body)
@@ -924,7 +974,9 @@ def decrypt_parquet(buf: bytes, footer_key: bytes,
                 omap[pos] = len(out)
                 hdr_bytes, pos = _decrypt_module(key, buf, pos, hmod)
                 body, pos = _decrypt_module(key, buf, pos, bmod)
-                out += hdr_bytes
+                # compressed_page_size back to the plaintext length (it
+                # held the ciphertext module length in the encrypted file)
+                out += _patch_page_size(hdr_bytes, len(body))
                 out += body
                 if not is_dict:
                     pmap[mod_start] = (
@@ -1074,14 +1126,25 @@ class FileDecryptor:
             raise ValueError("not a parquet file (magic)")
         fmeta, _ = read_struct(self.footer_bytes)
         # per-chunk key resolution is a footer-only walk (no data decrypt);
-        # key None = plaintext chunk (plaintext-footer mode only)
+        # key None = plaintext chunk (plaintext-footer mode only). For a
+        # column-key chunk the dotted path comes from the crypto-metadata
+        # union — parquet-mr/arrow REMOVE the inline meta_data entirely for
+        # those chunks (full redaction) and only encrypted_column_metadata
+        # carries it, so meta_data may legitimately be absent here.
         self._keys: dict[tuple[int, int], bytes | None] = {}
+        # a spec-compliant writer (parquet-mr/arrow/ours in spec mode)
+        # tags every ENCRYPTED chunk with crypto_metadata, so an untagged
+        # chunk in such a file is PLAINTEXT (arrow encrypts only the
+        # column_keys subset); DuckDB tags nothing and encrypts everything
+        any_tagged = any(
+            cc.get(8) is not None
+            for rg in fmeta.get(4, []) for cc in rg.get(1, []))
         for rg_i, rg in enumerate(fmeta.get(4, [])):
             for col_i, cc in enumerate(rg.get(1, [])):
-                meta = _chunk_meta(cc)
-                path = ".".join(p.decode() for p in meta[3])
                 crypto = cc.get(8)
                 if crypto is not None and 2 in crypto:
+                    path = ".".join(
+                        p.decode() for p in crypto[2].get(1, []))
                     if path not in self.column_keys:
                         raise ValueError(
                             f"column {path!r} is encrypted with a column "
@@ -1093,7 +1156,10 @@ class FileDecryptor:
                             "plaintext-footer mode: footer-key-encrypted "
                             "columns are not allowed by the spec")
                     self._keys[(rg_i, col_i)] = None
+                elif crypto is None and any_tagged:
+                    self._keys[(rg_i, col_i)] = None  # plaintext chunk
                 else:
+                    path = ".".join(p.decode() for p in _chunk_meta(cc)[3])
                     self._keys[(rg_i, col_i)] = self.column_keys.get(
                         path, footer_key)
                 emd = cc.get(9)
@@ -1107,7 +1173,17 @@ class FileDecryptor:
                     self.modules_decrypted += 1
                     self._md_override[(rg_i, col_i)], _ = read_struct(
                         md_plain)
+                elif cc.get(3) is None:
+                    raise ValueError(
+                        "ColumnChunk carries neither meta_data nor "
+                        "encrypted_column_metadata")
         self._fmeta = fmeta
+
+    @property
+    def md_overrides(self) -> dict[tuple[int, int], dict]:
+        """All decrypted ColumnMetaData structs keyed by (rg, col) — fed to
+        parse_footer_bytes so redacted chunks get their true metadata."""
+        return self._md_override
 
     def is_plain(self, rg_i: int, col_i: int) -> bool:
         """True for an unencrypted chunk of a plaintext-footer file — the
@@ -1130,7 +1206,9 @@ class FileDecryptor:
     def page(self, rg_i: int, col_i: int, off: int, is_dict: bool,
              ordinal: int = -1) -> tuple[bytes, bytes, int]:
         """Decrypt ONE page (header module + body module) at ``off`` ->
-        (header thrift bytes, plaintext body, end position)."""
+        (header thrift bytes, plaintext body, end position). The header's
+        compressed_page_size is rewritten back to the plaintext length
+        (encrypted files store the ciphertext module length there)."""
         if is_dict:
             hdr, pos = self._mod(rg_i, col_i, off, MOD_DICT_PAGE_HEADER)
             body, pos = self._mod(rg_i, col_i, pos, MOD_DICT_PAGE)
@@ -1138,7 +1216,7 @@ class FileDecryptor:
             hdr, pos = self._mod(
                 rg_i, col_i, off, MOD_DATA_PAGE_HEADER, ordinal)
             body, pos = self._mod(rg_i, col_i, pos, MOD_DATA_PAGE, ordinal)
-        return hdr, body, pos
+        return _patch_page_size(hdr, len(body)), body, pos
 
     def bloom(self, rg_i: int, col_i: int, off: int) -> tuple[dict, bytes]:
         """Decrypt a chunk's BloomFilterHeader + bitset modules."""
@@ -1220,7 +1298,7 @@ class FileDecryptor:
             for col_i, cc in enumerate(rg.get(1, [])):
                 if self.is_plain(rg_i, col_i):
                     continue
-                meta = _chunk_meta(cc)
+                meta = self._md_override.get((rg_i, col_i)) or _chunk_meta(cc)
                 start, span = _chunk_span(meta)
                 pos, end = start, start + span
                 while pos < end:

@@ -85,10 +85,15 @@ def read_footer(buf: bytes) -> dict:
     return parse_footer_bytes(buf[len(buf) - 8 - flen : len(buf) - 8])
 
 
-def parse_footer_bytes(fbytes: bytes) -> dict:
+def parse_footer_bytes(fbytes: bytes, md_overrides: dict | None = None
+                       ) -> dict:
     """Parse raw FileMetaData thrift bytes (the footer struct itself) —
     the entry point for encrypted files, whose footer arrives as a
-    decrypted module rather than a tail slice."""
+    decrypted module rather than a tail slice. ``md_overrides`` maps
+    (rg_i, col_i) to a decrypted ColumnMetaData struct for chunks whose
+    footer copy was redacted or removed (encrypted_column_metadata —
+    parquet-mr/arrow remove the inline meta_data entirely for column-key
+    chunks)."""
     fmeta, _ = read_struct(fbytes)
     schema_elems = fmeta.get(2, [])
     if not schema_elems:
@@ -177,6 +182,8 @@ def parse_footer_bytes(fbytes: bytes) -> dict:
         chunks = []
         for col_i, cc in enumerate(rg.get(1, [])):
             md = cc.get(3)
+            if md_overrides and (rg_i, col_i) in md_overrides:
+                md = md_overrides[(rg_i, col_i)]
             if md is None:
                 raise ValueError("column chunk without inline metadata")
             chunks.append({
@@ -1349,7 +1356,7 @@ def read_parquet_filtered(path_or_buf, predicate,
         from .parquet_crypto import FileDecryptor
 
         crypto = FileDecryptor(buf, footer_key, column_keys, aad_prefix)
-        meta = parse_footer_bytes(crypto.footer_bytes)
+        meta = parse_footer_bytes(crypto.footer_bytes, crypto.md_overrides)
     else:
         meta = read_footer(buf)
         if meta.get("encryption_algorithm") is not None:

@@ -272,7 +272,9 @@ def test_native_encrypted_filtered_scan(tmp_path):
         enc, ("eq", "tag", "qq9"), footer_key=FK, column_keys={"tag": CK})
     assert len(dfb) == 0 and repb["row_groups_bloom_pruned"] == 4
     assert repb["pages_scanned"] == 0
-    assert repb["modules_decrypted"] == 1 + 2 * 4  # footer + 4 blooms
+    # footer + 4 blooms (hdr+bitset) + 4 encrypted_column_metadata (the
+    # column-key chunks' redacted footer copies, one per row group)
+    assert repb["modules_decrypted"] == 1 + 2 * 4 + 4
 
     # missing column key refuses by name
     with pytest.raises(ValueError, match="column key"):
