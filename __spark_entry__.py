@@ -1805,6 +1805,138 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             scan, "doc_id long, lang string, n_chars long"
         )
 
+    def keytools_rotation_scan(spark, sf_dir):
+        """r6: the full KEY MANAGEMENT lifecycle over distributed data —
+        the parquet-hadoop crypto/keytools package (KeyToolkit.java
+        encryptKeyLocally / FileKeyWrapper double wrapping /
+        KeyMaterial PKMT1 envelopes / rotateMasterKeys). Each partition:
+        writes a multi-row-group file, encrypts it with MASTER KEYS ONLY
+        (fresh DEKs double-wrapped: DEK<-KEK<-master, envelopes stored in
+        key_metadata), then ROTATES to v2 master keys — a footer-tail
+        rewrite that must not touch one data byte (asserted). The scan
+        resolves keys from the rotated file + v2 masters alone
+        (resolve_file_keys), asserts the v1 masters now FAIL at GCM
+        unwrap, and reads through the native filtered reader. A sample
+        task also reads the same rotated file with pyarrow's own
+        CryptoFactory (arrow C++ encryption) for a second-implementation
+        proof. Hash-oracled against DuckDB on the same band."""
+        import os as _os
+        import tempfile as _tmp
+        import uuid as _uuid_mod
+
+        src = _read(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        mx = src.agg(F.max("doc_id")).collect()[0][0]
+        lo, hi = int(0.60 * mx), int(0.65 * mx)
+        out_dir = _tmp.mkdtemp(prefix="pq_keytools_")
+        v1 = {"kf": b"0123456789012345", "kc": b"abcdefghijklmnop"}
+        v2 = {"kf": b"FfFfFfFfFfFfFfFf", "kc": b"CcCcCcCcCcCcCcCc"}
+
+        def write_part(batches):
+            import numpy as _np
+
+            from pq_engine.interop.parquet_keytools import (
+                encrypt_parquet_keytools,
+                rotate_master_keys,
+            )
+            from pq_engine.interop.parquet_writer import write_parquet
+            from pq_engine.kernels.ragged import RaggedBytes
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pdf = pdf.sort_values("doc_id")
+                langs = [s.encode() for s in pdf["lang"]]
+                offs = _np.zeros(len(langs) + 1, _np.int64)
+                for i, s in enumerate(langs):
+                    offs[i + 1] = offs[i] + len(s)
+                path = _os.path.join(
+                    out_dir, f"part-{_uuid_mod.uuid4().hex}.pare")
+                write_parquet(path + ".plain", [
+                    {"name": "doc_id", "ptype": "int64", "codec": "delta",
+                     "values": pdf["doc_id"].to_numpy(_np.int64)},
+                    {"name": "lang", "ptype": "string", "codec": "dict",
+                     "values": RaggedBytes(
+                         offs, _np.frombuffer(b"".join(langs), _np.uint8))},
+                    {"name": "n_chars", "ptype": "int64", "codec": "plain",
+                     "values": pdf["n_chars"].to_numpy(_np.int64)},
+                ], len(pdf), compression="zstd",
+                    row_group_size=max(64, len(pdf) // 4))
+                plain = open(path + ".plain", "rb").read()
+                _os.unlink(path + ".plain")
+                enc = encrypt_parquet_keytools(
+                    plain, v1, "kf", {"lang": "kc"}, double_wrapping=True)
+                rot = rotate_master_keys(enc, v1, v2, double_wrapping=True)
+                # rotation rewrites ONLY the tail: data region identical
+                import struct as _st
+                c_old = _st.unpack_from("<I", enc, len(enc) - 8)[0]
+                c_new = _st.unpack_from("<I", rot, len(rot) - 8)[0]
+                assert (enc[: len(enc) - 8 - c_old]
+                        == rot[: len(rot) - 8 - c_new])
+                with open(path, "wb") as f:
+                    f.write(rot)
+                yield pandas.DataFrame({"path": [path]})
+
+        files = src.repartition(2).mapInPandas(write_part, "path string")
+
+        def scan(batches):
+            from pq_engine.interop.parquet_keytools import resolve_file_keys
+            from pq_engine.interop.parquet_reader import (
+                read_parquet_filtered_pandas,
+            )
+
+            pred = ("and", ("ge", "doc_id", lo), ("lt", "doc_id", hi))
+            arrow_checked = False
+            for pdf in batches:
+                for p in pdf["path"]:
+                    buf = open(p, "rb").read()
+                    # the retired v1 masters must fail at GCM unwrap
+                    try:
+                        resolve_file_keys(buf, v1)
+                        raise AssertionError("v1 masters still unwrap")
+                    except ValueError:
+                        pass
+                    fk, cks = resolve_file_keys(buf, v2)
+                    assert set(cks) == {"lang"}
+                    df, rep = read_parquet_filtered_pandas(
+                        buf, pred, footer_key=fk, column_keys=cks)
+                    assert rep["modules_decrypted"] < rep["modules_total"]
+                    if not arrow_checked:
+                        # second implementation: arrow C++ CryptoFactory
+                        # reads the rotated file with v2 masters
+                        import pyarrow.parquet as _papq
+                        import pyarrow.parquet.encryption as _pe
+                        from pq_engine.interop.parquet_keytools import (
+                            unwrap_key_locally,
+                            wrap_key_locally,
+                        )
+
+                        class _Kms(_pe.KmsClient):
+                            def __init__(self, c):
+                                _pe.KmsClient.__init__(self)
+
+                            def wrap_key(self, k, mid):
+                                return wrap_key_locally(k, v2[mid], mid)
+
+                            def unwrap_key(self, w, mid):
+                                return unwrap_key_locally(w, v2[mid], mid)
+
+                        cf = _pe.CryptoFactory(lambda c: _Kms(c))
+                        tbl = _papq.ParquetFile(
+                            p, decryption_properties=cf.
+                            file_decryption_properties(
+                                _pe.KmsConnectionConfig())).read()
+                        pa_band = tbl.to_pandas().query(
+                            "doc_id >= @lo and doc_id < @hi")
+                        assert len(pa_band) == len(df), \
+                            (len(pa_band), len(df))
+                        arrow_checked = True
+                    yield df
+        return files.repartition(4).mapInPandas(
+            scan, "doc_id long, lang string, n_chars long"
+        )
+
     def external_struct_map_rt(spark, sf_dir):
         """r6: MAP/STRUCT through the from-scratch parquet writer AND
         reader (both directions new this round — parquet_reader.py read
@@ -2224,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encrypted_parquet_interop": encrypted_parquet_interop,  # new in r6
         "encrypted_native_scan": encrypted_native_scan,  # new in r6
         "plaintext_footer_scan": plaintext_footer_scan,  # new in r6
+        "keytools_rotation_scan": keytools_rotation_scan,  # new in r6
         "external_struct_map_rt": external_struct_map_rt,  # new in r6
         "streaming_table_sink": streaming_table_sink,  # new in r6
     })
@@ -2380,6 +2513,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id >= (SELECT CAST(FLOOR(0.80 * MAX(doc_id)) AS BIGINT)
                              FROM documents)
               AND doc_id <  (SELECT CAST(FLOOR(0.85 * MAX(doc_id)) AS BIGINT)
+                             FROM documents)
+        """,
+        "keytools_rotation_scan": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id >= (SELECT CAST(FLOOR(0.60 * MAX(doc_id)) AS BIGINT)
+                             FROM documents)
+              AND doc_id <  (SELECT CAST(FLOOR(0.65 * MAX(doc_id)) AS BIGINT)
                              FROM documents)
         """,
         "media_png_features": """

@@ -39,6 +39,13 @@ works on any machine that can see the files.
                             [--column-key name=hex,..] [--aad spec|empty]
     python -m pq_engine.cli decrypt-parquet <file.pare> --out FILE --key HEX
                             [--column-key name=hex,..]
+    python -m pq_engine.cli encrypt-parquet <file.parquet> --out FILE
+                            --master-key id=hex,.. [--footer-master id]
+                            [--column-master path=id,..] [--single-wrap]
+    python -m pq_engine.cli decrypt-parquet <file.pare> --out FILE
+                            --master-key id=hex,..
+    python -m pq_engine.cli rotate-keys <file.pare> --out FILE
+                            --master-key id=hex,.. --new-master-key id=hex,..
 """
 
 from __future__ import annotations
@@ -757,13 +764,31 @@ def _cli_keys(args) -> tuple[bytes, dict[str, bytes]]:
     return bytes.fromhex(args.key), column_keys
 
 
+def _cli_master_keys(spec: str) -> dict[str, bytes]:
+    keys = {}
+    for entry in (spec or "").split(","):
+        if not entry:
+            continue
+        mid, _, hexkey = entry.partition("=")
+        if not hexkey:
+            sys.exit(f"master key entry {entry!r}: expected id=hexkey")
+        keys[mid] = bytes.fromhex(hexkey)
+    return keys
+
+
 def cmd_encrypt_parquet(args):
     """Parquet modular encryption (Encryption.md / parquet-hadoop crypto):
     plaintext parquet file → encrypted-footer PARE file, or with
     --plaintext-footer the spec's other mode (PAR1 kept, signed plaintext
     footer, column-key columns redacted — legacy readers keep reading the
     plaintext columns). --aad spec writes aad_file_unique + per-module AAD
-    suffixes; --aad empty is DuckDB-compatible."""
+    suffixes; --aad empty is DuckDB-compatible.
+
+    With --master-key the key tools path runs instead (KeyToolkit /
+    PropertiesDrivenCryptoFactory): fresh DEKs are generated and wrapped
+    (double wrapping unless --single-wrap) under the named master keys —
+    --footer-master picks the footer's, --column-master path=id the
+    columns'. No raw DEK appears on the command line."""
     from .interop.parquet_crypto import (
         encrypt_parquet,
         encrypt_parquet_plaintext_footer,
@@ -771,8 +796,32 @@ def cmd_encrypt_parquet(args):
 
     if not args.out:
         sys.exit("--out required")
-    fk, column_keys = _cli_keys(args)
     plain = open(args.path, "rb").read()
+    if args.master_key:
+        from .interop.parquet_keytools import encrypt_parquet_keytools
+
+        masters = _cli_master_keys(args.master_key)
+        footer_master = args.footer_master or next(iter(masters))
+        column_masters = {}
+        for entry in (args.column_master or "").split(","):
+            if not entry:
+                continue
+            path, _, mid = entry.partition("=")
+            if mid not in masters:
+                sys.exit(f"--column-master {entry!r}: unknown master id")
+            column_masters[path] = mid
+        enc = encrypt_parquet_keytools(
+            plain, masters, footer_master, column_masters,
+            aad_mode=args.aad, double_wrapping=not args.single_wrap)
+        with open(args.out, "wb") as f:
+            f.write(enc)
+        print(f"encrypted {args.path} ({len(plain)} B) → {args.out} "
+              f"({len(enc)} B, keytools "
+              f"{'single' if args.single_wrap else 'double'}-wrap, "
+              f"footer master {footer_master!r}, "
+              f"{len(column_masters)} column master(s))")
+        return
+    fk, column_keys = _cli_keys(args)
     if args.plaintext_footer:
         if not column_keys:
             sys.exit("--plaintext-footer requires --column-key "
@@ -793,17 +842,50 @@ def cmd_encrypt_parquet(args):
 
 def cmd_decrypt_parquet(args):
     """Inverse: PARE encrypted-footer file → plaintext parquet bytes any
-    reader consumes (works on our files and DuckDB-encrypted ones)."""
+    reader consumes (works on our files and DuckDB-encrypted ones). With
+    --master-key the DEKs are resolved from the file's own key-material
+    envelopes (keytools read path) — no raw DEK on the command line."""
     from .interop.parquet_crypto import decrypt_parquet
 
     if not args.out:
         sys.exit("--out required")
-    fk, column_keys = _cli_keys(args)
     enc = open(args.path, "rb").read()
+    if args.master_key:
+        from .interop.parquet_keytools import resolve_file_keys
+
+        fk, column_keys = resolve_file_keys(
+            enc, _cli_master_keys(args.master_key))
+    else:
+        fk, column_keys = _cli_keys(args)
     plain = decrypt_parquet(enc, fk, column_keys=column_keys)
     with open(args.out, "wb") as f:
         f.write(plain)
     print(f"decrypted {args.path} → {args.out} ({len(plain)} B)")
+
+
+def cmd_rotate_keys(args):
+    """KeyToolkit.rotateMasterKeys analog: re-wrap every DEK in an
+    encrypted-footer file under new master key bytes (same key ids).
+    Data bytes are untouched — only the file tail (FileCryptoMetaData +
+    the re-encrypted footer module) changes; old master keys stop
+    working. Works on internal key material, which the reference
+    refuses."""
+    from .interop.parquet_keytools import rotate_master_keys
+
+    if not args.out:
+        sys.exit("--out required")
+    if not args.master_key or not args.new_master_key:
+        sys.exit("rotate-keys needs --master-key (old) and "
+                 "--new-master-key")
+    enc = open(args.path, "rb").read()
+    rot = rotate_master_keys(
+        enc, _cli_master_keys(args.master_key),
+        _cli_master_keys(args.new_master_key),
+        double_wrapping=not args.single_wrap)
+    with open(args.out, "wb") as f:
+        f.write(rot)
+    print(f"rotated master keys: {args.path} → {args.out} "
+          f"({len(rot)} B; data region untouched)")
 
 
 def cmd_version(args=None):
@@ -1289,7 +1371,7 @@ def main(argv=None):
             "trans-compression", "from-csv", "from-avro", "version", "footer", "size-stats",
             "check-stats", "rewrite", "to-parquet", "to-avro", "geospatial-stats",
             "to-protobuf", "from-protobuf", "to-thrift", "from-thrift", "from-parquet",
-            "encrypt-parquet", "decrypt-parquet",
+            "encrypt-parquet", "decrypt-parquet", "rotate-keys",
         ],
     )
     ap.add_argument("path", nargs="?")
@@ -1316,6 +1398,20 @@ def main(argv=None):
                     help="encrypt-parquet: plaintext-footer mode (signed "
                          "footer, column keys only, legacy-readable "
                          "plaintext columns)")
+    ap.add_argument("--master-key",
+                    help="id=hexkey[,id2=hexkey2] master keys (keytools "
+                         "path: DEKs generated and wrapped, never typed)")
+    ap.add_argument("--new-master-key",
+                    help="rotate-keys: the replacement id=hexkey list")
+    ap.add_argument("--footer-master",
+                    help="encrypt-parquet: master key id for the footer "
+                         "DEK (default: first --master-key entry)")
+    ap.add_argument("--column-master",
+                    help="encrypt-parquet: path=masterid[,..] per-column "
+                         "master key assignment")
+    ap.add_argument("--single-wrap", action="store_true",
+                    help="keytools: wrap DEKs directly with master keys "
+                         "(no KEK layer)")
     args = ap.parse_args(argv)
     if args.command == "version":
         cmd_version(args)
@@ -1342,6 +1438,9 @@ def main(argv=None):
         return
     if args.command == "decrypt-parquet":
         cmd_decrypt_parquet(args)
+        return
+    if args.command == "rotate-keys":
+        cmd_rotate_keys(args)
         return
     if args.command == "footer":
         cmd_footer(args)

@@ -164,7 +164,9 @@ def _read_value_span(buf, pos, ctype):
 
 def _transcode(buf, pos, visit, path=(), struct_end=None, drop=None):
     """Re-emit one compact-protocol struct, calling ``visit(path, value)``
-    on every integer field; a non-None return replaces the value. ``path``
+    on every integer and binary field; a non-None return replaces the
+    value (visitors path-match, so int visitors ignore binary paths and
+    vice versa). ``path``
     is the tuple of field ids from the root, with list indices interleaved
     for struct-list elements. ``struct_end(path, last_fid)`` may return
     extra serialized fields to splice in just before a struct's STOP byte
@@ -256,7 +258,11 @@ def _transcode(buf, pos, visit, path=(), struct_end=None, drop=None):
             pos += 8
         elif ctype == CT_BINARY:
             ln, p2 = _read_uvar(buf, pos)
-            out += bytes(buf[pos : p2 + ln])
+            nv = visit(p, bytes(buf[p2 : p2 + ln]))
+            if nv is None:
+                out += bytes(buf[pos : p2 + ln])
+            else:
+                out += _uvarint(len(nv)) + nv
             pos = p2 + ln
         else:
             raise ValueError(f"transcoder: unsupported compact type {ctype}")
@@ -518,6 +524,14 @@ def encrypt_parquet(plain: bytes, footer_key: bytes,
         return bytes([ctype]) + _uvarint(_zigzag(fid, 16))
 
     def struct_end(path, last_fid):
+        # RowGroup.ordinal (field 7, i16): parquet-mr/arrow readers take
+        # the AAD row-group component for COLUMN-KEY modules from this
+        # field (not from the positional index), so multi-row-group
+        # column-key files are unreadable to them without it
+        if (len(path) == 2 and path[0] == 4 and aad_mode == "spec"
+                and last_fid < 7):
+            return (_field_hdr(7, last_fid, CT_I16)
+                    + _uvarint(_zigzag(path[1], 16)))
         if not (len(path) == 4 and path[0] == 4 and path[2] == 1):
             return b""
         if aad_mode != "spec" and not column_keys:
@@ -860,6 +874,12 @@ def encrypt_parquet_plaintext_footer(
                           + _uvarint(len(footer_key_metadata))
                           + footer_key_metadata)
             return extra
+        # RowGroup.ordinal — spec readers take the AAD row-group
+        # component for column-key modules from this field
+        if (len(path) == 2 and path[0] == 4 and aad_mode == "spec"
+                and last_fid < 7):
+            return (_field_hdr(7, last_fid, CT_I16)
+                    + _uvarint(_zigzag(path[1], 16)))
         if not (len(path) == 4 and path[0] == 4 and path[2] == 1):
             return b""
         keyc = (path[1], path[3])
@@ -936,6 +956,7 @@ def decrypt_parquet(buf: bytes, footer_key: bytes,
     chunk_keys: dict[tuple[int, int], bytes] = {}
     bloom_new: dict[tuple[int, int], tuple[int, int]] = {}
     for rg_i, rg in enumerate(row_groups):
+        rg_ord = rg.get(7, rg_i)  # AAD uses RowGroup.ordinal when present
         for col_i, cc in enumerate(rg.get(1, [])):
             meta = _chunk_meta(cc)
             path = ".".join(p.decode() for p in meta[3])
@@ -961,13 +982,13 @@ def decrypt_parquet(buf: bytes, footer_key: bytes,
             while pos < end:
                 is_dict = has_dict and first
                 if is_dict:
-                    hmod = _module_aad(file_aad, MOD_DICT_PAGE_HEADER, rg_i, col_i)
-                    bmod = _module_aad(file_aad, MOD_DICT_PAGE, rg_i, col_i)
+                    hmod = _module_aad(file_aad, MOD_DICT_PAGE_HEADER, rg_ord, col_i)
+                    bmod = _module_aad(file_aad, MOD_DICT_PAGE, rg_ord, col_i)
                 else:
                     hmod = _module_aad(
-                        file_aad, MOD_DATA_PAGE_HEADER, rg_i, col_i, page_ord)
+                        file_aad, MOD_DATA_PAGE_HEADER, rg_ord, col_i, page_ord)
                     bmod = _module_aad(
-                        file_aad, MOD_DATA_PAGE, rg_i, col_i, page_ord)
+                        file_aad, MOD_DATA_PAGE, rg_ord, col_i, page_ord)
                     page_ord += 1
                 first = False
                 mod_start = pos
@@ -990,10 +1011,10 @@ def decrypt_parquet(buf: bytes, footer_key: bytes,
             if boff is not None:
                 bhdr_bytes, bpos = _decrypt_module(
                     key, buf, boff,
-                    _module_aad(file_aad, MOD_BLOOM_HEADER, rg_i, col_i))
+                    _module_aad(file_aad, MOD_BLOOM_HEADER, rg_ord, col_i))
                 bits, _ = _decrypt_module(
                     key, buf, bpos,
-                    _module_aad(file_aad, MOD_BLOOM_BITSET, rg_i, col_i))
+                    _module_aad(file_aad, MOD_BLOOM_BITSET, rg_ord, col_i))
                 new_boff = len(out)
                 out += bhdr_bytes
                 out += bits
@@ -1003,6 +1024,7 @@ def decrypt_parquet(buf: bytes, footer_key: bytes,
     # OffsetIndex page locations rewritten to the plaintext layout)
     pageidx_new: dict[tuple[int, int], dict[str, tuple[int, int]]] = {}
     for rg_i, rg in enumerate(row_groups):
+        rg_ord = rg.get(7, rg_i)
         for col_i, cc in enumerate(rg.get(1, [])):
             entry: dict[str, tuple[int, int]] = {}
             key = chunk_keys[(rg_i, col_i)]
@@ -1010,14 +1032,14 @@ def decrypt_parquet(buf: bytes, footer_key: bytes,
             if ci_off is not None:
                 ci, _ = _decrypt_module(
                     key, buf, ci_off,
-                    _module_aad(file_aad, MOD_COLUMN_INDEX, rg_i, col_i))
+                    _module_aad(file_aad, MOD_COLUMN_INDEX, rg_ord, col_i))
                 entry["ci"] = (len(out), len(ci))
                 out += ci
             oi_off = cc.get(4)
             if oi_off is not None:
                 oi, _ = _decrypt_module(
                     key, buf, oi_off,
-                    _module_aad(file_aad, MOD_OFFSET_INDEX, rg_i, col_i))
+                    _module_aad(file_aad, MOD_OFFSET_INDEX, rg_ord, col_i))
                 oi = _patch_offset_index(oi, page_maps[(rg_i, col_i)])
                 entry["oi"] = (len(out), len(oi))
                 out += oi
@@ -1139,6 +1161,12 @@ class FileDecryptor:
         any_tagged = any(
             cc.get(8) is not None
             for rg in fmeta.get(4, []) for cc in rg.get(1, []))
+        # AAD row-group component: RowGroup.ordinal when present (the
+        # spec's authoritative value — differs from position in merged
+        # files), else the position
+        self._rg_ord = {
+            rg_i: rg.get(7, rg_i)
+            for rg_i, rg in enumerate(fmeta.get(4, []))}
         for rg_i, rg in enumerate(fmeta.get(4, [])):
             for col_i, cc in enumerate(rg.get(1, [])):
                 crypto = cc.get(8)
@@ -1169,7 +1197,7 @@ class FileDecryptor:
                     md_plain, _ = _decrypt_module(
                         self._keys[(rg_i, col_i)], emd, 0,
                         _module_aad(self.file_aad, MOD_COLUMN_METADATA,
-                                    rg_i, col_i))
+                                    self._rg_ord[rg_i], col_i))
                     self.modules_decrypted += 1
                     self._md_override[(rg_i, col_i)], _ = read_struct(
                         md_plain)
@@ -1199,7 +1227,8 @@ class FileDecryptor:
              page: int = -1) -> tuple[bytes, int]:
         b, end = _decrypt_module(
             self._keys[(rg_i, col_i)], self.buf, pos,
-            _module_aad(self.file_aad, module, rg_i, col_i, page))
+            _module_aad(self.file_aad, module, self._rg_ord[rg_i], col_i,
+                        page))
         self.modules_decrypted += 1
         return b, end
 

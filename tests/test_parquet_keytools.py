@@ -38,13 +38,16 @@ def _ragged(strs):
 
 
 def _plain_file(tmp_path, n=2000):
+    # multi-row-group on purpose: spec readers (arrow/parquet-mr) take the
+    # AAD row-group ordinal from RowGroup.ordinal, which single-row-group
+    # files cannot distinguish from the positional index
     path = str(tmp_path / "plain.parquet")
     write_parquet(path, [
         {"name": "id", "ptype": "int64", "codec": "plain",
          "values": np.arange(n, dtype=np.int64)},
         {"name": "tag", "ptype": "string", "codec": "plain",
          "values": _ragged([f"t{i % 7}".encode() for i in range(n)])},
-    ], n)
+    ], n, row_group_size=500)
     return open(path, "rb").read(), n
 
 
@@ -69,9 +72,6 @@ def test_key_material_envelope_and_scope_refusals():
     with pytest.raises(ValueError, match="unknown master key id"):
         unwrap_from_material(km, {"zz": b"q" * 16})
     import json
-    bad = dict(d, doubleWrapping=True)
-    with pytest.raises(ValueError, match="double wrapping"):
-        parse_key_material(json.dumps(bad).encode())
     bad = dict(d, keyMaterialType="PKMT2")
     with pytest.raises(ValueError, match="key material type"):
         parse_key_material(json.dumps(bad).encode())
@@ -95,6 +95,133 @@ def test_keytools_self_roundtrip(tmp_path):
         resolve_file_keys(enc, {"kf": MASTER["kc"], "kc": MASTER["kf"]})
 
 
+def test_double_wrapping_roundtrip_and_kek_sharing(tmp_path):
+    """The reference-default KEK layer (FileKeyWrapper double wrapping):
+    footer and column DEKs under the SAME master key share one KEK (one
+    KMS wrap amortized), unwrap resolves KEK-then-DEK, and the KEK cache
+    is hit for the second key."""
+    from pq_engine.interop.parquet_reader import read_parquet_filtered_pandas
+
+    plain, n = _plain_file(tmp_path)
+    enc = encrypt_parquet_keytools(
+        plain, MASTER, "kf", {"tag": "kf"}, double_wrapping=True)
+    # both envelopes are double-wrapped and share the KEK id
+    from pq_engine.interop.parquet_crypto import read_crypto_footer
+    info = read_crypto_footer(enc)
+    footer_d = parse_key_material(info["key_metadata"])
+    assert footer_d["doubleWrapping"] is True
+    assert footer_d["wrappedKEK"] and footer_d["keyEncryptionKeyID"]
+
+    fkey, ckeys = resolve_file_keys(enc, MASTER)
+    assert set(ckeys) == {"tag"}
+    df, _ = read_parquet_filtered_pandas(
+        enc, ("ge", "id", 0), footer_key=fkey, column_keys=ckeys)
+    assert len(df) == n
+    # cache behavior: second unwrap under the same (master, kek) hits
+    cache: dict = {}
+    unwrap_from_material(info["key_metadata"], MASTER, cache)
+    assert len(cache) == 1
+    kek0 = next(iter(cache.values()))
+    unwrap_from_material(info["key_metadata"], MASTER, cache)
+    assert next(iter(cache.values())) is kek0
+
+
+def test_cli_keytools_commands(tmp_path, capsys):
+    """encrypt-parquet --master-key / decrypt-parquet --master-key /
+    rotate-keys: the whole keytools lifecycle from the command line —
+    no raw DEK is ever typed."""
+    from pq_engine.cli import main
+    from pq_engine.interop.parquet_reader import read_parquet_pandas
+
+    plain, n = _plain_file(tmp_path)
+    ppath = str(tmp_path / "plain.parquet")
+    enc = str(tmp_path / "enc.pare")
+    dec = str(tmp_path / "dec.parquet")
+    rot = str(tmp_path / "rot.pare")
+    mk = f"kf={MASTER['kf'].hex()},kc={MASTER['kc'].hex()}"
+    main(["encrypt-parquet", ppath, "--out", enc, "--master-key", mk,
+          "--footer-master", "kf", "--column-master", "tag=kc"])
+    assert open(enc, "rb").read()[:4] == b"PARE"
+    out = capsys.readouterr().out
+    assert "double-wrap" in out and "1 column master(s)" in out
+    main(["decrypt-parquet", enc, "--out", dec, "--master-key", mk])
+    assert len(read_parquet_pandas(dec)) == n
+
+    v2 = {"kf": b"FfFfFfFfFfFfFfFf", "kc": b"CcCcCcCcCcCcCcCc"}
+    mk2 = f"kf={v2['kf'].hex()},kc={v2['kc'].hex()}"
+    main(["rotate-keys", enc, "--out", rot,
+          "--master-key", mk, "--new-master-key", mk2])
+    assert "data region untouched" in capsys.readouterr().out
+    # old masters fail, new masters decrypt
+    with pytest.raises(ValueError, match="unwrap failed"):
+        main(["decrypt-parquet", rot, "--out", dec, "--master-key", mk])
+    main(["decrypt-parquet", rot, "--out", dec, "--master-key", mk2])
+    assert len(read_parquet_pandas(dec)) == n
+    # unknown column master id refuses
+    with pytest.raises(SystemExit, match="unknown master id"):
+        main(["encrypt-parquet", ppath, "--out", enc, "--master-key", mk,
+              "--column-master", "tag=zz"])
+
+
+def test_rotate_master_keys(tmp_path):
+    """KeyToolkit.rotateMasterKeys analog for INTERNAL key material:
+    every DEK is re-wrapped under new master key bytes (same ids); no
+    data byte changes; old masters stop working; new masters read the
+    same rows. Both wrap modes."""
+    from pq_engine.interop.parquet_keytools import rotate_master_keys
+    from pq_engine.interop.parquet_reader import read_parquet_filtered_pandas
+
+    plain, n = _plain_file(tmp_path)
+    v2 = {"kf": b"FfFfFfFfFfFfFfFf", "kc": b"CcCcCcCcCcCcCcCc"}
+    for dw in (False, True):
+        enc = encrypt_parquet_keytools(
+            plain, MASTER, "kf", {"tag": "kc"}, double_wrapping=dw)
+        rot = rotate_master_keys(enc, MASTER, v2, double_wrapping=not dw)
+        # the data region (everything before FileCryptoMetaData) is
+        # byte-identical — rotation rewrites only the tail
+        import struct as _s
+        clen_old = _s.unpack_from("<I", enc, len(enc) - 8)[0]
+        clen_new = _s.unpack_from("<I", rot, len(rot) - 8)[0]
+        assert enc[: len(enc) - 8 - clen_old] == rot[: len(rot) - 8 - clen_new]
+        # old masters now fail loudly at unwrap
+        with pytest.raises(ValueError, match="unwrap failed"):
+            resolve_file_keys(rot, MASTER)
+        # new masters read identical data
+        fkey, ckeys = resolve_file_keys(rot, v2)
+        df, _ = read_parquet_filtered_pandas(
+            rot, ("ge", "id", 0), footer_key=fkey, column_keys=ckeys)
+        assert len(df) == n and int(df["id"].sum()) == n * (n - 1) // 2
+
+
+def test_pyarrow_reads_rotated_file(tmp_path):
+    """After rotation, arrow's CryptoFactory (new master keys) still
+    reads the file — the rewritten envelopes and re-encrypted footer
+    module are spec-valid, not just self-consistent."""
+    import pyarrow.parquet as papq
+    pe, cf, kcfg = _crypto_factory()
+    from pq_engine.interop.parquet_keytools import rotate_master_keys
+
+    plain, n = _plain_file(tmp_path)
+    enc = encrypt_parquet_keytools(plain, MASTER, "kf", {"tag": "kc"},
+                                   double_wrapping=True)
+    v2 = {"kf": b"FfFfFfFfFfFfFfFf", "kc": b"CcCcCcCcCcCcCcCc"}
+    rot = rotate_master_keys(enc, MASTER, v2, double_wrapping=True)
+    p = str(tmp_path / "rot.parquet")
+    open(p, "wb").write(rot)
+    MASTER_SAVE = dict(MASTER)
+    try:
+        MASTER.update(v2)  # the KMS client reads module-level MASTER
+        got = papq.ParquetFile(
+            p,
+            decryption_properties=cf.file_decryption_properties(
+                kcfg)).read()
+        assert got.num_rows == n
+        assert got.column("tag")[6].as_py() == "t6"
+    finally:
+        MASTER.clear()
+        MASTER.update(MASTER_SAVE)
+
+
 def _crypto_factory():
     pe = pytest.importorskip("pyarrow.parquet.encryption")
 
@@ -115,7 +242,8 @@ def _crypto_factory():
     return pe, pe.CryptoFactory(lambda c: Kms(c)), pe.KmsConnectionConfig()
 
 
-def test_pyarrow_reads_our_keytools_file(tmp_path):
+@pytest.mark.parametrize("double_wrapping", [False, True])
+def test_pyarrow_reads_our_keytools_file(tmp_path, double_wrapping):
     """Direction B: arrow C++ (CryptoFactory + our KeyToolkit-compatible
     KMS client) opens OUR PARE file — footer key material in
     FileCryptoMetaData, column key material in each chunk's
@@ -126,7 +254,8 @@ def test_pyarrow_reads_our_keytools_file(tmp_path):
     pe, cf, kcfg = _crypto_factory()
 
     plain, n = _plain_file(tmp_path)
-    enc = encrypt_parquet_keytools(plain, MASTER, "kf", {"tag": "kc"})
+    enc = encrypt_parquet_keytools(plain, MASTER, "kf", {"tag": "kc"},
+                                   double_wrapping=double_wrapping)
     p = str(tmp_path / "ours.parquet")
     open(p, "wb").write(enc)
     got = papq.ParquetFile(
@@ -136,7 +265,8 @@ def test_pyarrow_reads_our_keytools_file(tmp_path):
     assert got.column("tag")[5].as_py() == "t5"
 
 
-def test_we_read_pyarrow_cryptofactory_file(tmp_path):
+@pytest.mark.parametrize("double_wrapping", [False, True])
+def test_we_read_pyarrow_cryptofactory_file(tmp_path, double_wrapping):
     """Direction A: a pyarrow CryptoFactory-encrypted file (column-key
     subset => the unlisted column is PLAINTEXT in arrow's contract) is
     fully readable from the file + master keys alone via
@@ -151,7 +281,8 @@ def test_we_read_pyarrow_cryptofactory_file(tmp_path):
     tab = pa.table({"id": np.arange(n, dtype=np.int64),
                     "tag": [f"t{i % 7}" for i in range(n)]})
     ec = pe.EncryptionConfiguration(
-        footer_key="kf", column_keys={"kc": ["tag"]}, double_wrapping=False)
+        footer_key="kf", column_keys={"kc": ["tag"]},
+        double_wrapping=double_wrapping)
     p = str(tmp_path / "arrow.parquet")
     with papq.ParquetWriter(
             p, tab.schema,
