@@ -812,7 +812,8 @@ def cmd_encrypt_parquet(args):
             column_masters[path] = mid
         enc = encrypt_parquet_keytools(
             plain, masters, footer_master, column_masters,
-            aad_mode=args.aad, double_wrapping=not args.single_wrap)
+            aad_mode=args.aad, double_wrapping=not args.single_wrap,
+            algorithm=args.algorithm)
         with open(args.out, "wb") as f:
             f.write(enc)
         print(f"encrypted {args.path} ({len(plain)} B) → {args.out} "
@@ -826,12 +827,14 @@ def cmd_encrypt_parquet(args):
         if not column_keys:
             sys.exit("--plaintext-footer requires --column-key "
                      "(the footer key only signs)")
+        if args.algorithm != "AES_GCM_V1":
+            sys.exit("--plaintext-footer supports AES_GCM_V1 only")
         enc = encrypt_parquet_plaintext_footer(
             plain, fk, column_keys, aad_mode=args.aad)
         mode = "plaintext-footer"
     else:
         enc = encrypt_parquet(plain, fk, column_keys=column_keys,
-                              aad_mode=args.aad)
+                              aad_mode=args.aad, algorithm=args.algorithm)
         mode = "encrypted-footer"
     with open(args.out, "wb") as f:
         f.write(enc)
@@ -1412,6 +1415,11 @@ def main(argv=None):
     ap.add_argument("--single-wrap", action="store_true",
                     help="keytools: wrap DEKs directly with master keys "
                          "(no KEK layer)")
+    ap.add_argument("--algorithm",
+                    choices=["AES_GCM_V1", "AES_GCM_CTR_V1"],
+                    default="AES_GCM_V1",
+                    help="encrypt-parquet: GCM everywhere, or GCM_CTR "
+                         "(unauthenticated CTR page bodies, GCM metadata)")
     args = ap.parse_args(argv)
     if args.command == "version":
         cmd_version(args)

@@ -40,10 +40,11 @@ Also here (r6):
   legacy readers keep reading the plaintext columns (DuckDB does,
   test-pinned).
 
-Declared scope: in encrypted-footer mode the footer metadata is a single
-uniform trust domain under the footer key (column-metadata redaction is
-implemented for plaintext-footer mode, where the spec mandates it);
-AES_GCM_V1 only (AES_GCM_CTR_V1 raises by name).
+Both spec algorithms are implemented: AES_GCM_V1 (every module
+authenticated) and AES_GCM_CTR_V1 (page BODIES in unauthenticated
+AES-CTR — nonce||be32-counter-from-1 IV, AesCtrEncryptor.java:43-45 —
+while all metadata modules stay GCM). Plaintext-footer mode is GCM-only
+by declared scope.
 
 The footer offset rewrite uses a generic thrift-compact TRANSCODER: it
 re-emits any struct byte-for-byte while a visitor patches integer fields
@@ -134,6 +135,43 @@ def _encrypt_module(key: bytes, plaintext: bytes, aad: bytes) -> bytes:
     nonce = os.urandom(NONCE_LEN)
     ct = _aesgcm(key).encrypt(nonce, plaintext, aad or None)
     return struct.pack("<I", NONCE_LEN + len(ct)) + nonce + ct
+
+
+def _aesctr_xform(key: bytes, nonce: bytes, data: bytes) -> bytes:
+    """AES-CTR keystream transform (encrypt == decrypt). IV layout per
+    AesCtrEncryptor.java:43-45 — 12-byte nonce then a 4-byte big-endian
+    block counter starting at 1."""
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher,
+        algorithms,
+        modes,
+    )
+
+    if len(key) not in (16, 24, 32):
+        raise ValueError("AES key must be 16/24/32 bytes")
+    ctx = Cipher(algorithms.AES(key),
+                 modes.CTR(nonce + b"\x00\x00\x00\x01")).encryptor()
+    return ctx.update(data) + ctx.finalize()
+
+
+def _encrypt_module_ctr(key: bytes, plaintext: bytes) -> bytes:
+    """AES_GCM_CTR_V1 page-body module: 4-byte LE length | 12-byte nonce
+    | ciphertext — NO tag and no AAD (CTR authenticates nothing; the
+    mode trades page integrity for cipher throughput, spec §5.2)."""
+    nonce = os.urandom(NONCE_LEN)
+    ct = _aesctr_xform(key, nonce, plaintext)
+    return struct.pack("<I", NONCE_LEN + len(ct)) + nonce + ct
+
+
+def _decrypt_module_ctr(key: bytes, buf: bytes, pos: int) -> tuple[bytes, int]:
+    if pos + 4 > len(buf):
+        raise ValueError("encrypted module truncated (length)")
+    (blen,) = struct.unpack_from("<I", buf, pos)
+    end = pos + 4 + blen
+    if blen < NONCE_LEN or end > len(buf):
+        raise ValueError("encrypted module truncated (body)")
+    nonce = buf[pos + 4 : pos + 4 + NONCE_LEN]
+    return _aesctr_xform(key, nonce, buf[pos + 4 + NONCE_LEN : end]), end
 
 
 def _decrypt_module(key: bytes, buf: bytes, pos: int, aad: bytes) -> tuple[bytes, int]:
@@ -345,8 +383,8 @@ def encrypt_parquet(plain: bytes, footer_key: bytes,
                     column_keys: dict[str, bytes] | None = None,
                     aad_mode: str = "spec",
                     key_metadata: bytes | None = None,
-                    column_key_metadata: dict[str, bytes] | None = None
-                    ) -> bytes:
+                    column_key_metadata: dict[str, bytes] | None = None,
+                    algorithm: str = "AES_GCM_V1") -> bytes:
     """Plaintext parquet bytes -> encrypted-footer (PARE) file bytes.
 
     ``column_keys`` maps dotted column paths to per-column AES keys; other
@@ -355,11 +393,18 @@ def encrypt_parquet(plain: bytes, footer_key: bytes,
     ``'empty'`` uses empty AAD (DuckDB-compatible). ``key_metadata`` /
     ``column_key_metadata`` attach opaque key identifiers (e.g. the
     keytools PKMT1 envelopes) to the footer and to each column-key
-    chunk's crypto metadata."""
+    chunk's crypto metadata. ``algorithm='AES_GCM_CTR_V1'`` encrypts PAGE
+    BODIES with unauthenticated AES-CTR (faster on stacks without AES-GCM
+    hardware; InternalColumnEncryptionSetup.getDataEncryptor) while every
+    metadata module — headers, footer, indexes, blooms,
+    encrypted_column_metadata — stays AES-GCM."""
     if plain[:4] != MAGIC or plain[-4:] != MAGIC:
         raise ValueError("encrypt_parquet input is not a plaintext parquet file")
     if aad_mode not in ("spec", "empty"):
         raise ValueError("aad_mode must be 'spec' or 'empty'")
+    if algorithm not in ("AES_GCM_V1", "AES_GCM_CTR_V1"):
+        raise ValueError(f"unsupported encryption algorithm {algorithm!r}")
+    ctr = algorithm == "AES_GCM_CTR_V1"
     column_keys = column_keys or {}
     file_aad = os.urandom(8) if aad_mode == "spec" else b""
 
@@ -402,7 +447,8 @@ def encrypt_parquet(plain: bytes, footer_key: bytes,
                         file_aad, MOD_DATA_PAGE, rg_i, col_i, page_ord)
                     page_ord += 1
                 omap[pos] = len(out)
-                body_mod = _encrypt_module(key, body, bmod)
+                body_mod = (_encrypt_module_ctr(key, body) if ctr
+                            else _encrypt_module(key, body, bmod))
                 # spec (parquet-mr/arrow): compressed_page_size holds the
                 # ciphertext module length; DuckDB 1.x (empty-AAD peer)
                 # expects the plaintext length and over-reads otherwise
@@ -571,8 +617,9 @@ def encrypt_parquet(plain: bytes, footer_key: bytes,
         footer_key, patched, _module_aad(file_aad, MOD_FOOTER))
     algo = StructWriter()
     if file_aad:
-        algo.binary(2, file_aad)  # AesGcmV1.aad_file_unique
-    fcmd = StructWriter().struct(1, StructWriter().struct(1, algo))
+        algo.binary(2, file_aad)  # AesGcm(Ctr)V1.aad_file_unique
+    fcmd = StructWriter().struct(
+        1, StructWriter().struct(2 if ctr else 1, algo))
     if key_metadata:
         fcmd.binary(2, key_metadata)
     fcmd_bytes = fcmd.finish()
@@ -909,25 +956,28 @@ def encrypt_parquet_plaintext_footer(
 
 def read_crypto_footer(buf: bytes) -> dict:
     """Parse the tail of a PARE file -> {aad_file_unique, key_metadata,
-    footer_module_span}. Raises ValueError for non-encrypted files and for
-    AES_GCM_CTR_V1."""
+    footer_module_start, algorithm}. Raises ValueError for non-encrypted
+    files. ``algorithm`` is 'AES_GCM_V1' or 'AES_GCM_CTR_V1' (union
+    fields 1/2 of EncryptionAlgorithm; both carry the same AAD trio)."""
     if buf[:4] != EMAGIC or buf[-4:] != EMAGIC:
         raise ValueError("not an encrypted-footer parquet file (PARE magic)")
     (clen,) = struct.unpack_from("<I", buf, len(buf) - 8)
     area_start = len(buf) - 8 - clen
     fcmd, pos = read_struct(buf[area_start : len(buf) - 8])
     algo = fcmd.get(1, {})
-    if 2 in algo and 1 not in algo:
-        raise ValueError("unsupported encryption algorithm AES_GCM_CTR_V1")
-    if 1 not in algo:
+    if 1 in algo:
+        gcm, algorithm = algo[1] or {}, "AES_GCM_V1"
+    elif 2 in algo:
+        gcm, algorithm = algo[2] or {}, "AES_GCM_CTR_V1"
+    else:
         raise ValueError("FileCryptoMetaData missing encryption_algorithm")
-    gcm = algo[1] or {}
     return {
         "aad_file_unique": gcm.get(2, b"") if isinstance(gcm, dict) else b"",
         "aad_prefix": gcm.get(1, b"") if isinstance(gcm, dict) else b"",
         "supply_aad_prefix": bool(gcm.get(3)) if isinstance(gcm, dict) else False,
         "key_metadata": fcmd.get(2),
         "footer_module_start": area_start + pos,
+        "algorithm": algorithm,
     }
 
 
@@ -994,7 +1044,12 @@ def decrypt_parquet(buf: bytes, footer_key: bytes,
                 mod_start = pos
                 omap[pos] = len(out)
                 hdr_bytes, pos = _decrypt_module(key, buf, pos, hmod)
-                body, pos = _decrypt_module(key, buf, pos, bmod)
+                # GCM_CTR mode: page BODIES are CTR modules (no tag/AAD);
+                # every metadata module stays GCM
+                if info["algorithm"] == "AES_GCM_CTR_V1":
+                    body, pos = _decrypt_module_ctr(key, buf, pos)
+                else:
+                    body, pos = _decrypt_module(key, buf, pos, bmod)
                 # compressed_page_size back to the plaintext length (it
                 # held the ciphertext module length in the encrypted file)
                 out += _patch_page_size(hdr_bytes, len(body))
@@ -1105,6 +1160,7 @@ class FileDecryptor:
             info = read_crypto_footer(buf)
             if info["supply_aad_prefix"] and not aad_prefix:
                 raise ValueError("file requires caller-supplied aad_prefix")
+            self.algorithm = info["algorithm"]
             self.file_aad = (aad_prefix or info["aad_prefix"]) \
                 + info["aad_file_unique"]
             self.footer_bytes, _ = _decrypt_module(
@@ -1130,10 +1186,12 @@ class FileDecryptor:
             if algo is None:
                 raise ValueError(
                     "plaintext parquet file carries no encryption_algorithm")
-            if 2 in algo and 1 not in algo:
-                raise ValueError(
-                    "unsupported encryption algorithm AES_GCM_CTR_V1")
-            gcm = algo.get(1) or {}
+            if 1 in algo:
+                gcm, self.algorithm = algo[1] or {}, "AES_GCM_V1"
+            elif 2 in algo:
+                gcm, self.algorithm = algo[2] or {}, "AES_GCM_CTR_V1"
+            else:
+                raise ValueError("unknown encryption_algorithm union field")
             if gcm.get(3) and not aad_prefix:
                 raise ValueError("file requires caller-supplied aad_prefix")
             self.file_aad = (aad_prefix or gcm.get(1, b"")) + gcm.get(2, b"")
@@ -1240,12 +1298,24 @@ class FileDecryptor:
         (encrypted files store the ciphertext module length there)."""
         if is_dict:
             hdr, pos = self._mod(rg_i, col_i, off, MOD_DICT_PAGE_HEADER)
-            body, pos = self._mod(rg_i, col_i, pos, MOD_DICT_PAGE)
+            body, pos = self._body_mod(rg_i, col_i, pos, MOD_DICT_PAGE)
         else:
             hdr, pos = self._mod(
                 rg_i, col_i, off, MOD_DATA_PAGE_HEADER, ordinal)
-            body, pos = self._mod(rg_i, col_i, pos, MOD_DATA_PAGE, ordinal)
+            body, pos = self._body_mod(
+                rg_i, col_i, pos, MOD_DATA_PAGE, ordinal)
         return _patch_page_size(hdr, len(body)), body, pos
+
+    def _body_mod(self, rg_i: int, col_i: int, pos: int, module: int,
+                  page: int = -1) -> tuple[bytes, int]:
+        """Page BODY module: AES-CTR (no tag) in GCM_CTR files, GCM
+        otherwise."""
+        if self.algorithm == "AES_GCM_CTR_V1":
+            b, end = _decrypt_module_ctr(
+                self._keys[(rg_i, col_i)], self.buf, pos)
+            self.modules_decrypted += 1
+            return b, end
+        return self._mod(rg_i, col_i, pos, module, page)
 
     def bloom(self, rg_i: int, col_i: int, off: int) -> tuple[dict, bytes]:
         """Decrypt a chunk's BloomFilterHeader + bitset modules."""

@@ -167,7 +167,8 @@ def encrypt_parquet_keytools(
         footer_master_id: str,
         column_master_ids: dict[str, str] | None = None,
         aad_mode: str = "spec",
-        double_wrapping: bool = True) -> bytes:
+        double_wrapping: bool = True,
+        algorithm: str = "AES_GCM_V1") -> bytes:
     """Encrypt with freshly generated DEKs wrapped under master keys —
     the PropertiesDrivenCryptoFactory write path. ``column_master_ids``
     maps dotted column paths to master key ids; other columns use the
@@ -198,7 +199,8 @@ def encrypt_parquet_keytools(
         column_km[path] = material(mid, dek, False)
     return encrypt_parquet(
         plain, footer_dek, column_keys=column_keys, aad_mode=aad_mode,
-        key_metadata=footer_km, column_key_metadata=column_km)
+        key_metadata=footer_km, column_key_metadata=column_km,
+        algorithm=algorithm)
 
 
 def rotate_master_keys(buf: bytes, old_masters: dict[str, bytes],

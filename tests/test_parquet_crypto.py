@@ -90,6 +90,64 @@ def test_wrong_footer_key_and_tamper(tmp_path):
         decrypt_parquet(bytes(bad), FK)
 
 
+@pytest.mark.parametrize("aad_mode", ["spec", "empty"])
+def test_gcm_ctr_mode_roundtrip_and_native_scan(tmp_path, aad_mode):
+    """AES_GCM_CTR_V1 (EncryptionAlgorithm union field 2,
+    AesCtrEncryptor.java): page BODIES become unauthenticated AES-CTR
+    modules (4-byte len | 12-byte nonce | ct, IV = nonce||be32 counter
+    from 1) while headers/footer/blooms/indexes stay GCM. Round-trip,
+    column keys, and the native filtered scan all work; the footer
+    advertises the algorithm."""
+    from pq_engine.interop.parquet_crypto import read_crypto_footer
+    from pq_engine.interop.parquet_reader import read_parquet_filtered_pandas
+
+    plain = _plain_file(tmp_path)
+    enc = encrypt_parquet(plain, FK, column_keys={"name": CK},
+                          aad_mode=aad_mode, algorithm="AES_GCM_CTR_V1")
+    assert read_crypto_footer(enc)["algorithm"] == "AES_GCM_CTR_V1"
+    _check(read_parquet_pandas(
+        decrypt_parquet(enc, FK, column_keys={"name": CK})))
+    df, rep = read_parquet_filtered_pandas(
+        enc, ("lt", "id", 10), footer_key=FK, column_keys={"name": CK})
+    assert list(df["id"]) == list(range(10))
+    # each CTR page body is 16 bytes shorter than its GCM twin (no tag):
+    # 4 page bodies here (id, name dict+data, score); header varints may
+    # shrink a couple more bytes since compressed_page_size got smaller
+    enc_gcm = encrypt_parquet(plain, FK, column_keys={"name": CK},
+                              aad_mode=aad_mode)
+    diff = len(enc_gcm) - len(enc)
+    assert 16 * 4 <= diff <= 16 * 4 + 8, diff
+
+
+def test_gcm_ctr_integrity_tradeoff(tmp_path):
+    """The mode's documented contract: metadata stays tamper-proof (GCM
+    tag on the footer and page headers) but CTR page bodies are NOT
+    authenticated — a flipped body byte silently changes decoded values.
+    Pin both halves so the tradeoff is explicit, not accidental."""
+    n = 400
+    path = str(tmp_path / "p.parquet")
+    write_parquet(path, [
+        {"name": "id", "ptype": "int64", "codec": "plain",
+         "values": np.arange(n, dtype=np.int64)},
+    ], n)  # uncompressed PLAIN so a body flip stays decodable
+    plain = open(path, "rb").read()
+    enc = encrypt_parquet(plain, FK, aad_mode="spec",
+                          algorithm="AES_GCM_CTR_V1")
+    # locate the first page BODY module: skip the header module at 4
+    hdr_len = struct.unpack_from("<I", enc, 4)[0]
+    body_start = 4 + 4 + hdr_len
+    bad = bytearray(enc)
+    bad[body_start + 4 + 12 + 8] ^= 0xFF  # 2nd int64 of the body
+    df = read_parquet_pandas(decrypt_parquet(bytes(bad), FK))
+    vals = list(df["id"])
+    assert vals != list(range(n)) and vals[0] == 0  # silent corruption
+    # footer stays GCM-authenticated: flipping its ciphertext raises
+    bad2 = bytearray(enc)
+    bad2[-30] ^= 0xFF
+    with pytest.raises(ValueError, match="decryption failed"):
+        decrypt_parquet(bytes(bad2), FK)
+
+
 def test_spec_aad_binds_module_position(tmp_path):
     """Swapping two encrypted page modules must fail in spec mode: the AAD
     suffix carries ordinals, so a module cannot be replayed elsewhere."""

@@ -126,6 +126,46 @@ def test_double_wrapping_roundtrip_and_kek_sharing(tmp_path):
     assert next(iter(cache.values())) is kek0
 
 
+def test_gcm_ctr_arrow_interop_both_directions(tmp_path):
+    """AES_GCM_CTR_V1 against arrow C++ both ways: arrow reads our
+    keytools CTR file (CTR page bodies, GCM metadata modules), and we
+    read an arrow-written GCM_CTR file via resolve_file_keys + the
+    native filtered reader."""
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.parquet as papq
+    pe, cf, kcfg = _crypto_factory()
+
+    from pq_engine.interop.parquet_reader import read_parquet_filtered_pandas
+
+    plain, n = _plain_file(tmp_path)
+    enc = encrypt_parquet_keytools(
+        plain, MASTER, "kf", {"tag": "kc"}, algorithm="AES_GCM_CTR_V1")
+    from pq_engine.interop.parquet_crypto import read_crypto_footer
+    assert read_crypto_footer(enc)["algorithm"] == "AES_GCM_CTR_V1"
+    p = str(tmp_path / "ours_ctr.pare")
+    open(p, "wb").write(enc)
+    got = papq.ParquetFile(
+        p, decryption_properties=cf.file_decryption_properties(kcfg)).read()
+    assert got.num_rows == n and got.column("tag")[5].as_py() == "t5"
+
+    ec = pe.EncryptionConfiguration(
+        footer_key="kf", column_keys={"kc": ["tag"]}, double_wrapping=True,
+        encryption_algorithm="AES_GCM_CTR_V1")
+    tab = pa.table({"id": np.arange(n, dtype=np.int64),
+                    "tag": [f"t{i % 7}" for i in range(n)]})
+    p2 = str(tmp_path / "arrow_ctr.parquet")
+    with papq.ParquetWriter(
+            p2, tab.schema,
+            encryption_properties=cf.file_encryption_properties(
+                kcfg, ec)) as w:
+        w.write_table(tab)
+    buf = open(p2, "rb").read()
+    fkey, ckeys = resolve_file_keys(buf, MASTER)
+    df, _ = read_parquet_filtered_pandas(
+        buf, ("lt", "id", 100), footer_key=fkey, column_keys=ckeys)
+    assert len(df) == 100 and df["tag"].iloc[5] == "t5"
+
+
 def test_cli_keytools_commands(tmp_path, capsys):
     """encrypt-parquet --master-key / decrypt-parquet --master-key /
     rotate-keys: the whole keytools lifecycle from the command line —
@@ -161,6 +201,14 @@ def test_cli_keytools_commands(tmp_path, capsys):
     with pytest.raises(SystemExit, match="unknown master id"):
         main(["encrypt-parquet", ppath, "--out", enc, "--master-key", mk,
               "--column-master", "tag=zz"])
+    # --algorithm AES_GCM_CTR_V1 flows through the keytools path
+    main(["encrypt-parquet", ppath, "--out", enc, "--master-key", mk,
+          "--algorithm", "AES_GCM_CTR_V1"])
+    from pq_engine.interop.parquet_crypto import read_crypto_footer
+    assert read_crypto_footer(
+        open(enc, "rb").read())["algorithm"] == "AES_GCM_CTR_V1"
+    main(["decrypt-parquet", enc, "--out", dec, "--master-key", mk])
+    assert len(read_parquet_pandas(dec)) == n
 
 
 def test_rotate_master_keys(tmp_path):
