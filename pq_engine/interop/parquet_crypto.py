@@ -1005,20 +1005,47 @@ def decrypt_parquet(buf: bytes, footer_key: bytes,
     page_maps: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
     chunk_keys: dict[tuple[int, int], bytes] = {}
     bloom_new: dict[tuple[int, int], tuple[int, int]] = {}
+    # chunks whose inline meta_data was REMOVED by the writer (parquet-mr/
+    # arrow fully redact column-key chunks): decrypted ColumnMetaData raw
+    # bytes, re-emitted as field 3 in the plaintext footer
+    redacted_md: dict[tuple[int, int], bytes] = {}
+    chunk_metas: dict[tuple[int, int], dict] = {}
+    # subset-encryption contract (arrow/parquet-mr): when ANY chunk is
+    # tagged with crypto_metadata, untagged chunks are PLAINTEXT and are
+    # copied through verbatim (key None)
+    any_tagged = any(
+        cc.get(8) is not None
+        for rg in row_groups for cc in rg.get(1, []))
     for rg_i, rg in enumerate(row_groups):
         rg_ord = rg.get(7, rg_i)  # AAD uses RowGroup.ordinal when present
         for col_i, cc in enumerate(rg.get(1, [])):
-            meta = _chunk_meta(cc)
-            path = ".".join(p.decode() for p in meta[3])
             crypto = cc.get(8)
             if crypto is not None and 2 in crypto:
+                path = ".".join(p.decode() for p in crypto[2].get(1, []))
                 if path not in column_keys:
                     raise ValueError(
                         f"column {path!r} is encrypted with a column key; "
                         "pass it in column_keys")
                 key = column_keys[path]
+            elif crypto is None and any_tagged:
+                key = None  # plaintext chunk
             else:
+                path = ".".join(p.decode() for p in _chunk_meta(cc)[3])
                 key = column_keys.get(path, footer_key)
+            meta = cc.get(3)
+            if meta is None:
+                emd = cc.get(9)
+                if emd is None:
+                    raise ValueError(
+                        "ColumnChunk carries neither meta_data nor "
+                        "encrypted_column_metadata")
+                md_plain, _ = _decrypt_module(
+                    key, emd, 0,
+                    _module_aad(file_aad, MOD_COLUMN_METADATA,
+                                rg_ord, col_i))
+                redacted_md[(rg_i, col_i)] = md_plain
+                meta, _ = read_struct(md_plain)
+            chunk_metas[(rg_i, col_i)] = meta
             chunk_keys[(rg_i, col_i)] = key
             start, total = _chunk_span(meta)
             has_dict = meta.get(11) is not None
@@ -1029,6 +1056,27 @@ def decrypt_parquet(buf: bytes, footer_key: bytes,
             end = start + total
             page_ord = 0
             first = True
+            if key is None:
+                # plaintext chunk: copy pages verbatim, offsets remapped
+                for hdr_bytes, header, body in _walk_pages(
+                        buf, start, total):
+                    omap[pos] = len(out)
+                    out += hdr_bytes
+                    out += body
+                    if header.get(1) != 2:
+                        pmap[pos] = (omap[pos], len(out) - omap[pos])
+                    pos += len(hdr_bytes) + len(body)
+                new_offsets[(rg_i, col_i)] = omap
+                page_maps[(rg_i, col_i)] = pmap
+                sizes[(rg_i, col_i)] = len(out) - chunk_start
+                boff = meta.get(14)
+                if boff is not None:
+                    bhdr, hend = read_struct(buf, boff)
+                    nbytes = bhdr[1]
+                    bloom_new[(rg_i, col_i)] = (
+                        len(out), hend - boff + nbytes)
+                    out += buf[boff:hend + nbytes]
+                continue
             while pos < end:
                 is_dict = has_dict and first
                 if is_dict:
@@ -1083,18 +1131,26 @@ def decrypt_parquet(buf: bytes, footer_key: bytes,
         for col_i, cc in enumerate(rg.get(1, [])):
             entry: dict[str, tuple[int, int]] = {}
             key = chunk_keys[(rg_i, col_i)]
-            ci_off = cc.get(6)
+            ci_off, ci_len = cc.get(6), cc.get(7)
             if ci_off is not None:
-                ci, _ = _decrypt_module(
-                    key, buf, ci_off,
-                    _module_aad(file_aad, MOD_COLUMN_INDEX, rg_ord, col_i))
+                if key is None:  # plaintext chunk: index bytes verbatim
+                    ci = bytes(buf[ci_off:ci_off + ci_len])
+                else:
+                    ci, _ = _decrypt_module(
+                        key, buf, ci_off,
+                        _module_aad(file_aad, MOD_COLUMN_INDEX,
+                                    rg_ord, col_i))
                 entry["ci"] = (len(out), len(ci))
                 out += ci
-            oi_off = cc.get(4)
+            oi_off, oi_len = cc.get(4), cc.get(5)
             if oi_off is not None:
-                oi, _ = _decrypt_module(
-                    key, buf, oi_off,
-                    _module_aad(file_aad, MOD_OFFSET_INDEX, rg_ord, col_i))
+                if key is None:
+                    oi = bytes(buf[oi_off:oi_off + oi_len])
+                else:
+                    oi, _ = _decrypt_module(
+                        key, buf, oi_off,
+                        _module_aad(file_aad, MOD_OFFSET_INDEX,
+                                    rg_ord, col_i))
                 oi = _patch_offset_index(oi, page_maps[(rg_i, col_i)])
                 entry["oi"] = (len(out), len(oi))
                 out += oi
@@ -1128,7 +1184,28 @@ def decrypt_parquet(buf: bytes, footer_key: bytes,
             return bloom_new[keyc][1]
         return None
 
-    patched, _ = _transcode(fbytes, 0, visit)
+    def drop(p):
+        # the plaintext output must not advertise encryption:
+        # ColumnChunk.crypto_metadata(8) and encrypted_column_metadata(9)
+        return (len(p) == 5 and p[0] == 4 and p[2] == 1 and p[4] in (8, 9))
+
+    def struct_end(path, last_fid):
+        # re-emit the decrypted ColumnMetaData (offsets patched to the
+        # plaintext layout) as field 3 for chunks the writer redacted;
+        # long-form header since field 3 lands after fields 4-7
+        if not (len(path) == 4 and path[0] == 4 and path[2] == 1):
+            return b""
+        keyc = (path[1], path[3])
+        md = redacted_md.get(keyc)
+        if md is None:
+            return b""
+        patched_md, _ = _transcode(
+            md, 0, lambda p, v, kc=keyc: visit((4, kc[0], 1, kc[1], 3) + p, v))
+        return (bytes([CT_STRUCT]) + _uvarint(_zigzag(3, 16))
+                + patched_md)
+
+    patched, _ = _transcode(fbytes, 0, visit, struct_end=struct_end,
+                            drop=drop)
     out += patched
     out += struct.pack("<I", len(patched))
     out += MAGIC

@@ -126,6 +126,48 @@ def test_double_wrapping_roundtrip_and_kek_sharing(tmp_path):
     assert next(iter(cache.values())) is kek0
 
 
+@pytest.mark.parametrize("algo", ["AES_GCM_V1", "AES_GCM_CTR_V1"])
+def test_decrypt_transform_on_arrow_subset_encrypted_file(tmp_path, algo):
+    """decrypt_parquet (the whole-file transform behind the CLI) on an
+    arrow CryptoFactory file: column-key chunks there have NO inline
+    meta_data (full redaction — it lives only in
+    encrypted_column_metadata) and unlisted columns are PLAINTEXT. The
+    transform restores meta_data into the output footer, strips the
+    crypto fields, and passes plaintext chunks through verbatim; the
+    result reads in DuckDB, pyarrow AND our reader."""
+    duckdb = pytest.importorskip("duckdb")
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.parquet as papq
+    pe, cf, kcfg = _crypto_factory()
+
+    from pq_engine.interop.parquet_crypto import decrypt_parquet
+    from pq_engine.interop.parquet_reader import read_parquet_pandas
+
+    n = 2000
+    tab = pa.table({"id": np.arange(n, dtype=np.int64),
+                    "tag": [f"t{i % 7}" for i in range(n)]})
+    ec = pe.EncryptionConfiguration(
+        footer_key="kf", column_keys={"kc": ["tag"]}, double_wrapping=True,
+        encryption_algorithm=algo)
+    p = str(tmp_path / "a.parquet")
+    with papq.ParquetWriter(
+            p, tab.schema,
+            encryption_properties=cf.file_encryption_properties(
+                kcfg, ec)) as w:
+        w.write_table(tab)
+    buf = open(p, "rb").read()
+    fkey, ckeys = resolve_file_keys(buf, MASTER)
+    plain = decrypt_parquet(buf, fkey, column_keys=ckeys)
+    pp = str(tmp_path / "plain.parquet")
+    open(pp, "wb").write(plain)
+    cnt, sm = duckdb.sql(
+        f"SELECT count(*), sum(id) FROM read_parquet('{pp}')").fetchone()
+    assert cnt == n and sm == n * (n - 1) // 2
+    assert papq.read_table(pp).num_rows == n
+    df = read_parquet_pandas(plain)
+    assert df["tag"].iloc[5] == "t5"
+
+
 def test_gcm_ctr_arrow_interop_both_directions(tmp_path):
     """AES_GCM_CTR_V1 against arrow C++ both ways: arrow reads our
     keytools CTR file (CTR page bodies, GCM metadata modules), and we
