@@ -384,7 +384,9 @@ def encrypt_parquet(plain: bytes, footer_key: bytes,
                     aad_mode: str = "spec",
                     key_metadata: bytes | None = None,
                     column_key_metadata: dict[str, bytes] | None = None,
-                    algorithm: str = "AES_GCM_V1") -> bytes:
+                    algorithm: str = "AES_GCM_V1",
+                    aad_prefix: bytes = b"",
+                    supply_aad_prefix: bool = False) -> bytes:
     """Plaintext parquet bytes -> encrypted-footer (PARE) file bytes.
 
     ``column_keys`` maps dotted column paths to per-column AES keys; other
@@ -397,16 +399,28 @@ def encrypt_parquet(plain: bytes, footer_key: bytes,
     BODIES with unauthenticated AES-CTR (faster on stacks without AES-GCM
     hardware; InternalColumnEncryptionSetup.getDataEncryptor) while every
     metadata module — headers, footer, indexes, blooms,
-    encrypted_column_metadata — stays AES-GCM."""
+    encrypted_column_metadata — stays AES-GCM.
+
+    ``aad_prefix`` (spec mode only) prepends a caller identity — e.g. the
+    canonical file name — to every module AAD, binding the ciphertext to
+    THAT file so a whole-file swap-and-rename is detected
+    (FileEncryptionProperties.withAADPrefix). It is stored in the footer
+    unless ``supply_aad_prefix`` — then only a flag is stored and every
+    reader must supply the prefix out-of-band."""
     if plain[:4] != MAGIC or plain[-4:] != MAGIC:
         raise ValueError("encrypt_parquet input is not a plaintext parquet file")
     if aad_mode not in ("spec", "empty"):
         raise ValueError("aad_mode must be 'spec' or 'empty'")
     if algorithm not in ("AES_GCM_V1", "AES_GCM_CTR_V1"):
         raise ValueError(f"unsupported encryption algorithm {algorithm!r}")
+    if aad_prefix and aad_mode != "spec":
+        raise ValueError("aad_prefix requires aad_mode='spec'")
+    if supply_aad_prefix and not aad_prefix:
+        raise ValueError("supply_aad_prefix without an aad_prefix")
     ctr = algorithm == "AES_GCM_CTR_V1"
     column_keys = column_keys or {}
-    file_aad = os.urandom(8) if aad_mode == "spec" else b""
+    aad_file_unique = os.urandom(8) if aad_mode == "spec" else b""
+    file_aad = (aad_prefix + aad_file_unique) if aad_mode == "spec" else b""
 
     flen = int.from_bytes(plain[-8:-4], "little")
     fstart = len(plain) - 8 - flen
@@ -616,8 +630,12 @@ def encrypt_parquet(plain: bytes, footer_key: bytes,
     footer_mod = _encrypt_module(
         footer_key, patched, _module_aad(file_aad, MOD_FOOTER))
     algo = StructWriter()
-    if file_aad:
-        algo.binary(2, file_aad)  # AesGcm(Ctr)V1.aad_file_unique
+    if aad_prefix and not supply_aad_prefix:
+        algo.binary(1, aad_prefix)  # AesGcm(Ctr)V1.aad_prefix
+    if aad_file_unique:
+        algo.binary(2, aad_file_unique)
+    if supply_aad_prefix:
+        algo.boolean(3, True)
     fcmd = StructWriter().struct(
         1, StructWriter().struct(2 if ctr else 1, algo))
     if key_metadata:

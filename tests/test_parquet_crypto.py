@@ -148,6 +148,48 @@ def test_gcm_ctr_integrity_tradeoff(tmp_path):
         decrypt_parquet(bytes(bad2), FK)
 
 
+def test_aad_prefix_stored_and_supplied(tmp_path):
+    """FileEncryptionProperties.withAADPrefix: the prefix binds the
+    ciphertext to a caller identity (e.g. the file name). Stored mode:
+    readers need nothing extra. Supplied mode: only a flag is stored and
+    a reader with the WRONG prefix (a renamed/swapped file) fails at the
+    first module."""
+    from pq_engine.interop.parquet_crypto import read_crypto_footer
+    from pq_engine.interop.parquet_reader import read_parquet_filtered_pandas
+
+    plain = _plain_file(tmp_path)
+    # stored: footer carries the prefix, decrypt needs no out-of-band data
+    enc = encrypt_parquet(plain, FK, aad_mode="spec",
+                          aad_prefix=b"warehouse/a.parquet")
+    info = read_crypto_footer(enc)
+    assert info["aad_prefix"] == b"warehouse/a.parquet"
+    assert not info["supply_aad_prefix"]
+    _check(read_parquet_pandas(decrypt_parquet(enc, FK)))
+
+    # supplied: flag only; right prefix reads, wrong prefix fails, none
+    # refuses by name
+    enc2 = encrypt_parquet(plain, FK, aad_mode="spec",
+                           aad_prefix=b"warehouse/a.parquet",
+                           supply_aad_prefix=True)
+    info2 = read_crypto_footer(enc2)
+    assert info2["aad_prefix"] == b"" and info2["supply_aad_prefix"]
+    _check(read_parquet_pandas(decrypt_parquet(
+        enc2, FK, aad_prefix=b"warehouse/a.parquet")))
+    df, _ = read_parquet_filtered_pandas(
+        enc2, ("lt", "id", 5), footer_key=FK,
+        aad_prefix=b"warehouse/a.parquet")
+    assert len(df) == 5
+    with pytest.raises(ValueError, match="decryption failed"):
+        decrypt_parquet(enc2, FK, aad_prefix=b"warehouse/b.parquet")
+    with pytest.raises(ValueError, match="aad_prefix"):
+        decrypt_parquet(enc2, FK)
+    # misuse refusals
+    with pytest.raises(ValueError, match="aad_prefix"):
+        encrypt_parquet(plain, FK, aad_mode="empty", aad_prefix=b"x")
+    with pytest.raises(ValueError, match="supply_aad_prefix"):
+        encrypt_parquet(plain, FK, aad_mode="spec", supply_aad_prefix=True)
+
+
 def test_spec_aad_binds_module_position(tmp_path):
     """Swapping two encrypted page modules must fail in spec mode: the AAD
     suffix carries ordinals, so a module cannot be replayed elsewhere."""
