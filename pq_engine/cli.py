@@ -810,17 +810,24 @@ def cmd_encrypt_parquet(args):
             if mid not in masters:
                 sys.exit(f"--column-master {entry!r}: unknown master id")
             column_masters[path] = mid
+        store = {} if args.external_material else None
         enc = encrypt_parquet_keytools(
             plain, masters, footer_master, column_masters,
             aad_mode=args.aad, double_wrapping=not args.single_wrap,
-            algorithm=args.algorithm)
+            algorithm=args.algorithm, material_store=store)
         with open(args.out, "wb") as f:
             f.write(enc)
+        extra = ""
+        if store is not None:
+            from .interop.parquet_keytools import write_key_material_store
+
+            side = write_key_material_store(args.out, store)
+            extra = f", key material → {side}"
         print(f"encrypted {args.path} ({len(plain)} B) → {args.out} "
               f"({len(enc)} B, keytools "
               f"{'single' if args.single_wrap else 'double'}-wrap, "
               f"footer master {footer_master!r}, "
-              f"{len(column_masters)} column master(s))")
+              f"{len(column_masters)} column master(s){extra})")
         return
     fk, column_keys = _cli_keys(args)
     if args.plaintext_footer:
@@ -854,10 +861,19 @@ def cmd_decrypt_parquet(args):
         sys.exit("--out required")
     enc = open(args.path, "rb").read()
     if args.master_key:
-        from .interop.parquet_keytools import resolve_file_keys
+        import os as _os
 
+        from .interop.parquet_keytools import (
+            key_material_store_path,
+            read_key_material_store,
+            resolve_file_keys,
+        )
+
+        store = (read_key_material_store(args.path)
+                 if _os.path.exists(key_material_store_path(args.path))
+                 else None)
         fk, column_keys = resolve_file_keys(
-            enc, _cli_master_keys(args.master_key))
+            enc, _cli_master_keys(args.master_key), material_store=store)
     else:
         fk, column_keys = _cli_keys(args)
     plain = decrypt_parquet(enc, fk, column_keys=column_keys)
@@ -875,11 +891,29 @@ def cmd_rotate_keys(args):
     refuses."""
     from .interop.parquet_keytools import rotate_master_keys
 
-    if not args.out:
-        sys.exit("--out required")
     if not args.master_key or not args.new_master_key:
         sys.exit("rotate-keys needs --master-key (old) and "
                  "--new-master-key")
+    import os as _os
+
+    from .interop.parquet_keytools import (
+        key_material_store_path,
+        rotate_key_material_store,
+    )
+
+    if _os.path.exists(key_material_store_path(args.path)):
+        # external material: the reference mechanism — rewrite ONLY the
+        # side file, the parquet file is not opened at all
+        rotate_key_material_store(
+            args.path, _cli_master_keys(args.master_key),
+            _cli_master_keys(args.new_master_key),
+            double_wrapping=not args.single_wrap)
+        print(f"rotated master keys in "
+              f"{key_material_store_path(args.path)} "
+              f"(parquet file untouched)")
+        return
+    if not args.out:
+        sys.exit("--out required")
     enc = open(args.path, "rb").read()
     rot = rotate_master_keys(
         enc, _cli_master_keys(args.master_key),
@@ -1415,6 +1449,10 @@ def main(argv=None):
     ap.add_argument("--single-wrap", action="store_true",
                     help="keytools: wrap DEKs directly with master keys "
                          "(no KEK layer)")
+    ap.add_argument("--external-material", action="store_true",
+                    help="encrypt-parquet keytools: store key material in "
+                         "a _KEY_MATERIAL_FOR_<file>.json side file "
+                         "(references only in the parquet file)")
     ap.add_argument("--algorithm",
                     choices=["AES_GCM_V1", "AES_GCM_CTR_V1"],
                     default="AES_GCM_V1",

@@ -19,7 +19,13 @@ PropertiesDrivenCryptoFactory):
   master key (AAD = master key id); one KMS round-trip amortizes over
   every file/column sharing the master key;
 - readers resolve keys from the file alone plus the master keys: parse
-  the JSON, unwrap (KEK then) DEK, decrypt.
+  the JSON, unwrap (KEK then) DEK, decrypt;
+- **external key material** (HadoopFSKeyMaterialStore): materials in a
+  ``_KEY_MATERIAL_FOR_<file>.json`` side file, the parquet file carries
+  only keyReference envelopes ("footerKey"/"columnKeyN"); rotation then
+  rewrites ONLY the side file (the reference's rotateMasterKeys
+  mechanism — our internal-material rotation additionally covers the
+  case the reference refuses).
 
 This is byte-compatible with what pyarrow's ``CryptoFactory`` (arrow C++
 parquet encryption) produces in both wrap modes when its KmsClient wraps
@@ -88,24 +94,38 @@ def unwrap_key_locally(wrapped: str, master_key: bytes,
 
 def key_material(master_key_id: str, wrapped_dek: str, is_footer_key: bool,
                  kek_id_b64: str | None = None,
-                 wrapped_kek: str | None = None) -> bytes:
-    """The PKMT1 key-material JSON (KeyMaterial.java field set, internal
-    storage). With ``kek_id_b64``/``wrapped_kek`` the envelope records
-    double wrapping; otherwise single."""
-    d = {
-        "keyMaterialType": "PKMT1",
-        "internalStorage": True,
+                 wrapped_kek: str | None = None,
+                 internal: bool = True) -> bytes:
+    """The PKMT1 key-material JSON (KeyMaterial.java field set). With
+    ``kek_id_b64``/``wrapped_kek`` the envelope records double wrapping;
+    otherwise single. ``internal=False`` omits the internalStorage field
+    (externally stored material carries no storage marker — the
+    REFERENCE envelope in key_metadata does)."""
+    d = {"keyMaterialType": "PKMT1"}
+    if internal:
+        d["internalStorage"] = True
+    d.update({
         "isFooterKey": is_footer_key,
         "kmsInstanceID": "DEFAULT",
         "kmsInstanceURL": "DEFAULT",
         "masterKeyID": master_key_id,
         "wrappedDEK": wrapped_dek,
         "doubleWrapping": kek_id_b64 is not None,
-    }
+    })
     if kek_id_b64 is not None:
         d["keyEncryptionKeyID"] = kek_id_b64
         d["wrappedKEK"] = wrapped_kek
     return json.dumps(d, separators=(",", ":")).encode()
+
+
+def key_metadata_reference(key_id_in_file: str) -> bytes:
+    """KeyMetadata.createSerializedForExternalMaterial: the envelope
+    stored in the parquet file when material lives in the side file."""
+    return json.dumps({
+        "keyMaterialType": "PKMT1",
+        "internalStorage": False,
+        "keyReference": key_id_in_file,
+    }, separators=(",", ":")).encode()
 
 
 def parse_key_material(km: bytes) -> dict:
@@ -113,18 +133,11 @@ def parse_key_material(km: bytes) -> dict:
     if d.get("keyMaterialType") != "PKMT1":
         raise ValueError(
             f"unsupported key material type {d.get('keyMaterialType')!r}")
-    if not d.get("internalStorage", True):
-        raise ValueError("external key material storage is out of scope")
     return d
 
 
-def unwrap_from_material(km: bytes, master_keys: dict[str, bytes],
-                         kek_cache: dict | None = None) -> bytes:
-    """Resolve one DEK from its key material + the master keys. For
-    double-wrapped material the KEK is unwrapped once per
-    (masterKeyID, kekID) and cached (KeyToolkit's KEK_READ_CACHE analog —
-    pass a shared dict to amortize across a file's columns)."""
-    d = parse_key_material(km)
+def _unwrap_material_dict(d: dict, master_keys: dict[str, bytes],
+                          kek_cache: dict | None = None) -> bytes:
     mid = d["masterKeyID"]
     if mid not in master_keys:
         raise ValueError(f"unknown master key id {mid!r}")
@@ -143,6 +156,31 @@ def unwrap_from_material(km: bytes, master_keys: dict[str, bytes],
     return unwrap_key_bytes_aad(
         d["wrappedDEK"], kek, base64.b64decode(kek_id_b64),
         "DEK unwrap failed under KEK; ")
+
+
+def unwrap_from_material(km: bytes, master_keys: dict[str, bytes],
+                         kek_cache: dict | None = None,
+                         material_store: dict[str, str] | None = None
+                         ) -> bytes:
+    """Resolve one DEK from its key material + the master keys. For
+    double-wrapped material the KEK is unwrapped once per
+    (masterKeyID, kekID) and cached (KeyToolkit's KEK_READ_CACHE analog —
+    pass a shared dict to amortize across a file's columns). An
+    external-reference envelope (internalStorage false) is resolved
+    through ``material_store`` — the parsed side file
+    (FileKeyUnwrapper.java:104)."""
+    d = parse_key_material(km)
+    if not d.get("internalStorage", True) and "wrappedDEK" not in d:
+        ref = d.get("keyReference")
+        if material_store is None:
+            raise ValueError(
+                "external key material: pass the key-material store "
+                "(the _KEY_MATERIAL_FOR_<file>.json side file)")
+        if ref not in material_store:
+            raise ValueError(
+                f"key reference {ref!r} not in the key-material store")
+        d = parse_key_material(material_store[ref].encode())
+    return _unwrap_material_dict(d, master_keys, kek_cache)
 
 
 class _KekPerMaster:
@@ -168,26 +206,45 @@ def encrypt_parquet_keytools(
         column_master_ids: dict[str, str] | None = None,
         aad_mode: str = "spec",
         double_wrapping: bool = True,
-        algorithm: str = "AES_GCM_V1") -> bytes:
+        algorithm: str = "AES_GCM_V1",
+        material_store: dict[str, str] | None = None) -> bytes:
     """Encrypt with freshly generated DEKs wrapped under master keys —
     the PropertiesDrivenCryptoFactory write path. ``column_master_ids``
     maps dotted column paths to master key ids; other columns use the
     footer DEK. ``double_wrapping`` (reference default) inserts the KEK
     layer. The output is readable by pyarrow's CryptoFactory (and by
     :func:`resolve_file_keys` + the native reader) with master keys only.
-    """
+
+    With ``material_store`` (a mutable dict) the key material goes into
+    the store under "footerKey"/"columnKeyN" ids and the file carries
+    only REFERENCES (FileKeyWrapper.java:168-178 external storage);
+    persist the store next to the file with
+    :func:`write_key_material_store`."""
     column_master_ids = column_master_ids or {}
     keks = _KekPerMaster(master_keys)
+    counter = [0]
 
     def material(mid: str, dek: bytes, is_footer: bool) -> bytes:
+        internal = material_store is None
         if not double_wrapping:
-            return key_material(
-                mid, wrap_key_locally(dek, master_keys[mid], mid), is_footer)
-        kek, kek_id, wrapped_kek = keks.get(mid)
-        return key_material(
-            mid, wrap_key_bytes_aad(dek, kek, kek_id), is_footer,
-            kek_id_b64=base64.b64encode(kek_id).decode(),
-            wrapped_kek=wrapped_kek)
+            km = key_material(
+                mid, wrap_key_locally(dek, master_keys[mid], mid),
+                is_footer, internal=internal)
+        else:
+            kek, kek_id, wrapped_kek = keks.get(mid)
+            km = key_material(
+                mid, wrap_key_bytes_aad(dek, kek, kek_id), is_footer,
+                kek_id_b64=base64.b64encode(kek_id).decode(),
+                wrapped_kek=wrapped_kek, internal=internal)
+        if internal:
+            return km
+        if is_footer:
+            ref = "footerKey"  # KeyMaterial.FOOTER_KEY_ID_IN_FILE
+        else:
+            counter[0] += 1
+            ref = f"columnKey{counter[0]}"
+        material_store[ref] = km.decode()
+        return key_metadata_reference(ref)
 
     footer_dek = os.urandom(16)
     footer_km = material(footer_master_id, footer_dek, True)
@@ -201,6 +258,69 @@ def encrypt_parquet_keytools(
         plain, footer_dek, column_keys=column_keys, aad_mode=aad_mode,
         key_metadata=footer_km, column_key_metadata=column_km,
         algorithm=algorithm)
+
+
+# ------------------------------------------------ external material store
+
+def key_material_store_path(parquet_path: str, temp: bool = False) -> str:
+    """HadoopFSKeyMaterialStore naming: ``_KEY_MATERIAL_FOR_<name>.json``
+    next to the parquet file (``_TMP`` prefix for the rotation temp)."""
+    d, name = os.path.split(parquet_path)
+    prefix = ("_TMP" if temp else "") + "_KEY_MATERIAL_FOR_"
+    return os.path.join(d, prefix + name + ".json")
+
+
+def write_key_material_store(parquet_path: str,
+                             store: dict[str, str]) -> str:
+    """Persist the side file atomically (temp write + rename — the
+    HadoopFSKeyMaterialStore saveMaterial/moveMaterialTo contract)."""
+    tmp = key_material_store_path(parquet_path, temp=True)
+    final = key_material_store_path(parquet_path)
+    with open(tmp, "w") as f:
+        json.dump(store, f, separators=(",", ":"))
+    os.replace(tmp, final)
+    return final
+
+
+def read_key_material_store(parquet_path: str) -> dict[str, str]:
+    with open(key_material_store_path(parquet_path)) as f:
+        return json.load(f)
+
+
+def rotate_key_material_store(parquet_path: str,
+                              old_masters: dict[str, bytes],
+                              new_masters: dict[str, bytes],
+                              double_wrapping: bool = True) -> None:
+    """The REFERENCE rotation (KeyToolkit.rotateMasterKeys:200-260,
+    external material only): unwrap every DEK in the side file with the
+    old masters, re-wrap under the new master bytes (fresh KEKs), write
+    the temp store, rename over the original. The parquet file itself is
+    NOT touched — not even its footer (contrast
+    :func:`rotate_master_keys`, which rewrites the tail of
+    internal-material files)."""
+    store = read_key_material_store(parquet_path)
+    kek_cache: dict = {}
+    keks = _KekPerMaster(new_masters)
+    new_store: dict[str, str] = {}
+    for ref, km_str in store.items():
+        d = parse_key_material(km_str.encode())
+        mid = d["masterKeyID"]
+        if mid not in new_masters:
+            raise ValueError(f"no new master key for id {mid!r}")
+        dek = _unwrap_material_dict(d, old_masters, kek_cache)
+        is_footer = bool(d.get("isFooterKey"))
+        if not double_wrapping:
+            km = key_material(
+                mid, wrap_key_locally(dek, new_masters[mid], mid),
+                is_footer, internal=False)
+        else:
+            kek, kek_id, wrapped_kek = keks.get(mid)
+            km = key_material(
+                mid, wrap_key_bytes_aad(dek, kek, kek_id), is_footer,
+                kek_id_b64=base64.b64encode(kek_id).decode(),
+                wrapped_kek=wrapped_kek, internal=False)
+        new_store[ref] = km.decode()
+    write_key_material_store(parquet_path, new_store)
 
 
 def rotate_master_keys(buf: bytes, old_masters: dict[str, bytes],
@@ -241,6 +361,10 @@ def rotate_master_keys(buf: bytes, old_masters: dict[str, bytes],
 
     def rewrap(km: bytes, is_footer: bool) -> bytes:
         d = parse_key_material(km)
+        if not d.get("internalStorage", True):
+            raise ValueError(
+                "file uses EXTERNAL key material — rotate the side file "
+                "with rotate_key_material_store instead")
         mid = d["masterKeyID"]
         if mid not in new_masters:
             raise ValueError(f"no new master key for id {mid!r}")
@@ -282,18 +406,22 @@ def rotate_master_keys(buf: bytes, old_masters: dict[str, bytes],
 
 
 def resolve_file_keys(buf: bytes, master_keys: dict[str, bytes],
-                      aad_prefix: bytes = b"") -> tuple[bytes, dict]:
+                      aad_prefix: bytes = b"",
+                      material_store: dict[str, str] | None = None
+                      ) -> tuple[bytes, dict]:
     """Resolve (footer_key, column_keys) for an encrypted-footer file from
     its own key-material metadata plus the MASTER keys — the read half of
     the key tools (FileKeyUnwrapper.getKey). Works on pyarrow/
     CryptoFactory files and ours, single- or double-wrapped; feed the
-    result straight to read_parquet_filtered or decrypt_parquet."""
+    result straight to read_parquet_filtered or decrypt_parquet. For
+    external-material files pass the parsed side file as
+    ``material_store``."""
     kek_cache: dict = {}
     info = read_crypto_footer(buf)
     if info["key_metadata"] is None:
         raise ValueError("file carries no key metadata (raw-DEK file?)")
     footer_key = unwrap_from_material(
-        info["key_metadata"], master_keys, kek_cache)
+        info["key_metadata"], master_keys, kek_cache, material_store)
     file_aad = (aad_prefix or info["aad_prefix"]) + info["aad_file_unique"]
     fbytes, _ = _decrypt_module(
         footer_key, buf, info["footer_module_start"],
@@ -310,5 +438,5 @@ def resolve_file_keys(buf: bytes, master_keys: dict[str, bytes],
             if path in column_keys or km is None:
                 continue
             column_keys[path] = unwrap_from_material(
-                km, master_keys, kek_cache)
+                km, master_keys, kek_cache, material_store)
     return footer_key, column_keys

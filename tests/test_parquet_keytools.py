@@ -168,6 +168,88 @@ def test_decrypt_transform_on_arrow_subset_encrypted_file(tmp_path, algo):
     assert df["tag"].iloc[5] == "t5"
 
 
+def test_external_key_material_store(tmp_path):
+    """External storage (HadoopFSKeyMaterialStore / KeyMetadata
+    keyReference): materials live in _KEY_MATERIAL_FOR_<file>.json under
+    "footerKey"/"columnKeyN"; the parquet file carries only references.
+    Rotation rewrites ONLY the side file — the parquet bytes are
+    byte-identical before and after (the reference's rotateMasterKeys
+    mechanism, KeyToolkit.java:200)."""
+    from pq_engine.interop.parquet_keytools import (
+        key_material_store_path,
+        read_key_material_store,
+        rotate_key_material_store,
+        rotate_master_keys,
+        write_key_material_store,
+    )
+    from pq_engine.interop.parquet_reader import read_parquet_filtered_pandas
+
+    plain, n = _plain_file(tmp_path)
+    store: dict = {}
+    enc = encrypt_parquet_keytools(
+        plain, MASTER, "kf", {"tag": "kc"}, material_store=store)
+    assert set(store) == {"footerKey", "columnKey1"}
+    p = str(tmp_path / "ext.pare")
+    open(p, "wb").write(enc)
+    side = write_key_material_store(p, store)
+    assert side == str(tmp_path / "_KEY_MATERIAL_FOR_ext.pare.json")
+
+    # file alone is NOT enough — the reference envelope refuses by name
+    with pytest.raises(ValueError, match="key-material store"):
+        resolve_file_keys(enc, MASTER)
+    fkey, ckeys = resolve_file_keys(
+        enc, MASTER, material_store=read_key_material_store(p))
+    df, _ = read_parquet_filtered_pandas(
+        enc, ("ge", "id", 0), footer_key=fkey, column_keys=ckeys)
+    assert len(df) == n
+
+    # side-file rotation: parquet bytes untouched, old masters dead
+    v2 = {"kf": b"FfFfFfFfFfFfFfFf", "kc": b"CcCcCcCcCcCcCcCc"}
+    rotate_key_material_store(p, MASTER, v2)
+    assert open(p, "rb").read() == enc  # not one byte of the file moved
+    store2 = read_key_material_store(p)
+    with pytest.raises(ValueError, match="unwrap failed"):
+        resolve_file_keys(enc, MASTER, material_store=store2)
+    fkey2, ckeys2 = resolve_file_keys(enc, v2, material_store=store2)
+    df2, _ = read_parquet_filtered_pandas(
+        enc, ("ge", "id", 0), footer_key=fkey2, column_keys=ckeys2)
+    assert len(df2) == n
+    # the internal-material rotation refuses external files by name
+    with pytest.raises(ValueError, match="side file"):
+        rotate_master_keys(enc, v2, MASTER)
+    # no leftover temp file from the atomic write
+    assert not (tmp_path / "_TMP_KEY_MATERIAL_FOR_ext.pare.json").exists()
+    assert key_material_store_path(p, temp=True).endswith(
+        "_TMP_KEY_MATERIAL_FOR_ext.pare.json")
+
+
+def test_cli_external_material_lifecycle(tmp_path, capsys):
+    """CLI: --external-material writes the side file; decrypt-parquet
+    auto-loads it; rotate-keys rewrites only the side file."""
+    from pq_engine.cli import main
+    from pq_engine.interop.parquet_reader import read_parquet_pandas
+
+    plain, n = _plain_file(tmp_path)
+    ppath = str(tmp_path / "plain.parquet")
+    enc = str(tmp_path / "enc.pare")
+    dec = str(tmp_path / "dec.parquet")
+    mk = f"kf={MASTER['kf'].hex()},kc={MASTER['kc'].hex()}"
+    main(["encrypt-parquet", ppath, "--out", enc, "--master-key", mk,
+          "--column-master", "tag=kc", "--external-material"])
+    out = capsys.readouterr().out
+    assert "_KEY_MATERIAL_FOR_enc.pare.json" in out
+    main(["decrypt-parquet", enc, "--out", dec, "--master-key", mk])
+    assert len(read_parquet_pandas(dec)) == n
+    v2 = {"kf": b"FfFfFfFfFfFfFfFf", "kc": b"CcCcCcCcCcCcCcCc"}
+    mk2 = f"kf={v2['kf'].hex()},kc={v2['kc'].hex()}"
+    before = open(enc, "rb").read()
+    main(["rotate-keys", enc, "--master-key", mk, "--new-master-key", mk2])
+    assert "parquet file untouched" in capsys.readouterr().out
+    assert open(enc, "rb").read() == before
+    main(["decrypt-parquet", enc, "--out", dec, "--master-key", mk2])
+    assert len(read_parquet_pandas(dec)) == n
+
+
 def test_gcm_ctr_arrow_interop_both_directions(tmp_path):
     """AES_GCM_CTR_V1 against arrow C++ both ways: arrow reads our
     keytools CTR file (CTR page bodies, GCM metadata modules), and we
