@@ -1654,7 +1654,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         def write_part(batches):
             import numpy as _np
 
-            from pq_engine.interop.parquet_crypto import encrypt_parquet
             from pq_engine.interop.parquet_writer import write_parquet
             from pq_engine.kernels.ragged import RaggedBytes
 
@@ -1677,16 +1676,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     {"name": "n_chars", "ptype": "int64", "codec": "plain",
                      "values": pdf["n_chars"].to_numpy(_np.int64)},
                 ]
-                write_parquet(path + ".plain", cols, len(pdf),
+                # integrated encrypt-on-write: ONE disk write per file,
+                # no plaintext on disk, no transform double-pass — the
+                # ParquetFileWriter-with-FileEncryptor shape that matters
+                # at 100 TB
+                write_parquet(path, cols, len(pdf),
                               compression="zstd",
                               row_group_size=max(64, len(pdf) // 6),
-                              data_page_rows=16, bloom_columns=["lang"])
-                plain = open(path + ".plain", "rb").read()
-                _os.unlink(path + ".plain")
-                with open(path, "wb") as f:
-                    f.write(encrypt_parquet(
-                        plain, fk, column_keys={"lang": ck},
-                        aad_mode="spec"))
+                              data_page_rows=16, bloom_columns=["lang"],
+                              encryption={"footer_key": fk,
+                                          "column_keys": {"lang": ck},
+                                          "aad_mode": "spec"})
                 yield pandas.DataFrame({"path": [path]})
 
         files = src.repartition(2).mapInPandas(write_part, "path string")

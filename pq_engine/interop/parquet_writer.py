@@ -269,7 +269,8 @@ def write_parquet(path: str, columns: list[dict], n_rows: int,
                   page_version: int = 1,
                   row_group_size: int | None = None,
                   bloom_columns: list[str] | None = None,
-                  data_page_rows: int | None = None) -> None:
+                  data_page_rows: int | None = None,
+                  encryption: dict | None = None) -> None:
     """columns: [{name, ptype, codec, values (np array | RaggedBytes),
     validity (bool array | None)}]. ``compression``
     applies the parquet page codec (snappy/gzip/zstd) to every page body,
@@ -299,7 +300,40 @@ def write_parquet(path: str, columns: list[dict], n_rows: int,
     OffsetIndex structs after the row-group data, ColumnChunk fields 4-7
     (ColumnIndexBuilder/OffsetIndexBuilder analog) — so our own files
     feed the filtered reader's page-level pruning (L4) too. Nested
-    columns stay single-page (declared scope: no page index there)."""
+    columns stay single-page (declared scope: no page index there).
+
+    ``encryption`` (r6) writes the file encrypted in ONE disk write —
+    the integrated ParquetFileWriter behavior, not a write-then-transform
+    double pass (at 100 TB the transform pass doubles I/O). Kwargs for
+    :func:`~pq_engine.interop.parquet_crypto.encrypt_parquet`:
+    ``{"footer_key": bytes, "column_keys": {...}, "aad_mode": ...,
+    "algorithm": ..., "key_metadata": ..., ...}``; the plaintext bytes
+    are assembled in memory, transformed, and only ciphertext touches
+    the disk."""
+    if encryption is not None:
+        import io as _io
+
+        from .parquet_crypto import encrypt_parquet
+
+        buf_path = _io.BytesIO()
+        _write_parquet_bytes(buf_path, columns, n_rows, compression,
+                             page_version, row_group_size, bloom_columns,
+                             data_page_rows)
+        enc = encrypt_parquet(buf_path.getvalue(), **encryption)
+        with open(path, "wb") as f:
+            f.write(enc)
+        return
+    with open(path, "wb") as f:
+        _write_parquet_bytes(f, columns, n_rows, compression, page_version,
+                             row_group_size, bloom_columns, data_page_rows)
+
+
+def _write_parquet_bytes(fobj, columns: list[dict], n_rows: int,
+                         compression: str | None = None,
+                         page_version: int = 1,
+                         row_group_size: int | None = None,
+                         bloom_columns: list[str] | None = None,
+                         data_page_rows: int | None = None) -> None:
     out = bytearray(MAGIC)
     if row_group_size and row_group_size > 0 and n_rows > 0:
         bands = [(i, min(i + row_group_size, n_rows))
@@ -352,7 +386,7 @@ def write_parquet(path: str, columns: list[dict], n_rows: int,
         row_groups.append((chunks, r1 - r0))
     if pageidx:
         _emit_page_index(out, pageidx)
-    _finish_file(path, out, columns, n_rows, row_groups)
+    _finish_file(fobj, out, columns, n_rows, row_groups)
 
 
 def _write_flat_chunk(out: bytearray, col: dict, n_rows: int,
@@ -687,7 +721,7 @@ def _bloom_hashes_for(ptype, vals):
         [bloomk.xxhash64_bytes(v.tobytes()) for v in u], dtype=np.uint64)
 
 
-def _finish_file(path: str, out: bytearray, columns: list[dict],
+def _finish_file(fobj, out: bytearray, columns: list[dict],
                  n_rows: int, row_groups) -> None:
     """Schema + FileMetaData emission over the already-written page
     bytes; one RowGroup struct per band (multi-row-group since r6)."""
@@ -798,8 +832,7 @@ def _finish_file(path: str, out: bytearray, columns: list[dict],
     out += fmeta
     out += len(fmeta).to_bytes(4, "little")
     out += MAGIC
-    with open(path, "wb") as f:
-        f.write(out)
+    fobj.write(out)
 
 
 def _list_page_header(n_values: int, enc: int, raw_size: int, comp_size: int) -> bytes:

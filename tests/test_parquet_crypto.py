@@ -148,6 +148,36 @@ def test_gcm_ctr_integrity_tradeoff(tmp_path):
         decrypt_parquet(bytes(bad2), FK)
 
 
+def test_write_parquet_integrated_encryption(tmp_path):
+    """write_parquet(encryption=...): the file is encrypted in ONE disk
+    write (integrated ParquetFileWriter behavior — no plaintext ever
+    touches the disk, no transform double-pass). Output is identical in
+    capability to the transform path: native filtered scan with pruning
+    and DuckDB-readable after decrypt."""
+    from pq_engine.interop.parquet_reader import read_parquet_filtered_pandas
+
+    n = 2000
+    path = str(tmp_path / "direct.pare")
+    write_parquet(path, [
+        {"name": "id", "ptype": "int64", "codec": "delta",
+         "values": np.arange(n, dtype=np.int64)},
+        {"name": "name", "ptype": "string", "codec": "dict",
+         "values": _ragged([f"tag-{i % 5}".encode() for i in range(n)])},
+    ], n, compression="zstd", row_group_size=500,
+        encryption={"footer_key": FK, "column_keys": {"name": CK},
+                    "aad_mode": "spec"})
+    buf = open(path, "rb").read()
+    assert buf[:4] == b"PARE" and b"PAR1" not in buf[:64]
+    df, rep = read_parquet_filtered_pandas(
+        path, ("and", ("ge", "id", 600), ("lt", "id", 700)),
+        footer_key=FK, column_keys={"name": CK})
+    assert list(df["id"]) == list(range(600, 700))
+    assert rep["row_groups_scanned"] < rep["row_groups_total"]
+    df2 = read_parquet_pandas(decrypt_parquet(buf, FK,
+                                              column_keys={"name": CK}))
+    assert len(df2) == n and df2["name"][7] == "tag-2"
+
+
 def test_aad_prefix_stored_and_supplied(tmp_path):
     """FileEncryptionProperties.withAADPrefix: the prefix binds the
     ciphertext to a caller identity (e.g. the file name). Stored mode:
