@@ -1374,18 +1374,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 yield pandas.DataFrame({"path": [path]})
 
         src = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-        files = src.mapInPandas(write_part, "path string")
+        src.mapInPandas(write_part, "path string").collect()  # materialize
+        # the engine's public distributed-scan API (spark/external.py,
+        # r6): one task per file, decoded through OUR reader stack
+        from pq_engine.spark.external import scan_parquet
 
-        def scan(batches):
-            from pq_engine.interop.parquet_reader import read_parquet_pandas
-
-            for pdf in batches:
-                for p in pdf["path"]:
-                    yield read_parquet_pandas(p)
-
-        return files.repartition(8).mapInPandas(
-            scan, "doc_id long, lang string, n_chars long"
-        )
+        return scan_parquet(
+            spark, out_dir,
+            schema="doc_id long, lang string, n_chars long", partitions=8)
 
     def external_filtered_scan(spark, sf_dir):
         """r6: FILTERED external scan — the readNextFilteredRowGroup +

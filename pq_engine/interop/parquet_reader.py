@@ -887,6 +887,8 @@ _CMP_OPS = ("eq", "ne", "lt", "le", "gt", "ge")
 
 
 def _pred_cols(pred) -> set:
+    if pred is None:  # full scan (no pruning, decode everything)
+        return set()
     if pred[0] in ("and", "or"):
         return _pred_cols(pred[1]) | _pred_cols(pred[2])
     return {pred[1]}
@@ -933,6 +935,8 @@ def _range_can_match(op, val, mn, mx):
 
 
 def _rg_can_match(pred, rg, by_name):
+    if pred is None:
+        return True
     if pred[0] == "and":
         return _rg_can_match(pred[1], rg, by_name) and \
             _rg_can_match(pred[2], rg, by_name)
@@ -983,6 +987,8 @@ def _rg_dict_can_match(pred, rg, by_name, buf, report, crypto=None):
     DictionaryFilter canDrop analog. Null rows never satisfy a comparison,
     so membership over the dictionary alone is decisive for eq/lt/le/gt/ge;
      'ne' would additionally need null counts (conservative True here)."""
+    if pred is None:
+        return True
     if pred[0] == "and":
         return (_rg_dict_can_match(pred[1], rg, by_name, buf, report, crypto)
                 and _rg_dict_can_match(pred[2], rg, by_name, buf, report,
@@ -1048,6 +1054,8 @@ def _rg_bloom_can_match(pred, rg, by_name, buf, report, crypto=None):
     (parquet-hadoop ParquetFileReader.java readBloomFilter). Only an eq
     that the bloom DISPROVES can drop the row group; every other shape
     returns True."""
+    if pred is None:
+        return True
     if pred[0] == "and":
         return (_rg_bloom_can_match(pred[1], rg, by_name, buf, report,
                                     crypto)
@@ -1150,6 +1158,8 @@ def _pred_page_ranges(pred, rg, by_name, buf, nrows, report, crypto=None):
     """RowRanges from the predicate columns' ColumnIndexes — the
     ColumnIndexFilter.calculateRowRanges analog. Columns without a page
     index contribute the full range."""
+    if pred is None:
+        return [(0, nrows)]
     if pred[0] == "and":
         return _intersect_ranges(
             _pred_page_ranges(pred[1], rg, by_name, buf, nrows, report,
@@ -1255,6 +1265,9 @@ def _select_rows(values, validity, keep):
 def _eval_pred(pred, cols):
     """Exact record-level evaluation -> bool mask (NULL compares False,
     the SQL semantics)."""
+    if pred is None:
+        any_vals = next(iter(cols.values()))[0]
+        return np.ones(len(any_vals), dtype=bool)
     if pred[0] == "and":
         return _eval_pred(pred[1], cols) & _eval_pred(pred[2], cols)
     if pred[0] == "or":
