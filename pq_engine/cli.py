@@ -814,7 +814,8 @@ def cmd_encrypt_parquet(args):
         enc = encrypt_parquet_keytools(
             plain, masters, footer_master, column_masters,
             aad_mode=args.aad, double_wrapping=not args.single_wrap,
-            algorithm=args.algorithm, material_store=store)
+            algorithm=args.algorithm, material_store=store,
+            aad_prefix=(args.aad_prefix or "").encode())
         with open(args.out, "wb") as f:
             f.write(enc)
         extra = ""
@@ -841,7 +842,8 @@ def cmd_encrypt_parquet(args):
         mode = "plaintext-footer"
     else:
         enc = encrypt_parquet(plain, fk, column_keys=column_keys,
-                              aad_mode=args.aad, algorithm=args.algorithm)
+                              aad_mode=args.aad, algorithm=args.algorithm,
+                              aad_prefix=(args.aad_prefix or "").encode())
         mode = "encrypted-footer"
     with open(args.out, "wb") as f:
         f.write(enc)
@@ -876,7 +878,8 @@ def cmd_decrypt_parquet(args):
             enc, _cli_master_keys(args.master_key), material_store=store)
     else:
         fk, column_keys = _cli_keys(args)
-    plain = decrypt_parquet(enc, fk, column_keys=column_keys)
+    plain = decrypt_parquet(enc, fk, column_keys=column_keys,
+                            aad_prefix=(args.aad_prefix or "").encode())
     with open(args.out, "wb") as f:
         f.write(plain)
     print(f"decrypted {args.path} → {args.out} ({len(plain)} B)")
@@ -1449,6 +1452,10 @@ def main(argv=None):
     ap.add_argument("--single-wrap", action="store_true",
                     help="keytools: wrap DEKs directly with master keys "
                          "(no KEK layer)")
+    ap.add_argument("--aad-prefix",
+                    help="AAD prefix string binding ciphertext to a file "
+                         "identity (stored unless the file was written "
+                         "with supply mode)")
     ap.add_argument("--external-material", action="store_true",
                     help="encrypt-parquet keytools: store key material in "
                          "a _KEY_MATERIAL_FOR_<file>.json side file "

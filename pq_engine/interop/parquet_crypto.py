@@ -700,7 +700,9 @@ def _md_spans(fbytes: bytes) -> dict[tuple[int, int], tuple[int, int]]:
 def encrypt_parquet_plaintext_footer(
         plain: bytes, footer_key: bytes, column_keys: dict[str, bytes],
         aad_mode: str = "spec",
-        footer_key_metadata: bytes | None = None) -> bytes:
+        footer_key_metadata: bytes | None = None,
+        column_key_metadata: dict[str, bytes] | None = None,
+        algorithm: str = "AES_GCM_V1") -> bytes:
     """Plaintext parquet bytes -> PLAINTEXT-FOOTER encrypted file
     (Encryption.md 'plaintext footer mode'; parquet-hadoop
     ParquetFileWriter.serializeFooter signing path + FileEncryptionProperties
@@ -725,6 +727,9 @@ def encrypt_parquet_plaintext_footer(
         raise ValueError(
             "plaintext footer mode encrypts columns under column keys; "
             "pass a non-empty column_keys")
+    if algorithm not in ("AES_GCM_V1", "AES_GCM_CTR_V1"):
+        raise ValueError(f"unsupported encryption algorithm {algorithm!r}")
+    ctr = algorithm == "AES_GCM_CTR_V1"
     _aesgcm(footer_key)  # validate key length up front
     file_aad = os.urandom(8) if aad_mode == "spec" else b""
 
@@ -794,7 +799,8 @@ def encrypt_parquet_plaintext_footer(
                                            rg_i, col_i, page_ord)
                         page_ord += 1
                     omap[pos] = len(out)
-                    body_mod = _encrypt_module(key, body, bmod)
+                    body_mod = (_encrypt_module_ctr(key, body) if ctr
+                                else _encrypt_module(key, body, bmod))
                     hdr_out = (_patch_page_size(hdr_bytes, len(body_mod))
                                if aad_mode == "spec" else hdr_bytes)
                     out += _encrypt_module(key, hdr_out, hmod)
@@ -933,7 +939,7 @@ def encrypt_parquet_plaintext_footer(
             if file_aad:
                 algo.binary(2, file_aad)  # AesGcmV1.aad_file_unique
             extra = (_field_hdr(8, last_fid, CT_STRUCT)
-                     + StructWriter().struct(1, algo).finish())
+                     + StructWriter().struct(2 if ctr else 1, algo).finish())
             if footer_key_metadata:
                 extra += (_field_hdr(9, 8, CT_BINARY)
                           + _uvarint(len(footer_key_metadata))
@@ -950,9 +956,12 @@ def encrypt_parquet_plaintext_footer(
         keyc = (path[1], path[3])
         if keyc not in encrypted or last_fid >= 8:
             return b""
-        union = StructWriter().struct(
-            2, StructWriter().list_string(
-                1, chunk_paths[keyc].split(".")))
+        inner = StructWriter().list_string(
+            1, chunk_paths[keyc].split("."))
+        ckm = (column_key_metadata or {}).get(chunk_paths[keyc])
+        if ckm:
+            inner.binary(2, ckm)
+        union = StructWriter().struct(2, inner)
         emd = enc_md[keyc]
         return (_field_hdr(8, last_fid, CT_STRUCT) + union.finish()
                 + _field_hdr(9, 8, CT_BINARY) + _uvarint(len(emd)) + emd)

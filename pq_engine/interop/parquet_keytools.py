@@ -207,7 +207,10 @@ def encrypt_parquet_keytools(
         aad_mode: str = "spec",
         double_wrapping: bool = True,
         algorithm: str = "AES_GCM_V1",
-        material_store: dict[str, str] | None = None) -> bytes:
+        material_store: dict[str, str] | None = None,
+        aad_prefix: bytes = b"",
+        supply_aad_prefix: bool = False,
+        plaintext_footer_mode: bool = False) -> bytes:
     """Encrypt with freshly generated DEKs wrapped under master keys —
     the PropertiesDrivenCryptoFactory write path. ``column_master_ids``
     maps dotted column paths to master key ids; other columns use the
@@ -254,10 +257,21 @@ def encrypt_parquet_keytools(
         dek = os.urandom(16)
         column_keys[path] = dek
         column_km[path] = material(mid, dek, False)
+    if plaintext_footer_mode:
+        from .parquet_crypto import encrypt_parquet_plaintext_footer
+
+        if aad_prefix or supply_aad_prefix:
+            raise ValueError(
+                "aad_prefix is encrypted-footer-only in this writer")
+        return encrypt_parquet_plaintext_footer(
+            plain, footer_dek, column_keys, aad_mode=aad_mode,
+            footer_key_metadata=footer_km,
+            column_key_metadata=column_km, algorithm=algorithm)
     return encrypt_parquet(
         plain, footer_dek, column_keys=column_keys, aad_mode=aad_mode,
         key_metadata=footer_km, column_key_metadata=column_km,
-        algorithm=algorithm)
+        algorithm=algorithm, aad_prefix=aad_prefix,
+        supply_aad_prefix=supply_aad_prefix)
 
 
 # ------------------------------------------------ external material store
@@ -325,7 +339,8 @@ def rotate_key_material_store(parquet_path: str,
 
 def rotate_master_keys(buf: bytes, old_masters: dict[str, bytes],
                        new_masters: dict[str, bytes],
-                       double_wrapping: bool = True) -> bytes:
+                       double_wrapping: bool = True,
+                       aad_prefix: bytes = b"") -> bytes:
     """Re-wrap every DEK in an encrypted-footer file under NEW master key
     bytes (same key ids — the key-version rotation of
     KeyToolkit.rotateMasterKeys, KeyToolkit.java:150-214). The reference
@@ -352,7 +367,9 @@ def rotate_master_keys(buf: bytes, old_masters: dict[str, bytes],
         raise ValueError("file carries no key metadata to rotate")
     footer_dek = unwrap_from_material(
         info["key_metadata"], old_masters, kek_cache)
-    file_aad = info["aad_prefix"] + info["aad_file_unique"]
+    if info["supply_aad_prefix"] and not aad_prefix:
+        raise ValueError("file requires caller-supplied aad_prefix")
+    file_aad = (aad_prefix or info["aad_prefix"]) + info["aad_file_unique"]
     fbytes, _ = _decrypt_module(
         footer_dek, buf, info["footer_module_start"],
         _module_aad(file_aad, MOD_FOOTER))
@@ -415,8 +432,35 @@ def resolve_file_keys(buf: bytes, master_keys: dict[str, bytes],
     CryptoFactory files and ours, single- or double-wrapped; feed the
     result straight to read_parquet_filtered or decrypt_parquet. For
     external-material files pass the parsed side file as
-    ``material_store``."""
+    ``material_store``. Plaintext-footer files (PAR1 magic,
+    footer_signing_key_metadata in FileMetaData field 9) resolve too —
+    the footer key there is the SIGNING key."""
     kek_cache: dict = {}
+    if buf[-4:] == b"PAR1":
+        # plaintext-footer mode: footer is in the clear, signed; the
+        # signature (nonce+tag) sits between footer bytes and the length
+        flen = int.from_bytes(buf[-8:-4], "little")
+        combined = buf[len(buf) - 8 - flen : len(buf) - 8]
+        fmeta, _ = read_struct(combined)
+        km = fmeta.get(9)
+        if fmeta.get(8) is None or km is None:
+            raise ValueError(
+                "not an encrypted parquet file with key metadata")
+        footer_key = unwrap_from_material(
+            km, master_keys, kek_cache, material_store)
+        column_keys: dict[str, bytes] = {}
+        for rg in fmeta.get(4, []):
+            for cc in rg.get(1, []):
+                crypto = cc.get(8)
+                if crypto is None or 2 not in crypto:
+                    continue
+                path = ".".join(p.decode() for p in crypto[2].get(1, []))
+                ckm = crypto[2].get(2)
+                if path in column_keys or ckm is None:
+                    continue
+                column_keys[path] = unwrap_from_material(
+                    ckm, master_keys, kek_cache, material_store)
+        return footer_key, column_keys
     info = read_crypto_footer(buf)
     if info["key_metadata"] is None:
         raise ValueError("file carries no key metadata (raw-DEK file?)")

@@ -250,6 +250,44 @@ def test_cli_external_material_lifecycle(tmp_path, capsys):
     assert len(read_parquet_pandas(dec)) == n
 
 
+@pytest.mark.parametrize("algo", ["AES_GCM_V1", "AES_GCM_CTR_V1"])
+def test_keytools_plaintext_footer_mode(tmp_path, algo):
+    """Keytools + plaintext-footer mode (and the GCM_CTR variant of it):
+    the signing key's PKMT1 envelope rides footer_signing_key_metadata
+    (FileMetaData field 9), column envelopes ride the crypto unions;
+    resolve_file_keys reads a PAR1 signed-footer file with master keys
+    alone; DuckDB still reads the plaintext column with NO key."""
+    duckdb = pytest.importorskip("duckdb")
+    from pq_engine.interop.parquet_reader import read_parquet_filtered_pandas
+
+    plain, n = _plain_file(tmp_path)
+    enc = encrypt_parquet_keytools(
+        plain, MASTER, "kf", {"tag": "kc"},
+        plaintext_footer_mode=True, algorithm=algo)
+    p = str(tmp_path / "pf.parquet")
+    open(p, "wb").write(enc)
+    assert enc[:4] == b"PAR1"
+    fkey, ckeys = resolve_file_keys(enc, MASTER)
+    assert set(ckeys) == {"tag"}
+    df, _ = read_parquet_filtered_pandas(
+        p, ("lt", "id", 300), footer_key=fkey, column_keys=ckeys)
+    assert list(df["id"]) == list(range(300))
+    assert df["tag"].iloc[5] == "t5"
+    if algo == "AES_GCM_V1":
+        # legacy reader, no key: the plaintext column of the SAME file.
+        # (DuckDB 1.x refuses files whose footer advertises GCM_CTR even
+        # for plaintext columns, so the legacy contract is GCM-only.)
+        con = duckdb.connect()
+        cnt = con.sql(
+            f"SELECT count(*) FROM (SELECT id FROM read_parquet('{p}')) "
+            "WHERE id < 300").fetchone()[0]
+        con.close()
+        assert cnt == 300
+    # wrong masters refuse
+    with pytest.raises(ValueError, match="unwrap failed"):
+        resolve_file_keys(enc, {"kf": MASTER["kc"], "kc": MASTER["kf"]})
+
+
 def test_gcm_ctr_arrow_interop_both_directions(tmp_path):
     """AES_GCM_CTR_V1 against arrow C++ both ways: arrow reads our
     keytools CTR file (CTR page bodies, GCM metadata modules), and we
