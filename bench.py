@@ -255,6 +255,39 @@ def main() -> None:
             best = min(best or 1e9, time.time() - t0)
         baseline[f"{name}_sec"] = round(best, 3)
         baseline[f"{name}_bytes"] = os.path.getsize(out)
+        if name == "zstd1":
+            # r6: modular-encryption walls on this real parquet file —
+            # quantifies the crypto tax at sf scale in the recorded
+            # artifact (AES-GCM spec AAD, one column key)
+            from pq_engine.interop.parquet_crypto import (
+                decrypt_parquet,
+                encrypt_parquet,
+            )
+
+            pbytes = open(out, "rb").read()
+            fk, ck = b"0123456789012345", b"abcdefghijklmnop"
+            ebest, dbest, ebytes = None, None, 0
+            for _ in range(3):
+                t0 = time.time()
+                ebuf = encrypt_parquet(
+                    pbytes, fk, column_keys={"text": ck}, aad_mode="spec")
+                ebest = min(ebest or 1e9, time.time() - t0)
+                ebytes = len(ebuf)
+                t0 = time.time()
+                decrypt_parquet(ebuf, fk, column_keys={"text": ck})
+                dbest = min(dbest or 1e9, time.time() - t0)
+            # overhead can be NEGATIVE on pyarrow inputs: the transform
+            # adds 36 B/page-module framing but drops pyarrow's
+            # deprecated duplicated ColumnMetaData blobs written after
+            # each chunk (ColumnChunk.file_offset targets, ignored by
+            # every reader)
+            extra["crypto"] = {
+                "encrypt_sec": round(ebest, 3),
+                "decrypt_sec": round(dbest, 3),
+                "overhead_bytes": ebytes - len(pbytes),
+                "overhead_pct": round(
+                    100.0 * (ebytes - len(pbytes)) / len(pbytes), 3),
+            }
         os.remove(out)
     extra["baseline"] = baseline
     # <1 = we are faster than the stand-in config (wall incl. our sink)

@@ -168,6 +168,61 @@ def test_decrypt_transform_on_arrow_subset_encrypted_file(tmp_path, algo):
     assert df["tag"].iloc[5] == "t5"
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(st.integers(-(2**62), 2**62 - 1), min_size=1,
+                 max_size=400),
+        st.sampled_from(["AES_GCM_V1", "AES_GCM_CTR_V1"]),
+        st.sampled_from(["spec", "empty"]),
+        st.booleans(),  # double wrapping
+        st.booleans(),  # column key on the string column
+        st.integers(1, 4),  # row groups
+    )
+    def test_crypto_property_roundtrip(ints, algo, aad_mode, dw, ckey,
+                                       n_rgs):
+        """Property: for ANY table shape × algorithm × AAD mode × wrap
+        mode × key layout × row-group count, a keytools encrypt followed
+        by resolve_file_keys + the native filtered read returns exactly
+        the plaintext rows."""
+        import io
+
+        from pq_engine.interop.parquet_reader import (
+            read_parquet_filtered_pandas,
+        )
+        from pq_engine.interop.parquet_writer import _write_parquet_bytes
+
+        n = len(ints)
+        vals = np.array(ints, dtype=np.int64)
+        tags = [f"s{abs(v) % 11}".encode() for v in ints]
+        offs = np.zeros(n + 1, np.int64)
+        for i, s in enumerate(tags):
+            offs[i + 1] = offs[i] + len(s)
+        buf = io.BytesIO()
+        _write_parquet_bytes(buf, [
+            {"name": "v", "ptype": "int64", "codec": "plain",
+             "values": vals},
+            {"name": "s", "ptype": "string", "codec": "plain",
+             "values": RaggedBytes(
+                 offs, np.frombuffer(b"".join(tags), np.uint8))},
+        ], n, row_group_size=max(1, n // n_rgs))
+        plain = buf.getvalue()
+        enc = encrypt_parquet_keytools(
+            plain, MASTER, "kf", {"s": "kc"} if ckey else {},
+            aad_mode=aad_mode, double_wrapping=dw, algorithm=algo)
+        fkey, ckeys = resolve_file_keys(enc, MASTER)
+        assert set(ckeys) == ({"s"} if ckey else set())
+        df, _ = read_parquet_filtered_pandas(
+            enc, None, footer_key=fkey, column_keys=ckeys)
+        assert list(df["v"]) == ints
+        assert list(df["s"]) == [t.decode() for t in tags]
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_external_key_material_store(tmp_path):
     """External storage (HadoopFSKeyMaterialStore / KeyMetadata
     keyReference): materials live in _KEY_MATERIAL_FOR_<file>.json under
