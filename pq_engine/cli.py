@@ -810,12 +810,16 @@ def cmd_encrypt_parquet(args):
             if mid not in masters:
                 sys.exit(f"--column-master {entry!r}: unknown master id")
             column_masters[path] = mid
+        if args.plaintext_footer and not args.column_master:
+            sys.exit("--plaintext-footer requires --column-master "
+                     "(the footer master only signs)")
         store = {} if args.external_material else None
         enc = encrypt_parquet_keytools(
             plain, masters, footer_master, column_masters,
             aad_mode=args.aad, double_wrapping=not args.single_wrap,
             algorithm=args.algorithm, material_store=store,
-            aad_prefix=(args.aad_prefix or "").encode())
+            aad_prefix=(args.aad_prefix or "").encode(),
+            plaintext_footer_mode=args.plaintext_footer)
         with open(args.out, "wb") as f:
             f.write(enc)
         extra = ""

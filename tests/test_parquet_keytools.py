@@ -428,6 +428,29 @@ def test_cli_keytools_commands(tmp_path, capsys):
     assert len(read_parquet_pandas(dec)) == n
 
 
+def test_cli_keytools_plaintext_footer(tmp_path, capsys):
+    """CLI: --plaintext-footer + --master-key writes a PAR1 signed-footer
+    file with keytools envelopes; keys resolve from masters alone."""
+    from pq_engine.cli import main
+    from pq_engine.interop.parquet_reader import read_parquet_filtered_pandas
+
+    plain, n = _plain_file(tmp_path)
+    ppath = str(tmp_path / "plain.parquet")
+    enc = str(tmp_path / "pf.parquet")
+    mk = f"kf={MASTER['kf'].hex()},kc={MASTER['kc'].hex()}"
+    main(["encrypt-parquet", ppath, "--out", enc, "--master-key", mk,
+          "--column-master", "tag=kc", "--plaintext-footer"])
+    buf = open(enc, "rb").read()
+    assert buf[:4] == b"PAR1"
+    fkey, ckeys = resolve_file_keys(buf, MASTER)
+    df, _ = read_parquet_filtered_pandas(
+        enc, ("ge", "id", 0), footer_key=fkey, column_keys=ckeys)
+    assert len(df) == n
+    with pytest.raises(SystemExit, match="column-master"):
+        main(["encrypt-parquet", ppath, "--out", enc, "--master-key", mk,
+              "--plaintext-footer"])
+
+
 def test_rotate_master_keys(tmp_path):
     """KeyToolkit.rotateMasterKeys analog for INTERNAL key material:
     every DEK is re-wrapped under new master key bytes (same ids); no
