@@ -72,6 +72,30 @@ def _leaf(se: dict) -> dict:
     }
 
 
+def _decoding_guard(fn):
+    """ParquetDecodingException analog: any unexpected exception while
+    decoding a (possibly foreign, possibly corrupt) file surfaces as
+    ValueError("corrupt or unsupported parquet file: ...") — executors
+    get ONE predictable failure type instead of a zoo of struct.error/
+    KeyError/IndexError/codec errors. Deliberate ValueErrors (our own
+    clear messages) pass through unchanged; MemoryError and interrupts
+    are never swallowed."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (ValueError, NotImplementedError, MemoryError,
+                KeyboardInterrupt):
+            raise
+        except Exception as e:
+            raise ValueError(
+                f"corrupt or unsupported parquet file: "
+                f"{type(e).__name__}: {e}") from e
+    return wrapped
+
+
 def read_footer(buf: bytes) -> dict:
     """Parse FileMetaData -> {num_rows, schema: [col dicts], row_groups}.
 
@@ -218,12 +242,22 @@ def _chunk_fields(md: dict) -> dict:
     }
 
 
+# decompression-bomb guard for FOREIGN files: a corrupt/malicious header
+# claiming a huge uncompressed_page_size must not OOM an executor. Real
+# parquet pages are ~1 MiB; 1 GiB per page is far beyond any writer.
+MAX_PAGE_UNCOMPRESSED = 1 << 30
+
+
 def _decompress(body: bytes, codec: str, raw_size: int) -> bytes:
     # parquet page bodies are RAW codec streams (no length prefix — the
     # PageHeader carries uncompressed_page_size); our engine's
     # compression.py prefixes its own blobs, so go to the codecs directly
     if codec == "none" or len(body) == raw_size == 0:
         return body
+    if not 0 <= raw_size <= MAX_PAGE_UNCOMPRESSED:
+        raise ValueError(
+            f"page claims uncompressed size {raw_size} "
+            f"(> {MAX_PAGE_UNCOMPRESSED} cap — corrupt header?)")
     if codec == "gzip":
         import zlib
 
@@ -533,6 +567,7 @@ def _find_chunk(rg: dict, path: list[str]) -> dict:
     raise ValueError(f"no column chunk for path {path}")
 
 
+@_decoding_guard
 def read_parquet(path_or_buf, columns: list[str] | None = None):
     """Read a parquet file -> (schema cols, {name: (values, validity)}).
 
@@ -818,6 +853,7 @@ def _arrow_list(lc, col):
     )
 
 
+@_decoding_guard
 def to_arrow(path_or_buf, columns: list[str] | None = None):
     """Decode to a pyarrow Table (flat + LIST arrow-native; STRUCT/MAP via
     StructArray/MapArray assembly)."""
@@ -863,6 +899,7 @@ def to_arrow(path_or_buf, columns: list[str] | None = None):
     return pa.table(dict(zip(names, arrays)))
 
 
+@_decoding_guard
 def read_parquet_pandas(path_or_buf, columns: list[str] | None = None):
     """Convenience: decode to a pandas DataFrame (strings decoded when the
     column is annotated UTF8) — the shape the Spark mapInPandas scan uses.
@@ -1333,6 +1370,7 @@ def _cmp_ragged(op, rb: RaggedBytes, val: bytes):
     }[op]
 
 
+@_decoding_guard
 def read_parquet_filtered(path_or_buf, predicate,
                           columns: list[str] | None = None,
                           footer_key: bytes | None = None,

@@ -428,3 +428,57 @@ def test_filtered_scan_with_nulls_and_dict(tmp_path):
     assert df["id"].tolist() == want
     assert set(df["lang"]) == {"fr"}
     assert rep["rows_matched"] == len(want)
+
+
+def test_corrupt_file_fuzz_controlled_failure(tmp_path):
+    """Adversarial-input contract (ParquetDecodingException analog): for
+    ANY corruption — bit flips, truncation, random splices — the reader
+    either decodes (mutation hit a don't-care byte) or raises ValueError.
+    Never a raw struct.error/KeyError/IndexError/codec exception, never a
+    hang, never an unbounded allocation (page decompress is capped at
+    MAX_PAGE_UNCOMPRESSED). 300 deterministic trials."""
+    import random
+
+    from pq_engine.interop.parquet_reader import read_parquet_pandas
+    from pq_engine.interop.parquet_writer import write_parquet
+    from pq_engine.kernels.ragged import RaggedBytes
+
+    n = 500
+    tags = [f"t{i % 7}".encode() for i in range(n)]
+    offs = np.zeros(n + 1, np.int64)
+    for i, s in enumerate(tags):
+        offs[i + 1] = offs[i] + len(s)
+    p = str(tmp_path / "f.parquet")
+    write_parquet(p, [
+        {"name": "id", "ptype": "int64", "codec": "delta",
+         "values": np.arange(n, dtype=np.int64)},
+        {"name": "s", "ptype": "string", "codec": "dict",
+         "values": RaggedBytes(offs, np.frombuffer(b"".join(tags),
+                                                   np.uint8))},
+    ], n, compression="zstd", row_group_size=100)
+    base = open(p, "rb").read()
+    rng = random.Random(20260817)
+    ok = err = 0
+    for trial in range(300):
+        buf = bytearray(base)
+        mode = trial % 3
+        if mode == 0:  # bit flips
+            for _ in range(rng.randint(1, 4)):
+                buf[rng.randrange(len(buf))] ^= 1 << rng.randrange(8)
+            data = bytes(buf)
+        elif mode == 1:  # truncation
+            data = bytes(buf[: rng.randrange(8, len(buf))])
+        else:  # random splice
+            i = rng.randrange(len(buf))
+            j = min(len(buf), i + rng.randint(1, 64))
+            data = (bytes(buf[:i])
+                    + bytes(rng.randrange(256) for _ in range(j - i))
+                    + bytes(buf[j:]))
+        try:
+            df = read_parquet_pandas(data)
+            assert len(df) <= n * 2  # decoded => sane shape
+            ok += 1
+        except ValueError:
+            err += 1
+        # any OTHER exception type propagates and fails the test
+    assert err > 200  # most corruptions must be detected
