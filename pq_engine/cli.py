@@ -908,28 +908,45 @@ def cmd_rotate_keys(args):
         rotate_key_material_store,
     )
 
-    if _os.path.exists(key_material_store_path(args.path)):
-        # external material: the reference mechanism — rewrite ONLY the
-        # side file, the parquet file is not opened at all
-        rotate_key_material_store(
-            args.path, _cli_master_keys(args.master_key),
-            _cli_master_keys(args.new_master_key),
-            double_wrapping=not args.single_wrap)
-        print(f"rotated master keys in "
-              f"{key_material_store_path(args.path)} "
-              f"(parquet file untouched)")
+    old = _cli_master_keys(args.master_key)
+    new = _cli_master_keys(args.new_master_key)
+    dw = not args.single_wrap
+
+    def rotate_one(path: str, out: str | None) -> None:
+        if _os.path.exists(key_material_store_path(path)):
+            # external material: the reference mechanism — rewrite ONLY
+            # the side file, the parquet file is not opened at all
+            rotate_key_material_store(path, old, new, double_wrapping=dw)
+            print(f"rotated master keys in "
+                  f"{key_material_store_path(path)} "
+                  f"(parquet file untouched)")
+            return
+        enc = open(path, "rb").read()
+        rot = rotate_master_keys(enc, old, new, double_wrapping=dw)
+        if out is None:
+            # in-place, atomically (temp write + rename)
+            tmp = path + ".rotate-tmp"
+            with open(tmp, "wb") as f:
+                f.write(rot)
+            _os.replace(tmp, path)
+            out = path
+        else:
+            with open(out, "wb") as f:
+                f.write(rot)
+        print(f"rotated master keys: {path} → {out} "
+              f"({len(rot)} B; data region untouched)")
+
+    if _os.path.isdir(args.path):
+        # KeyToolkit.rotateMasterKeys(folderPath) semantics: rotate every
+        # parquet file in the folder (in place)
+        from .spark.external import list_parquet_files
+
+        files = list_parquet_files(args.path)
+        for p in files:
+            rotate_one(p, None)
+        print(f"rotated {len(files)} file(s) in {args.path}")
         return
-    if not args.out:
-        sys.exit("--out required")
-    enc = open(args.path, "rb").read()
-    rot = rotate_master_keys(
-        enc, _cli_master_keys(args.master_key),
-        _cli_master_keys(args.new_master_key),
-        double_wrapping=not args.single_wrap)
-    with open(args.out, "wb") as f:
-        f.write(rot)
-    print(f"rotated master keys: {args.path} → {args.out} "
-          f"({len(rot)} B; data region untouched)")
+    rotate_one(args.path, args.out)
 
 
 def cmd_version(args=None):

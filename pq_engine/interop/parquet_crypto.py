@@ -1011,19 +1011,54 @@ def read_crypto_footer(buf: bytes) -> dict:
 def decrypt_parquet(buf: bytes, footer_key: bytes,
                     column_keys: dict[str, bytes] | None = None,
                     aad_prefix: bytes = b"") -> bytes:
-    """Encrypted-footer (PARE) parquet bytes -> plaintext PAR1 bytes that
-    the existing parquet_reader decodes unchanged. Handles both spec AAD
-    (aad_file_unique + module suffixes) and empty-AAD (DuckDB) files."""
-    info = read_crypto_footer(buf)
-    if info["supply_aad_prefix"] and not aad_prefix:
-        raise ValueError("file requires caller-supplied aad_prefix")
-    file_aad = (aad_prefix or info["aad_prefix"]) + info["aad_file_unique"]
+    """Encrypted parquet bytes -> fully plaintext PAR1 bytes that the
+    existing parquet_reader decodes unchanged. Handles encrypted-footer
+    (PARE) files — both spec AAD (aad_file_unique + module suffixes) and
+    empty-AAD (DuckDB) — AND plaintext-footer (PAR1, signed footer)
+    files, whose signature is verified with the footer key before the
+    encrypted columns are decrypted and their redacted ColumnMetaData
+    restored."""
     column_keys = column_keys or {}
-
-    fbytes, _ = _decrypt_module(
-        footer_key, buf, info["footer_module_start"],
-        _module_aad(file_aad, MOD_FOOTER))
-    fmeta, _ = read_struct(fbytes)
+    plaintext_footer = buf[:4] == MAGIC and buf[-4:] == MAGIC
+    if plaintext_footer:
+        flen = int.from_bytes(buf[-8:-4], "little")
+        combined = buf[len(buf) - 8 - flen : len(buf) - 8]
+        if len(combined) <= NONCE_LEN + TAG_LEN:
+            raise ValueError("footer too short for a signature")
+        fbytes = combined[: -(NONCE_LEN + TAG_LEN)]
+        nonce = combined[-(NONCE_LEN + TAG_LEN) : -TAG_LEN]
+        tag = combined[-TAG_LEN:]
+        fmeta, _ = read_struct(fbytes)
+        algo_u = fmeta.get(8)
+        if algo_u is None:
+            raise ValueError(
+                "plaintext parquet file carries no encryption_algorithm")
+        if 1 in algo_u:
+            gcm, algorithm = algo_u[1] or {}, "AES_GCM_V1"
+        elif 2 in algo_u:
+            gcm, algorithm = algo_u[2] or {}, "AES_GCM_CTR_V1"
+        else:
+            raise ValueError("unknown encryption_algorithm union field")
+        if gcm.get(3) and not aad_prefix:
+            raise ValueError("file requires caller-supplied aad_prefix")
+        file_aad = (aad_prefix or gcm.get(1, b"")) + gcm.get(2, b"")
+        ct = _aesgcm(footer_key).encrypt(
+            nonce, fbytes, _module_aad(file_aad, MOD_FOOTER) or None)
+        if ct[-TAG_LEN:] != tag:
+            raise ValueError(
+                "footer signature verification failed (wrong footer key "
+                "or tampered footer)")
+        info = {"algorithm": algorithm}
+    else:
+        info = read_crypto_footer(buf)
+        if info["supply_aad_prefix"] and not aad_prefix:
+            raise ValueError("file requires caller-supplied aad_prefix")
+        file_aad = (aad_prefix or info["aad_prefix"]) \
+            + info["aad_file_unique"]
+        fbytes, _ = _decrypt_module(
+            footer_key, buf, info["footer_module_start"],
+            _module_aad(file_aad, MOD_FOOTER))
+        fmeta, _ = read_struct(fbytes)
     row_groups = fmeta.get(4, [])
 
     out = bytearray(MAGIC)
@@ -1054,24 +1089,28 @@ def decrypt_parquet(buf: bytes, footer_key: bytes,
                         f"column {path!r} is encrypted with a column key; "
                         "pass it in column_keys")
                 key = column_keys[path]
-            elif crypto is None and any_tagged:
+            elif crypto is None and (any_tagged or plaintext_footer):
                 key = None  # plaintext chunk
             else:
                 path = ".".join(p.decode() for p in _chunk_meta(cc)[3])
                 key = column_keys.get(path, footer_key)
             meta = cc.get(3)
-            if meta is None:
-                emd = cc.get(9)
-                if emd is None:
-                    raise ValueError(
-                        "ColumnChunk carries neither meta_data nor "
-                        "encrypted_column_metadata")
+            emd = cc.get(9)
+            if emd is not None and key is not None:
+                # encrypted_column_metadata is the authoritative copy
+                # (inline meta_data is absent for arrow files, REDACTED
+                # — statistics stripped — for plaintext-footer files);
+                # restore it into the output footer
                 md_plain, _ = _decrypt_module(
                     key, emd, 0,
                     _module_aad(file_aad, MOD_COLUMN_METADATA,
                                 rg_ord, col_i))
                 redacted_md[(rg_i, col_i)] = md_plain
                 meta, _ = read_struct(md_plain)
+            elif meta is None:
+                raise ValueError(
+                    "ColumnChunk carries neither meta_data nor "
+                    "encrypted_column_metadata")
             chunk_metas[(rg_i, col_i)] = meta
             chunk_keys[(rg_i, col_i)] = key
             start, total = _chunk_span(meta)
@@ -1213,8 +1252,17 @@ def decrypt_parquet(buf: bytes, footer_key: bytes,
 
     def drop(p):
         # the plaintext output must not advertise encryption:
-        # ColumnChunk.crypto_metadata(8) and encrypted_column_metadata(9)
-        return (len(p) == 5 and p[0] == 4 and p[2] == 1 and p[4] in (8, 9))
+        # ColumnChunk.crypto_metadata(8) and encrypted_column_metadata(9);
+        # inline meta_data (3) of chunks whose authoritative copy came
+        # from encrypted_column_metadata (re-spliced by struct_end); and
+        # FileMetaData.encryption_algorithm(8) +
+        # footer_signing_key_metadata(9) of plaintext-footer inputs
+        if len(p) == 5 and p[0] == 4 and p[2] == 1 and p[4] in (8, 9):
+            return True
+        if (len(p) == 5 and p[0] == 4 and p[2] == 1 and p[4] == 3
+                and (p[1], p[3]) in redacted_md):
+            return True
+        return plaintext_footer and p in ((8,), (9,))
 
     def struct_end(path, last_fid):
         # re-emit the decrypted ColumnMetaData (offsets patched to the

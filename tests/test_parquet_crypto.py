@@ -178,6 +178,46 @@ def test_write_parquet_integrated_encryption(tmp_path):
     assert len(df2) == n and df2["name"][7] == "tag-2"
 
 
+@pytest.mark.parametrize("algo", ["AES_GCM_V1", "AES_GCM_CTR_V1"])
+def test_decrypt_plaintext_footer_file(tmp_path, algo):
+    """decrypt_parquet on a PLAINTEXT-FOOTER file: signature verified,
+    encrypted columns decrypted, REDACTED ColumnMetaData restored from
+    encrypted_column_metadata (statistics back in the footer), encryption
+    fields stripped — the output is an ordinary plaintext file DuckDB and
+    pyarrow read with full stats."""
+    duckdb = pytest.importorskip("duckdb")
+    import pyarrow.parquet as papq
+
+    from pq_engine.interop.parquet_crypto import (
+        encrypt_parquet_plaintext_footer,
+    )
+
+    plain = _plain_file(tmp_path)
+    enc = encrypt_parquet_plaintext_footer(
+        plain, FK, {"name": CK}, aad_mode="spec", algorithm=algo)
+    # wrong footer key fails the signature, wrong column key the modules
+    with pytest.raises(ValueError, match="signature"):
+        decrypt_parquet(enc, CK, column_keys={"name": CK})
+    dec = decrypt_parquet(enc, FK, column_keys={"name": CK})
+    assert dec[:4] == b"PAR1"
+    _check(read_parquet_pandas(dec))
+    p = str(tmp_path / "dec.parquet")
+    open(p, "wb").write(dec)
+    con = duckdb.connect()
+    assert con.sql(f"SELECT count(*) FROM read_parquet('{p}')"
+                   ).fetchone()[0] == 400
+    con.close()
+    md = papq.ParquetFile(p).metadata
+    cols = {md.row_group(0).column(i).path_in_schema:
+            md.row_group(0).column(i) for i in range(md.num_columns)}
+    # restored statistics visible to pyarrow on the formerly-redacted col
+    assert cols["name"].statistics is not None
+    assert cols["name"].statistics.min == "tag-0"
+    # no crypto metadata survives in the plaintext output
+    foot = read_footer(dec)
+    assert foot.get("encryption_algorithm") is None
+
+
 def test_aad_prefix_stored_and_supplied(tmp_path):
     """FileEncryptionProperties.withAADPrefix: the prefix binds the
     ciphertext to a caller identity (e.g. the file name). Stored mode:

@@ -451,6 +451,53 @@ def test_cli_keytools_plaintext_footer(tmp_path, capsys):
               "--plaintext-footer"])
 
 
+def test_cli_rotate_keys_folder(tmp_path, capsys):
+    """KeyToolkit.rotateMasterKeys(folderPath) semantics: rotate-keys on
+    a DIRECTORY rotates every parquet file — external-material files via
+    their side files (parquet bytes untouched), internal-material files
+    in place (atomic temp+rename)."""
+    from pq_engine.cli import main
+    from pq_engine.interop.parquet_keytools import write_key_material_store
+    from pq_engine.interop.parquet_reader import read_parquet_filtered_pandas
+
+    plain, n = _plain_file(tmp_path)
+    d = tmp_path / "warehouse"
+    d.mkdir()
+    # one internal-material file, one external-material file
+    open(str(d / "a.pare"), "wb").write(
+        encrypt_parquet_keytools(plain, MASTER, "kf", {"tag": "kc"}))
+    store: dict = {}
+    enc_b = encrypt_parquet_keytools(
+        plain, MASTER, "kf", {"tag": "kc"}, material_store=store)
+    open(str(d / "b.pare"), "wb").write(enc_b)
+    write_key_material_store(str(d / "b.pare"), store)
+
+    v2 = {"kf": b"FfFfFfFfFfFfFfFf", "kc": b"CcCcCcCcCcCcCcCc"}
+    mk = f"kf={MASTER['kf'].hex()},kc={MASTER['kc'].hex()}"
+    mk2 = f"kf={v2['kf'].hex()},kc={v2['kc'].hex()}"
+    main(["rotate-keys", str(d), "--master-key", mk,
+          "--new-master-key", mk2])
+    out = capsys.readouterr().out
+    assert "rotated 2 file(s)" in out and "parquet file untouched" in out
+    # external file's parquet bytes untouched; both readable with v2 only
+    assert open(str(d / "b.pare"), "rb").read() == enc_b
+    for name in ("a.pare", "b.pare"):
+        buf = open(str(d / name), "rb").read()
+        st = None
+        if name == "b.pare":
+            from pq_engine.interop.parquet_keytools import (
+                read_key_material_store,
+            )
+            st = read_key_material_store(str(d / name))
+        with pytest.raises(ValueError, match="unwrap failed"):
+            resolve_file_keys(buf, MASTER, material_store=st)
+        fkey, ckeys = resolve_file_keys(buf, v2, material_store=st)
+        df, _ = read_parquet_filtered_pandas(
+            buf, ("ge", "id", 0), footer_key=fkey, column_keys=ckeys)
+        assert len(df) == n
+    assert not (d / "a.pare.rotate-tmp").exists()
+
+
 def test_rotate_master_keys(tmp_path):
     """KeyToolkit.rotateMasterKeys analog for INTERNAL key material:
     every DEK is re-wrapped under new master key bytes (same ids); no
