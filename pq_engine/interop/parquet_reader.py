@@ -326,6 +326,21 @@ def _decode_values(enc: int, body, phys: str, count: int, type_length,
     raise ValueError(f"unsupported encoding {enc} for {phys}")
 
 
+def _verify_crc(hdr: dict, body) -> None:
+    """PageHeader.crc (field 4): CRC32 over the page body bytes as
+    written (ParquetFileReader.verifyCrc — parquet-mr writes and checks
+    these by default). Verified whenever present; at ingest scale this
+    catches bit rot that codecs may decompress without complaint."""
+    crc = hdr.get(4)
+    if crc is None:
+        return
+    import zlib
+
+    if zlib.crc32(bytes(body)) & 0xFFFFFFFF != crc & 0xFFFFFFFF:
+        raise ValueError(
+            "page CRC32 mismatch (corrupt page body)")
+
+
 def _decode_dict_page(hdr, body, chunk, phys, type_length):
     dh = hdr[7]
     n_dict = dh[1]
@@ -379,6 +394,7 @@ def _read_chunk(buf: bytes, chunk: dict, col: dict, max_def: int | None = None,
             if len(body) != comp_size:
                 raise ValueError("page body truncated")
             pos = body_pos + comp_size
+            _verify_crc(hdr, body)
             if ptype == PAGE_DICT:
                 dict_vals = _decode_dict_page(hdr, body, chunk, phys,
                                               col["type_length"])
@@ -503,6 +519,7 @@ def _read_replevel_chunk(buf: bytes, chunk: dict, leaf: dict, lo: int,
         raw_size, comp_size = hdr[2], hdr[3]
         body = buf[body_pos : body_pos + comp_size]
         pos = body_pos + comp_size
+        _verify_crc(hdr, body)
         if ptype_pg == PAGE_DICT:
             dict_vals = _decode_dict_page(hdr, body, chunk, phys,
                                           leaf["type_length"])

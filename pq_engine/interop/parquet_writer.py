@@ -167,22 +167,35 @@ def _parquet_dba(col: RaggedBytes) -> bytes:
     return delta.encode_delta(prefixes.astype(np.int32)) + _parquet_dlba(suffixes)
 
 
+def _crc32_signed(body) -> int:
+    """PageHeader.crc (field 4): CRC32 over the page body bytes as
+    written, stored as a signed i32 exactly like parquet-mr's
+    (int) CRC32.getValue() (ParquetFileWriter.java:179 + pageWriteChecksum
+    default-on behavior)."""
+    import zlib
+
+    c = zlib.crc32(bytes(body))
+    return c - (1 << 32) if c >= (1 << 31) else c
+
+
 def _page_header(page_type: int, n_values: int, enc: int, raw_size: int,
-                 comp_size: int | None = None) -> bytes:
+                 comp_size: int | None = None,
+                 body=None) -> bytes:
     inner = StructWriter().i32(1, n_values).i32(2, enc)
     if page_type == PAGE_DATA:
         inner.i32(3, ENC_RLE).i32(4, ENC_RLE)  # def/rep level encodings
         field = 5
     else:
         field = 7
-    return (
+    hdr = (
         StructWriter()
         .i32(1, page_type)
         .i32(2, raw_size)
         .i32(3, comp_size if comp_size is not None else raw_size)
-        .struct(field, inner)
-        .finish()
     )
+    if body is not None:
+        hdr.i32(4, _crc32_signed(body))
+    return hdr.struct(field, inner).finish()
 
 
 def _slice_flat_col(col: dict, r0: int, r1: int, n_rows: int) -> dict:
@@ -413,7 +426,8 @@ def _write_flat_chunk(out: bytearray, col: dict, n_rows: int,
         dict_off = len(out)
         comp_dict = _compress_body(dict_bytes, compression)
         out += _page_header(
-            PAGE_DICT, n_uniques, ENC_PLAIN, len(dict_bytes), len(comp_dict)
+            PAGE_DICT, n_uniques, ENC_PLAIN, len(dict_bytes),
+            len(comp_dict), body=comp_dict,
         )
         out += comp_dict
         encodings.append(ENC_PLAIN)
@@ -432,7 +446,7 @@ def _write_flat_chunk(out: bytearray, col: dict, n_rows: int,
         comp_vals = _compress_body(body, compression)
         out += _page_header_v2(
             n_rows, n_nulls, enc, len(dlv), len(body), len(comp_vals),
-            compression not in (None, "none"),
+            compression not in (None, "none"), body=dlv + comp_vals,
         )
         out += dlv
         out += comp_vals
@@ -447,7 +461,8 @@ def _write_flat_chunk(out: bytearray, col: dict, n_rows: int,
             levels = b""
         page_body = levels + body
         comp_body = _compress_body(page_body, compression)
-        out += _page_header(PAGE_DATA, n_rows, enc, len(page_body), len(comp_body))
+        out += _page_header(PAGE_DATA, n_rows, enc, len(page_body),
+                            len(comp_body), body=comp_body)
         out += comp_body
     encodings.append(enc)
 
@@ -526,7 +541,7 @@ def _write_flat_chunk_paged(out: bytearray, col: dict, n_rows: int,
         dict_off = len(out)
         comp = _compress_body(dict_bytes, compression)
         out += _page_header(PAGE_DICT, len(uniques), ENC_PLAIN,
-                            len(dict_bytes), len(comp))
+                            len(dict_bytes), len(comp), body=comp)
         out += comp
         encodings.append(ENC_PLAIN)
         raw_total += len(dict_bytes)
@@ -563,7 +578,7 @@ def _write_flat_chunk_paged(out: bytearray, col: dict, n_rows: int,
             comp_vals = _compress_body(body, compression)
             out += _page_header_v2(
                 r1 - r0, n_nulls, enc, len(dlv), len(body), len(comp_vals),
-                compression not in (None, "none"))
+                compression not in (None, "none"), body=dlv + comp_vals)
             out += dlv
             out += comp_vals
             raw_total += len(dlv) + len(body)
@@ -574,7 +589,8 @@ def _write_flat_chunk_paged(out: bytearray, col: dict, n_rows: int,
             page_body = levels + body
             comp_body = _compress_body(page_body, compression)
             out += _page_header(PAGE_DATA, r1 - r0, enc,
-                                len(page_body), len(comp_body))
+                                len(page_body), len(comp_body),
+                                body=comp_body)
             out += comp_body
             raw_total += len(page_body)
         # PageLocation: offset, size incl. header, first_row_index (rg-rel.)
@@ -835,18 +851,20 @@ def _finish_file(fobj, out: bytearray, columns: list[dict],
     fobj.write(out)
 
 
-def _list_page_header(n_values: int, enc: int, raw_size: int, comp_size: int) -> bytes:
+def _list_page_header(n_values: int, enc: int, raw_size: int,
+                      comp_size: int, body=None) -> bytes:
     inner = (
         StructWriter().i32(1, n_values).i32(2, enc).i32(3, ENC_RLE).i32(4, ENC_RLE)
     )
-    return (
+    hdr = (
         StructWriter()
         .i32(1, PAGE_DATA)
         .i32(2, raw_size)
         .i32(3, comp_size)
-        .struct(5, inner)
-        .finish()
     )
+    if body is not None:
+        hdr.i32(4, _crc32_signed(body))
+    return hdr.struct(5, inner).finish()
 
 
 def _write_list_chunk(out: bytearray, col: dict, n_rows: int,
@@ -873,7 +891,8 @@ def _write_list_chunk(out: bytearray, col: dict, n_rows: int,
     comp_body = _compress_body(page_body, compression)
     chunk_start = len(out)
     data_off = len(out)
-    out += _list_page_header(len(rep), ENC_PLAIN, len(page_body), len(comp_body))
+    out += _list_page_header(len(rep), ENC_PLAIN, len(page_body),
+                             len(comp_body), body=comp_body)
     out += comp_body
     meta = (
         StructWriter()
@@ -907,7 +926,8 @@ def _write_variant_chunks(out: bytearray, col: dict, n_rows: int,
         body = plain.encode_plain_bytes(rb)
         comp_body = _compress_body(body, compression)
         chunk_start = len(out)
-        out += _page_header(PAGE_DATA, n_rows, ENC_PLAIN, len(body), len(comp_body))
+        out += _page_header(PAGE_DATA, n_rows, ENC_PLAIN, len(body),
+                            len(comp_body), body=comp_body)
         out += comp_body
         meta = (
             StructWriter()
@@ -968,7 +988,7 @@ def _write_struct_chunks(out: bytearray, col: dict, n_rows: int,
         comp_body = _compress_body(page_body, compression)
         chunk_start = len(out)
         out += _page_header(PAGE_DATA, n_rows, ENC_PLAIN, len(page_body),
-                            len(comp_body))
+                            len(comp_body), body=comp_body)
         out += comp_body
         meta = (
             StructWriter()
@@ -1017,7 +1037,7 @@ def _write_map_chunks(out: bytearray, col: dict, n_rows: int,
         comp_body = _compress_body(page_body, compression)
         chunk_start = len(out)
         out += _list_page_header(len(rep), ENC_PLAIN, len(page_body),
-                                 len(comp_body))
+                                 len(comp_body), body=comp_body)
         out += comp_body
         meta = (
             StructWriter()
@@ -1036,7 +1056,8 @@ def _write_map_chunks(out: bytearray, col: dict, n_rows: int,
 
 
 def _page_header_v2(n_values: int, n_nulls: int, enc: int, def_len: int,
-                    raw_vals: int, comp_vals: int, is_compressed: bool) -> bytes:
+                    raw_vals: int, comp_vals: int, is_compressed: bool,
+                    body=None) -> bytes:
     """PageHeader with DataHeaderV2 (parquet-format: num_values, num_nulls,
     num_rows, encoding, definition_levels_byte_length,
     repetition_levels_byte_length, is_compressed)."""
@@ -1052,11 +1073,12 @@ def _page_header_v2(n_values: int, n_nulls: int, enc: int, def_len: int,
     )
     raw_size = def_len + raw_vals
     comp_size = def_len + comp_vals
-    return (
+    hdr = (
         StructWriter()
         .i32(1, PAGE_DATA_V2)
         .i32(2, raw_size)
         .i32(3, comp_size)
-        .struct(8, inner)
-        .finish()
     )
+    if body is not None:
+        hdr.i32(4, _crc32_signed(body))
+    return hdr.struct(8, inner).finish()

@@ -120,10 +120,13 @@ def test_gcm_ctr_mode_roundtrip_and_native_scan(tmp_path, aad_mode):
 
 
 def test_gcm_ctr_integrity_tradeoff(tmp_path):
-    """The mode's documented contract: metadata stays tamper-proof (GCM
-    tag on the footer and page headers) but CTR page bodies are NOT
-    authenticated — a flipped body byte silently changes decoded values.
-    Pin both halves so the tradeoff is explicit, not accidental."""
+    """The mode's documented contract: CTR page bodies carry NO GCM tag,
+    so decryption itself accepts a flipped body byte — but the page CRC
+    inside the GCM-protected header (r6 writer emission) catches the
+    corruption at decode time. Note the remaining caveat: CRC32 is
+    LINEAR, so a known-plaintext adversary can craft compensating flips —
+    it is corruption detection, not authentication; GCM mode is the
+    authenticated choice. The footer stays GCM-signed either way."""
     n = 400
     path = str(tmp_path / "p.parquet")
     write_parquet(path, [
@@ -138,9 +141,9 @@ def test_gcm_ctr_integrity_tradeoff(tmp_path):
     body_start = 4 + 4 + hdr_len
     bad = bytearray(enc)
     bad[body_start + 4 + 12 + 8] ^= 0xFF  # 2nd int64 of the body
-    df = read_parquet_pandas(decrypt_parquet(bytes(bad), FK))
-    vals = list(df["id"])
-    assert vals != list(range(n)) and vals[0] == 0  # silent corruption
+    dec = decrypt_parquet(bytes(bad), FK)  # CTR decrypt cannot object...
+    with pytest.raises(ValueError, match="CRC32 mismatch"):
+        read_parquet_pandas(dec)  # ...the page CRC does
     # footer stays GCM-authenticated: flipping its ciphertext raises
     bad2 = bytearray(enc)
     bad2[-30] ^= 0xFF
@@ -289,7 +292,9 @@ def test_spec_aad_binds_module_position(tmp_path):
     with pytest.raises(ValueError, match="decryption failed"):
         decrypt_parquet(bytes(bad), FK)
     # same swap in empty-AAD mode is NOT detected by AAD (documented
-    # DuckDB-compat limitation) — decode differs instead
+    # DuckDB-compat limitation): DECRYPTION succeeds — but the page CRC
+    # riding inside each GCM-protected header (r6: the writer emits
+    # PageHeader.crc) catches the misplaced body at decode time
     enc2 = encrypt_parquet(plain, FK, aad_mode="empty")
     pos = 4
     spans = []
@@ -301,8 +306,9 @@ def test_spec_aad_binds_module_position(tmp_path):
     m1, m3 = enc2[spans[1][0]:spans[1][1]], enc2[spans[3][0]:spans[3][1]]
     bad2[spans[1][0]:spans[1][1]] = m3
     bad2[spans[3][0]:spans[3][1]] = m1
-    df = read_parquet_pandas(decrypt_parquet(bytes(bad2), FK))
-    assert list(df["a"]) == [2 * i for i in range(n)]  # swapped, undetected
+    dec2 = decrypt_parquet(bytes(bad2), FK)  # AAD does not object...
+    with pytest.raises(ValueError, match="CRC32 mismatch"):
+        read_parquet_pandas(dec2)  # ...the page CRC does
 
 
 def test_crypto_footer_parsing_and_errors(tmp_path):

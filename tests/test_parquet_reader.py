@@ -482,3 +482,54 @@ def test_corrupt_file_fuzz_controlled_failure(tmp_path):
             err += 1
         # any OTHER exception type propagates and fails the test
     assert err > 200  # most corruptions must be detected
+
+
+def test_page_crc_write_and_verify(tmp_path):
+    """PageHeader.crc both directions (parquet-mr default-on behavior —
+    ParquetFileWriter CRC32 + ParquetFileReader.verifyCrc): our writer
+    emits CRCs that pyarrow VERIFIES; our reader verifies CRCs in
+    pyarrow-written files; a flipped body byte in either file fails with
+    one clear error instead of decoding garbage."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from pq_engine.interop.parquet_writer import write_parquet
+    from pq_engine.kernels.ragged import RaggedBytes
+
+    n = 1000
+    tags = [f"t{i % 7}".encode() for i in range(n)]
+    offs = np.zeros(n + 1, np.int64)
+    for i, s in enumerate(tags):
+        offs[i + 1] = offs[i] + len(s)
+    ours = str(tmp_path / "ours.parquet")
+    write_parquet(ours, [
+        {"name": "id", "ptype": "int64", "codec": "delta",
+         "values": np.arange(n, dtype=np.int64)},
+        {"name": "s", "ptype": "string", "codec": "dict",
+         "values": RaggedBytes(offs, np.frombuffer(b"".join(tags),
+                                                   np.uint8))},
+    ], n, compression="zstd")
+    # pyarrow verifies OUR checksums
+    t = papq.read_table(ours, page_checksum_verification=True)
+    assert t.num_rows == n
+    # flip one data byte -> pyarrow's verification AND ours both fail
+    buf = bytearray(open(ours, "rb").read())
+    buf[40] ^= 0xFF
+    bad = str(tmp_path / "bad.parquet")
+    open(bad, "wb").write(bytes(buf))
+    with pytest.raises(Exception, match="CRC|corrupt"):
+        papq.read_table(bad, page_checksum_verification=True)
+    with pytest.raises(ValueError, match="CRC32 mismatch|corrupt"):
+        read_parquet_pandas(bytes(buf))
+
+    # our reader verifies PYARROW's checksums
+    pa_file = str(tmp_path / "pa.parquet")
+    papq.write_table(
+        pa.table({"id": pa.array(range(n), pa.int64()),
+                  "s": [f"t{i % 7}" for i in range(n)]}),
+        pa_file, write_page_checksum=True, compression="snappy")
+    assert len(read_parquet_pandas(pa_file)) == n
+    buf2 = bytearray(open(pa_file, "rb").read())
+    buf2[60] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC32 mismatch|corrupt"):
+        read_parquet_pandas(bytes(buf2))
