@@ -35,6 +35,13 @@ from .thrift_compact import StructWriter
 
 MAGIC = b"PAR1"
 
+# parquet-mr's VersionParser format: "<application> version <semver>
+# (build <hash>)". An UNPARSEABLE created_by makes parquet-mr assume the
+# PARQUET-246 DeltaByteArray bug and refuse multi-row-group DBA files;
+# a parseable non-"parquet-mr" application is exempt
+# (CorruptDeltaByteArrays.java:40).
+CREATED_BY = "pq_engine version 0.6.0 (build interop)"
+
 # parquet-format enums
 TYPE = {"bool": 0, "int32": 1, "int64": 2, "float32": 4, "float64": 5, "binary": 6, "string": 6}
 FLBA = 7  # FIXED_LEN_BYTE_ARRAY (PrimitiveType.java:48-69)
@@ -841,7 +848,7 @@ def _finish_file(fobj, out: bytearray, columns: list[dict],
         .list_struct(2, schema)
         .i64(3, n_rows)
         .list_struct(4, rgs)
-        .string(6, "pq_engine interop writer")
+        .string(6, CREATED_BY)
         .list_struct(7, orders)
         .finish()
     )

@@ -794,3 +794,68 @@ def test_dictionary_filter_pruning(tmp_path):
     df5, rep5 = read_parquet_filtered_pandas(plain_path, ("eq", "tag", "mm2"))
     assert len(df5) == 0 and "row_groups_dict_pruned" not in rep5
     assert rep5["row_groups_scanned"] == 4
+
+
+def test_spark_jvm_reads_our_full_feature_files(tmp_path, spark):
+    """Spark's JVM parquet reader IS parquet-java — this is the reference
+    implementation decoding OUR writer's output directly: every string/
+    numeric encoding, nullable columns, logical types, multi-row-group
+    layout with page index + blooms + page CRCs, zstd pages. Values are
+    compared cell-by-cell; checksum verification is switched on so the
+    CRCs are actually checked by the JVM."""
+    import datetime
+
+    n = 2000
+    validity = (np.arange(n) % 11) != 0
+    tags = [f"tag-{i % 5}".encode() for i in range(n)]
+    urls = [f"https://ex.com/{i:06d}".encode() for i in range(n)]
+    path = str(tmp_path / "full.parquet")
+    write_parquet(path, [
+        {"name": "id_delta", "ptype": "int64", "codec": "delta",
+         "values": np.arange(n, dtype=np.int64)},
+        {"name": "f_bss", "ptype": "float64", "codec": "bss",
+         "values": np.arange(n) * 0.5},
+        {"name": "s_dict", "ptype": "string", "codec": "dict",
+         "values": RaggedBytes.from_pylist(tags)},
+        {"name": "s_dlba", "ptype": "string", "codec": "dlba",
+         "values": RaggedBytes.from_pylist(urls)},
+        {"name": "s_dba", "ptype": "string", "codec": "dba",
+         "values": RaggedBytes.from_pylist(urls)},
+        {"name": "b", "ptype": "bool", "codec": "plain",
+         "values": (np.arange(n) % 3 == 0)},
+        {"name": "d", "ptype": "date32", "codec": "plain",
+         "values": np.arange(n, dtype=np.int32) + 19000},
+        {"name": "nullable_f", "ptype": "float64", "codec": "plain",
+         "values": (np.arange(n) * 0.25)[validity], "validity": validity},
+    ], n, compression="zstd", row_group_size=500, data_page_rows=100,
+        bloom_columns=["s_dict"])
+    # full read through parquet-mr's record reader (Spark's vectorized
+    # reader predates BYTE_STREAM_SPLIT; the row path is parquet-java's
+    # own ColumnReader machinery)
+    spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+    try:
+        df = (spark.read
+              .option("parquet.page.verify-checksum.enabled", "true")
+              .parquet(path).orderBy("id_delta").collect())
+    finally:
+        spark.conf.set("spark.sql.parquet.enableVectorizedReader", "true")
+    assert len(df) == n
+    for i in (0, 1, 499, 500, 1234, n - 1):
+        r = df[i]
+        assert r.id_delta == i
+        assert r.f_bss == i * 0.5
+        assert r.s_dict == f"tag-{i % 5}"
+        assert r.s_dlba == r.s_dba == f"https://ex.com/{i:06d}"
+        assert r.b == (i % 3 == 0)
+        assert r.d == datetime.date(1970, 1, 1) + datetime.timedelta(
+            days=19000 + i)
+        if i % 11 == 0:
+            assert r.nullable_f is None
+        else:
+            assert r.nullable_f == i * 0.25
+    # vectorized reader path too (column pruning skips the BSS chunk):
+    # JVM-side predicate pushdown over OUR stats still returns the band
+    cnt = (spark.read.parquet(path)
+           .select("id_delta", "s_dict")
+           .where("id_delta >= 600 and id_delta < 700").count())
+    assert cnt == 100
