@@ -32,11 +32,20 @@ def available(name: str) -> bool:
     return pa.Codec.is_available(name)
 
 
-def _pa_codec(name: str):
-    import pyarrow as pa
+_CODEC_CACHE: dict[str, object] = {}
 
-    level = _PA_CODECS[name]
-    return pa.Codec(name, compression_level=level) if level is not None else pa.Codec(name)
+
+def _pa_codec(name: str):
+    codec = _CODEC_CACHE.get(name)
+    if codec is None:
+        import pyarrow as pa
+
+        level = _PA_CODECS[name]
+        codec = (
+            pa.Codec(name, compression_level=level) if level is not None else pa.Codec(name)
+        )
+        _CODEC_CACHE[name] = codec
+    return codec
 
 
 def compress(body: bytes, compression: str | None) -> bytes:
@@ -57,7 +66,7 @@ def decompress(body, compression: str | None):
     if compression == "zlib":
         return zlib.decompress(bytes(body))
     if compression in _PA_CODECS:
-        body = bytes(body)
-        raw_len = int.from_bytes(body[:4], "little")
-        return bytes(_pa_codec(compression).decompress(body[4:], raw_len))
+        mv = memoryview(body)
+        raw_len = int.from_bytes(bytes(mv[:4]), "little")
+        return bytes(_pa_codec(compression).decompress(mv[4:], raw_len))
     raise ValueError(f"unknown page compression {compression!r}")

@@ -162,22 +162,39 @@ def gen_webpages(n: int, seed: int = 42, html_mu: float = 6.5, html_sigma: float
     h_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(hlen, out=h_off[1:])
     start_in_tmpl = (_mix(base, 12) % np.uint64(len(tmpl))).astype(np.int64)
-    # int32 gather indices (html slabs are the big allocation; halve the temp)
-    gather = np.repeat((start_in_tmpl - h_off[:-1] % len(tiled)).astype(np.int64), hlen)
-    gather += np.arange(int(h_off[-1]), dtype=np.int64)
-    np.mod(gather, len(tiled), out=gather)
-    html = RaggedBytes(h_off, tiled[gather])
+    # row i's bytes are tiled[(start_in_tmpl[i] + j) % len(tiled)] for
+    # j < hlen[i]; start < len(tmpl) and len(tiled) >= hlen.max() + len(tmpl),
+    # so the modulo never wraps and each row is the contiguous slice
+    # tiled[start : start + hlen]. Copy slices row-wise (memcpy-speed) instead
+    # of materializing a per-byte int64 gather index (8x the memory traffic).
+    out = np.empty(int(h_off[-1]), dtype=np.uint8)
+    for i in range(n):
+        l = hlen[i]
+        if l:
+            s = start_in_tmpl[i]
+            out[h_off[i] : h_off[i] + l] = tiled[s : s + l]
+    html = RaggedBytes(h_off, out)
 
     # --- lang: Zipf(1.5) over 40 codes
     lang_ids = _zipf_ranks(_u01(_mix(base, 13)), N_LANGS, 1.5)
 
+    # html nulls: attach the validity bitmap directly (null rows already have
+    # zero-length slots) instead of copying the whole blob column via if_else
+    n_null = int(html_null.sum())
+    if n_null:
+        vbuf = pa.py_buffer(np.packbits(~html_null, bitorder="little"))
+        html_arr = pa.Array.from_buffers(
+            pa.binary(), n,
+            [vbuf, pa.py_buffer(html.offsets.astype(np.int32)), pa.py_buffer(html.data)],
+            null_count=n_null,
+        )
+    else:
+        html_arr = html.to_arrow(binary=True)
     return pa.table(
         {
             "url": url.to_arrow(),
             "warc_ts": pa.array(ts.astype("datetime64[us]")),
-            "html": pa.compute.if_else(
-                pa.array(~html_null), html.to_arrow(binary=True), pa.nulls(n, pa.binary())
-            ),
+            "html": html_arr,
             "text": text.to_arrow(),
             "lang": pa.array(_LANGS[lang_ids]),
         }

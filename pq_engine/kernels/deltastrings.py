@@ -27,7 +27,8 @@ PREFIX_CAP = 256  # longest shared prefix we exploit; avoids huge (n, maxlen) ma
 def encode_delta_length(col: RaggedBytes) -> bytes:
     lengths = col.lengths.astype(np.int32)
     head = encode_delta(lengths)
-    return len(head).to_bytes(4, "little") + head + col.data.tobytes()
+    # join reads the numpy buffer directly: one copy of the data, not two
+    return b"".join((len(head).to_bytes(4, "little"), head, col.data.data))
 
 
 def decode_delta_length(buf, count: int) -> RaggedBytes:

@@ -73,24 +73,73 @@ class RaggedBytes:
         data = np.frombuffer(buffers[2], dtype=np.uint8)[base : offsets[-1]] if buffers[2] is not None else np.zeros(0, np.uint8)
         return RaggedBytes(offsets.astype(np.int64) - int(base), data)
 
+    @staticmethod
+    def from_arrow_nullable(arr) -> tuple["RaggedBytes", "np.ndarray | None"]:
+        """(RaggedBytes of the non-null rows, validity bool array | None).
+        When the null slots carry no bytes (the common case), the valid rows'
+        bytes are already contiguous, so only the offsets are compacted and
+        ``drop_null``'s full data copy is skipped."""
+        import pyarrow as pa
+
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        if not arr.null_count:
+            return RaggedBytes.from_arrow(arr), None
+        validity = np.asarray(arr.is_valid())
+        if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+            off_dtype = np.int64
+        else:
+            off_dtype = np.int32
+        buffers = arr.buffers()
+        if len(arr) == 0 or buffers[1] is None:
+            return RaggedBytes(np.zeros(1, np.int64), np.zeros(0, np.uint8)), validity
+        offsets = np.frombuffer(
+            buffers[1], dtype=off_dtype, count=len(arr) + 1,
+            offset=arr.offset * np.dtype(off_dtype).itemsize,
+        ).astype(np.int64)
+        lens = np.diff(offsets)
+        if int(lens[~validity].sum()) == 0:
+            base = int(offsets[0])
+            data = (
+                np.frombuffer(buffers[2], dtype=np.uint8)[base : int(offsets[-1])]
+                if buffers[2] is not None
+                else np.zeros(0, np.uint8)
+            )
+            new_off = np.zeros(int(validity.sum()) + 1, dtype=np.int64)
+            np.cumsum(lens[validity], out=new_off[1:])
+            return RaggedBytes(new_off, data), validity
+        return RaggedBytes.from_arrow(arr.drop_null()), validity
+
     def to_arrow(self, large: bool = False, binary: bool = False):
+        # zero-copy: py_buffer wraps the numpy arrays directly (RaggedBytes is
+        # immutable by contract; the Buffer keeps the ndarray alive). The
+        # int32 offsets cast is itself a fresh array, so wrapping it is safe.
         import pyarrow as pa
 
         if large:
             typ = pa.large_binary() if binary else pa.large_string()
-            off = pa.py_buffer(self.offsets.tobytes())
+            off = pa.py_buffer(self.offsets)
         else:
             typ = pa.binary() if binary else pa.string()
-            off = pa.py_buffer(self.offsets.astype(np.int32).tobytes())
-        return pa.Array.from_buffers(typ, len(self), [None, off, pa.py_buffer(self.data.tobytes())])
+            off = pa.py_buffer(self.offsets.astype(np.int32))
+        return pa.Array.from_buffers(typ, len(self), [None, off, pa.py_buffer(self.data)])
 
     def take(self, indices: np.ndarray) -> "RaggedBytes":
-        """Gather rows by index, vectorized (no per-row Python)."""
+        """Gather rows by index, vectorized (no per-row Python for small
+        values; slice memcpys for large ones — the per-byte int64 index
+        array costs 8x the payload in memory traffic)."""
         lens = self.lengths[indices]
         out_off = np.zeros(len(indices) + 1, dtype=np.int64)
         np.cumsum(lens, out=out_off[1:])
         total = int(out_off[-1])
-        # source positions: for each output row, a contiguous range starting at offsets[idx]
         starts = self.offsets[indices]
+        if len(indices) and total >= 64 * len(indices):
+            out = np.empty(total, dtype=np.uint8)
+            data = self.data
+            for i in range(len(indices)):
+                o0 = out_off[i]
+                s = starts[i]
+                out[o0 : out_off[i + 1]] = data[s : s + lens[i]]
+            return RaggedBytes(out_off, out)
+        # source positions: for each output row, a contiguous range starting at offsets[idx]
         pos = np.repeat(starts - out_off[:-1], lens) + np.arange(total, dtype=np.int64)
         return RaggedBytes(out_off, self.data[pos])

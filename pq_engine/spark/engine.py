@@ -167,12 +167,16 @@ def _arrow_to_values(arr: pa.Array, ptype: str):
         child = pc.list_flatten(arr)  # valid lists' elements, element nulls kept
         cvals, cvalid = _arrow_to_values(child, cp)
         return ListColumn(offsets, lv, cvals, cvalid), None
+    if ptype in RAGGED_TYPES or ptype in ("geometry", "geography"):  # WKB binary
+        # nullable fast path: compacts offsets without copying the data
+        # buffer when null slots are empty (drop_null copies the whole column)
+        return RaggedBytes.from_arrow_nullable(
+            arr.cast(pa.binary()) if ptype in ("geometry", "geography") else arr
+        )
     validity = None
     if arr.null_count:
         validity = np.asarray(arr.is_valid())
         arr = arr.drop_null()
-    if ptype in RAGGED_TYPES or ptype in ("geometry", "geography"):  # WKB binary
-        return RaggedBytes.from_arrow(arr.cast(pa.binary()) if ptype in ("geometry", "geography") else arr), validity
     if ptype in ("timestamp_us", "timestamp_ntz_us"):
         ts = arr.cast(pa.timestamp("us"))
         vals = np.asarray(ts.cast(pa.int64()))

@@ -102,6 +102,49 @@ def fixed_stats(values: np.ndarray) -> ColumnStats:
     )
 
 
+_FNV_PRIME = np.uint64(0x100000001B3)
+_FNV_BASIS = np.uint64(0xCBF29CE484222325)
+_HASH_EXACT_CAP = 128  # bytes hashed exactly per value; longer values add
+# 16 length-derived tail probes (an estimator, like the row sampling itself)
+
+
+def _sample_row_hashes(col: RaggedBytes, idx: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized u64 content hash of rows ``idx``: FNV over (length, first
+    128 bytes as words, 16 probe words spread over the tail for longer
+    values). Exact discrimination for values <= 128 bytes; longer values
+    differing only outside the probed positions may collide — acceptable for
+    a sampled NDV/run estimator, and the exact dict build plus the PLAIN
+    size rail still bound the encoded output."""
+    offs = col.offsets[:-1][idx]
+    data = col.data
+    h = (lens.astype(np.uint64) ^ _FNV_BASIS) * _FNV_PRIME
+    maxlen = int(lens.max()) if len(lens) else 0
+    for w in range(0, min(maxlen, _HASH_EXACT_CAP), 8):
+        rows = np.flatnonzero(lens > w)
+        sl = np.minimum(lens[rows] - w, 8)
+        total = int(sl.sum())
+        csl = np.zeros(len(rows), dtype=np.int64)
+        np.cumsum(sl[:-1], out=csl[1:])
+        ar = np.arange(total, dtype=np.int64)
+        pos = np.repeat(offs[rows] + w - csl, sl) + ar
+        dst = np.repeat(np.arange(len(rows), dtype=np.int64) * 8 - csl, sl) + ar
+        word = np.zeros(len(rows) * 8, dtype=np.uint8)
+        word[dst] = data[pos]
+        h[rows] = (h[rows] ^ word.view(np.uint64)) * _FNV_PRIME
+    if maxlen > _HASH_EXACT_CAP:
+        long_rows = np.flatnonzero(lens > _HASH_EXACT_CAP)
+        ll = lens[long_rows]
+        lo = offs[long_rows]
+        rel = np.arange(8, dtype=np.int64)
+        for k in range(1, 17):  # k=16 pins the final 8 bytes (trailing ids)
+            p = _HASH_EXACT_CAP + ((ll - _HASH_EXACT_CAP) * k) // 16
+            p = np.minimum(p, ll - 8)
+            g = (lo + p)[:, None] + rel
+            word = data[g.reshape(-1)].view(np.uint64)
+            h[long_rows] = (h[long_rows] ^ word) * _FNV_PRIME
+    return h
+
+
 def ragged_stats(col: RaggedBytes) -> ColumnStats:
     n = len(col)
     if n == 0:
@@ -110,29 +153,58 @@ def ragged_stats(col: RaggedBytes) -> ColumnStats:
     # 2048-row sample copies+hashes ~8 MB per batch — a quarter of the whole
     # encode cost for stats alone. ~2 MB of sampled bytes decides the codec
     # just as well (measured identical outcomes on the bench table).
-    avg = float(col.lengths.mean())
+    lens_all = col.lengths  # one np.diff; the property recomputes per call
+    avg = float(lens_all.mean())
     target_rows = min(SAMPLE_ROWS, max(64, int((2 << 20) / max(avg, 1.0))))
     step = max(1, n // target_rows)
     idx = np.arange(0, n, step)
-    sample = col.take(idx)
-    codes, uniques = factorize_bytes(sample)
+    lens_idx = lens_all[idx]
+    # hash-based codes instead of materializing the sample + exact factorize:
+    # identical first-seen codes whenever the hash discriminates (verified to
+    # give identical decisions on every bench/test table). Short values
+    # (<= 31 B) keep the exact multiword factorize — it is the cheaper path.
+    import pandas as pd
+
+    ent_data = None
+    if int(lens_idx.max()) <= 31:
+        sample = col if step == 1 else col.take(idx)
+        codes = factorize_bytes(sample)[0]
+        ent_data = sample.data[: 1 << 14]
+    else:
+        codes = pd.factorize(
+            _sample_row_hashes(col, idx, lens_idx), use_na_sentinel=False
+        )[0]
     k = len(idx)
-    ndv_ratio = len(uniques) / k
+    nuniq = int(codes.max()) + 1 if k else 0
+    ndv_ratio = nuniq / k
     # birthday-style NDV scale-up: if the sample saw near-all-distinct, assume
     # distinct at full size too; if it saturated, keep the absolute count
-    ndv_est = min(n, int(ndv_ratio * n) + 1) if ndv_ratio > 0.5 else min(n, 2 * len(uniques))
+    ndv_est = min(n, int(ndv_ratio * n) + 1) if ndv_ratio > 0.5 else min(n, 2 * nuniq)
     run_ratio = float((codes[1:] != codes[:-1]).mean()) if k > 1 else 1.0
-    avg_len = float(col.lengths.mean())
-    data = sample.data[: 1 << 14]
+    avg_len = avg
+    # byte entropy over the first 16 KiB of the sampled rows' bytes (same
+    # bytes the materialized sample would have started with)
+    if ent_data is None:
+        csum = np.cumsum(lens_idx)
+        m = int(np.searchsorted(csum, 1 << 14)) + 1
+        chunks = [col.data[col.offsets[i] : col.offsets[i + 1]] for i in idx[:m]]
+        ent_data = np.concatenate(chunks)[: 1 << 14] if chunks else np.zeros(0, np.uint8)
+    data = ent_data
     if len(data):
         counts = np.bincount(data, minlength=256).astype(np.float64)
         p = counts[counts > 0] / len(data)
         entropy = float(-(p * np.log2(p)).sum())
     else:
         entropy = 0.0
-    dict_bytes_est = int(uniques.lengths.sum() + 4 * len(uniques)) if len(uniques) else 0
+    # unique-row byte total from first-occurrence lengths (no byte copies)
+    if nuniq:
+        first = np.zeros(nuniq, dtype=np.int64)
+        first[codes[::-1]] = np.arange(k - 1, -1, -1, dtype=np.int64)
+        dict_bytes_est = int(lens_idx[first].sum()) + 4 * nuniq
+    else:
+        dict_bytes_est = 0
     # scale sample-dictionary size up to the estimated full-batch NDV
-    dict_bytes_est = int(dict_bytes_est * ndv_est / max(len(uniques), 1))
+    dict_bytes_est = int(dict_bytes_est * ndv_est / max(nuniq, 1))
     from .kernels.deltastrings import shared_prefix_lengths
 
     # adjacency matters for prefix share — use a contiguous slice, not a
