@@ -247,9 +247,15 @@ def webpages_df(spark, n_rows: int, partitions: int | None = None, seed: int = 4
 
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
-    # spark.range with explicit numPartitions yields EXACTLY one pid per
-    # partition (hash-repartitioning by pid would collide/leave empties)
-    plan = spark.range(0, partitions, 1, partitions).withColumnRenamed("id", "pid")
+    # ``partitions`` is the LOGICAL slice count (fixes the per-slice seeds and
+    # hence every generated byte); the PHYSICAL task count is capped at 2x the
+    # session parallelism so a low-core run doesn't pay Spark's fixed
+    # per-Python-task latency (~60 ms on this host) 64 times for work 1 core
+    # must serialize anyway. spark.range assigns each physical partition a
+    # contiguous pid range, so output rows, batch boundaries and ordering are
+    # identical at any core count.
+    phys = max(1, min(partitions, 2 * spark.sparkContext.defaultParallelism))
+    plan = spark.range(0, partitions, 1, phys).withColumnRenamed("id", "pid")
     n_parts = partitions
     total = n_rows
 
@@ -275,4 +281,12 @@ def webpages_df(spark, n_rows: int, partitions: int | None = None, seed: int = 4
                     for rb in tbl.to_batches(max_chunksize=20_480):
                         yield rb
 
-    return plan.mapInArrow(gen, schema)
+    out = plan.mapInArrow(gen, schema)
+    # advertise the producing (input plan, batch fn) so a directly-chained
+    # Arrow map stage (encode_table) can fuse into ONE Python pass — the
+    # generated bytes then never cross Python -> JVM -> Python between the
+    # two stages (each crossing pays an InternalRow conversion of the full
+    # table). The attribute dies with this DataFrame object: any further
+    # transformation returns a new frame without it, disabling fusion.
+    out._pq_fuse = (plan, gen)
+    return out

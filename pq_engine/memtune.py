@@ -32,6 +32,39 @@ ENV = {
 }
 
 
+def _patch_zipimport_invalidate() -> None:
+    """Backport CPython 3.12's zipimporter.invalidate_caches mtime guard
+    (bpo/gh-87319 behavior) onto 3.11.
+
+    PySpark calls ``importlib.invalidate_caches()`` at the start of EVERY
+    task (worker_util.setup_spark_files), and 3.11's zipimporter re-parses
+    the whole ZIP central directory unconditionally — ~130 ms/task against
+    pyspark.zip on this host, which dwarfs small tasks. 3.12 skips the
+    re-read while the archive's (mtime, size) is unchanged; this installs
+    exactly that check, so a genuinely updated archive (addPyFile of a new
+    zip build) is still picked up."""
+    import zipimport
+
+    zi = zipimport.zipimporter
+    if getattr(zi, "_pq_mtime_guard", False):
+        return
+    orig = zi.invalidate_caches
+
+    def invalidate_caches(self):
+        try:
+            st = os.stat(self.archive)
+            key = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            return orig(self)
+        if getattr(self, "_pq_zip_key", None) == key:
+            return None
+        self._pq_zip_key = key
+        return orig(self)
+
+    zi.invalidate_caches = invalidate_caches
+    zi._pq_mtime_guard = True
+
+
 def tune_allocator(warm_mb: int = 0) -> bool:
     """Raise glibc malloc thresholds; optionally pre-fault ``warm_mb`` MiB of
     heap so the first real batch doesn't pay first-touch. Returns True if
@@ -40,6 +73,10 @@ def tune_allocator(warm_mb: int = 0) -> bool:
     if _done or os.environ.get("PQ_ENGINE_NO_MALLOC_TUNE"):
         return False
     _done = True
+    try:
+        _patch_zipimport_invalidate()
+    except Exception:  # stdlib drift — never let tuning break a worker
+        pass
     try:
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
         libc.mallopt(_M_MMAP_THRESHOLD, 1 << 30)

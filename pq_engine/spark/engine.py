@@ -492,6 +492,22 @@ def encode_table(
                 page_rows, page_bytes, page_compression, with_bloom,
             )
 
+    # Arrow-stage fusion: when ``df`` is the direct output of one of our own
+    # mapInArrow producers (it carries ``_pq_fuse = (input plan, batch fn)``),
+    # compose the two batch functions into ONE mapInArrow. Between two
+    # separate Python map stages Spark materializes InternalRows and pays a
+    # full Python->JVM->Python round trip of the table bytes; composition
+    # keeps the batches inside a single Python worker. Semantics are
+    # unchanged (same batches through the same encode, same partitioning,
+    # same TaskContext partition ids).
+    fuse = getattr(df, "_pq_fuse", None)
+    if fuse is not None:
+        in_plan, produce = fuse
+
+        def fused(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            return encode_batches(produce(it))
+
+        return in_plan.mapInArrow(fused, PAGE_SCHEMA)
     return df.mapInArrow(encode_batches, PAGE_SCHEMA)
 
 
@@ -657,9 +673,36 @@ def encode_parquet_files(
             sid += 1
     if not splits:
         return spark.createDataFrame([], PAGE_SCHEMA)
+    # Oversized-row-group parallelism (guide: one huge unsplittable input =
+    # one straggler task): when there are fewer row groups than cores, cut
+    # each row group into contiguous iter_batches INDEX ranges so several
+    # tasks share it. (sid, batch_id) numbering and every batch boundary are
+    # unchanged — a task encodes batches [bi_lo, bi_hi) of the same global
+    # enumeration — so the emitted page table is byte-identical to the
+    # single-task output. Only for plain calls: the resumable job keys its
+    # idempotent resume on whole split ids, which needs one task per split.
+    par = spark.sparkContext.defaultParallelism
+    tasks = []
+    if split_plan is None and exclude_splits is None and len(splits) < 2 * par and len(files) <= 256:
+        import pyarrow.parquet as _pqm
+
+        rg_rows = {}
+        for f, _ in plan:
+            md = _pqm.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                rg_rows[(f, rg)] = md.row_group(rg).num_rows
+        max_ranges = max(1, (4 * par) // max(len(splits), 1))
+        for sid_, f, rg in splits:
+            n_batches = max(1, -(-rg_rows[(f, rg)] // batch_rows))
+            n_ranges = min(n_batches, max_ranges)
+            per = -(-n_batches // n_ranges)
+            for lo in range(0, n_batches, per):
+                tasks.append((sid_, f, rg, lo, min(lo + per, n_batches)))
+    else:
+        tasks = [(sid_, f, rg, 0, 1 << 30) for sid_, f, rg in splits]
     paths_df = spark.createDataFrame(
-        splits, "split_id int, path string, rg int"
-    ).repartition(len(splits), "split_id")
+        tasks, "split_id int, path string, rg int, bi_lo int, bi_hi int"
+    ).repartition(len(tasks), "split_id", "bi_lo")
 
     def encode_files(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         tune_allocator()
@@ -670,10 +713,16 @@ def encode_parquet_files(
                 split = int(b.column(0)[row].as_py())
                 path = b.column(1)[row].as_py()
                 rg = int(b.column(2)[row].as_py())
+                bi_lo = int(b.column(3)[row].as_py())
+                bi_hi = int(b.column(4)[row].as_py())
                 pf = _pq.ParquetFile(path)
                 for bi, batch in enumerate(
                     pf.iter_batches(batch_size=batch_rows, columns=cols, row_groups=[rg])
                 ):
+                    if bi < bi_lo:
+                        continue
+                    if bi >= bi_hi:
+                        break
                     yield _encode_arrow_batch(
                         batch, cols, ptypes, codec_of, split, bi,
                         page_rows, page_bytes, page_compression, with_bloom,
