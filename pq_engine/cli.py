@@ -802,6 +802,8 @@ def cmd_encrypt_parquet(args):
 
         masters = _cli_master_keys(args.master_key)
         footer_master = args.footer_master or next(iter(masters))
+        if footer_master not in masters:
+            sys.exit(f"--footer-master {footer_master!r}: unknown master id")
         column_masters = {}
         for entry in (args.column_master or "").split(","):
             if not entry:

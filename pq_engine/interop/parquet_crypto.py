@@ -54,6 +54,7 @@ patched paths, so unknown fields written by other writers survive intact.
 
 from __future__ import annotations
 
+import hmac
 import os
 import struct
 
@@ -1044,7 +1045,7 @@ def decrypt_parquet(buf: bytes, footer_key: bytes,
         file_aad = (aad_prefix or gcm.get(1, b"")) + gcm.get(2, b"")
         ct = _aesgcm(footer_key).encrypt(
             nonce, fbytes, _module_aad(file_aad, MOD_FOOTER) or None)
-        if ct[-TAG_LEN:] != tag:
+        if not hmac.compare_digest(ct[-TAG_LEN:], tag):
             raise ValueError(
                 "footer signature verification failed (wrong footer key "
                 "or tampered footer)")
@@ -1199,6 +1200,10 @@ def decrypt_parquet(buf: bytes, footer_key: bytes,
             key = chunk_keys[(rg_i, col_i)]
             ci_off, ci_len = cc.get(6), cc.get(7)
             if ci_off is not None:
+                if ci_len is None:
+                    raise ValueError(
+                        "malformed footer: column_index_offset without "
+                        "column_index_length")
                 if key is None:  # plaintext chunk: index bytes verbatim
                     ci = bytes(buf[ci_off:ci_off + ci_len])
                 else:
@@ -1210,6 +1215,10 @@ def decrypt_parquet(buf: bytes, footer_key: bytes,
                 out += ci
             oi_off, oi_len = cc.get(4), cc.get(5)
             if oi_off is not None:
+                if oi_len is None:
+                    raise ValueError(
+                        "malformed footer: offset_index_offset without "
+                        "offset_index_length")
                 if key is None:
                     oi = bytes(buf[oi_off:oi_off + oi_len])
                 else:
@@ -1350,7 +1359,7 @@ class FileDecryptor:
             ct = _aesgcm(footer_key).encrypt(
                 nonce, self.footer_bytes,
                 _module_aad(self.file_aad, MOD_FOOTER) or None)
-            if ct[-TAG_LEN:] != tag:
+            if not hmac.compare_digest(ct[-TAG_LEN:], tag):
                 raise ValueError(
                     "footer signature verification failed (wrong footer "
                     "key or tampered footer)")

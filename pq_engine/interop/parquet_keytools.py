@@ -95,19 +95,27 @@ def unwrap_key_locally(wrapped: str, master_key: bytes,
 def key_material(master_key_id: str, wrapped_dek: str, is_footer_key: bool,
                  kek_id_b64: str | None = None,
                  wrapped_kek: str | None = None,
-                 internal: bool = True) -> bytes:
+                 internal: bool = True,
+                 kms_instance_id: str = "DEFAULT",
+                 kms_instance_url: str = "DEFAULT") -> bytes:
     """The PKMT1 key-material JSON (KeyMaterial.java field set). With
     ``kek_id_b64``/``wrapped_kek`` the envelope records double wrapping;
     otherwise single. ``internal=False`` omits the internalStorage field
     (externally stored material carries no storage marker — the
-    REFERENCE envelope in key_metadata does)."""
+    REFERENCE envelope in key_metadata does). KMS instance fields are
+    written for FOOTER key material only (KeyMaterial.java writes
+    kmsInstanceID/URL on the footer envelope; column envelopes rely on
+    the footer's) — and rotation threads the parsed original values
+    through so material written by a real-KMS deployment keeps its
+    instance info."""
     d = {"keyMaterialType": "PKMT1"}
     if internal:
         d["internalStorage"] = True
+    d["isFooterKey"] = is_footer_key
+    if is_footer_key:
+        d["kmsInstanceID"] = kms_instance_id
+        d["kmsInstanceURL"] = kms_instance_url
     d.update({
-        "isFooterKey": is_footer_key,
-        "kmsInstanceID": "DEFAULT",
-        "kmsInstanceURL": "DEFAULT",
         "masterKeyID": master_key_id,
         "wrappedDEK": wrapped_dek,
         "doubleWrapping": kek_id_b64 is not None,
@@ -323,16 +331,20 @@ def rotate_key_material_store(parquet_path: str,
             raise ValueError(f"no new master key for id {mid!r}")
         dek = _unwrap_material_dict(d, old_masters, kek_cache)
         is_footer = bool(d.get("isFooterKey"))
+        kms_kw = {
+            "kms_instance_id": d.get("kmsInstanceID", "DEFAULT"),
+            "kms_instance_url": d.get("kmsInstanceURL", "DEFAULT"),
+        }
         if not double_wrapping:
             km = key_material(
                 mid, wrap_key_locally(dek, new_masters[mid], mid),
-                is_footer, internal=False)
+                is_footer, internal=False, **kms_kw)
         else:
             kek, kek_id, wrapped_kek = keks.get(mid)
             km = key_material(
                 mid, wrap_key_bytes_aad(dek, kek, kek_id), is_footer,
                 kek_id_b64=base64.b64encode(kek_id).decode(),
-                wrapped_kek=wrapped_kek, internal=False)
+                wrapped_kek=wrapped_kek, internal=False, **kms_kw)
         new_store[ref] = km.decode()
     write_key_material_store(parquet_path, new_store)
 
@@ -386,14 +398,19 @@ def rotate_master_keys(buf: bytes, old_masters: dict[str, bytes],
         if mid not in new_masters:
             raise ValueError(f"no new master key for id {mid!r}")
         dek = unwrap_from_material(km, old_masters, kek_cache)
+        kms_kw = {
+            "kms_instance_id": d.get("kmsInstanceID", "DEFAULT"),
+            "kms_instance_url": d.get("kmsInstanceURL", "DEFAULT"),
+        }
         if not double_wrapping:
             return key_material(
-                mid, wrap_key_locally(dek, new_masters[mid], mid), is_footer)
+                mid, wrap_key_locally(dek, new_masters[mid], mid), is_footer,
+                **kms_kw)
         kek, kek_id, wrapped_kek = keks.get(mid)
         return key_material(
             mid, wrap_key_bytes_aad(dek, kek, kek_id), is_footer,
             kek_id_b64=base64.b64encode(kek_id).decode(),
-            wrapped_kek=wrapped_kek)
+            wrapped_kek=wrapped_kek, **kms_kw)
 
     # column envelopes: ColumnChunk(4=row_groups,rg,1=columns,col).
     # crypto_metadata(8) -> union ENCRYPTION_WITH_COLUMN_KEY(2) ->

@@ -225,13 +225,31 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
             ])
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    banded = _cap_buckets(banded, ["band", "bucket"], bucket_cap)
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # candidate pairs per bucket via ONE aggregation: collect each bucket's
+    # member ids (bounded by bucket_cap — same drop-hot-buckets rail as
+    # _cap_buckets) and expand the in-bucket pairs with array lambdas.
+    # Replaces the window-count + bucket self-join (two exchanges over the
+    # banded frame) with a single groupBy exchange producing the identical
+    # candidate set: for members x != y exactly one (least, greatest) pair,
+    # i.e. the a.id < b.id join output.
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.collect_list("id").alias("ids")
+    ).filter(F.size("ids") >= 2)
+    if bucket_cap is not None:
+        grouped = grouped.filter(F.size("ids") <= bucket_cap)
     cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ids, (x, i) -> transform("
+                        "slice(ids, i + 2, size(ids)), "
+                        "y -> struct(least(x, y) as id_a, greatest(x, y) as id_b)))"
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     pairs = cand.join(
@@ -328,15 +346,32 @@ def pairs_from_simhash(sh: DataFrame, max_hamming: int = 3,
             ])
         ).alias("cc"),
     ).select("id", "simhash", "cc.chunk", "cc.key")
-    chunks = _cap_buckets(chunks, ["chunk", "key"], bucket_cap)
-    a, b = chunks.alias("a"), chunks.alias("b")
-    ham = F.expr("bit_count(a.simhash ^ b.simhash)")
+    # one aggregation exchange instead of window-count + bucket self-join
+    # (same rewrite as the MinHash candidate stage): collect each bucket's
+    # (id, simhash) members, drop hot buckets, expand in-bucket pairs with
+    # array lambdas, verify hamming. Identical pair set: for members
+    # x.id != y.id exactly one pair ordered id_a < id_b.
+    grouped = chunks.groupBy("chunk", "key").agg(
+        F.collect_list(F.struct("id", "simhash")).alias("ms")
+    ).filter(F.size("ms") >= 2)
+    if bucket_cap is not None:
+        grouped = grouped.filter(F.size("ms") <= bucket_cap)
     return (
-        a.join(b, ["chunk", "key"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .withColumn("hamming", ham)
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ms, (x, i) -> transform("
+                        "slice(ms, i + 2, size(ms)), y -> struct("
+                        "if(x.id < y.id, x.id, y.id) as id_a, "
+                        "if(x.id < y.id, y.id, x.id) as id_b, "
+                        "bit_count(x.simhash ^ y.simhash) as hamming)))"
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
         .dropDuplicates(["id_a", "id_b"])
     )
 

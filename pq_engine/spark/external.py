@@ -111,9 +111,20 @@ def scan_parquet(spark, path_or_paths, predicate=None,
     schema or DDL string) skips the one driver-side sample decode."""
     files = list_parquet_files(path_or_paths)
     if schema is None:
-        sample = _scan_one(files[0], predicate, columns, footer_key,
-                           column_keys, master_keys, aad_prefix)
-        schema = spark.createDataFrame(sample).schema
+        # infer WITHOUT the predicate: a filtered sample can come back empty
+        # (createDataFrame cannot infer from an empty frame) even though
+        # other files match; only the columns decide the schema
+        schema = None
+        for f in files:
+            sample = _scan_one(f, None, columns, footer_key,
+                               column_keys, master_keys, aad_prefix)
+            if len(sample):
+                schema = spark.createDataFrame(sample).schema
+                break
+        if schema is None:
+            raise ValueError(
+                "cannot infer scan schema: every input file is empty — "
+                "pass schema= explicitly")
     elif isinstance(schema, str):
         from pyspark.sql.types import StructType
 
