@@ -59,41 +59,61 @@ def _words(prefix: str, n: int) -> RaggedBytes:
     return RaggedBytes.from_pylist([f"{prefix}{i}".encode() for i in range(n)])
 
 
+_VOCABSEP_CACHE: dict = {}
+
+
+def _vocab_with_sep(vocab: RaggedBytes, sep: bytes) -> RaggedBytes:
+    """``vocab`` with ``sep`` appended to every token, cached per (vocab, sep)
+    — vocabs are module-level constants, so this builds once per process."""
+    key = (id(vocab), sep)
+    vs = _VOCABSEP_CACHE.get(key)
+    if vs is None:
+        n = len(vocab)
+        lens = vocab.lengths + len(sep)
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        data = np.empty(int(off[-1]), dtype=np.uint8)
+        sep_arr = np.frombuffer(sep, dtype=np.uint8)
+        for i in range(n):
+            o = off[i]
+            data[o : o + lens[i] - len(sep)] = vocab.data[vocab.offsets[i] : vocab.offsets[i + 1]]
+            data[o + lens[i] - len(sep) : off[i + 1]] = sep_arr
+        vs = RaggedBytes(off, data)
+        _VOCABSEP_CACHE[key] = vs
+    return vs
+
+
 def _join_tokens(token_ids: np.ndarray, counts: np.ndarray, vocab: RaggedBytes, sep: bytes = b" ") -> RaggedBytes:
     """Build ragged strings: for row i, join vocab[token_ids[...]] of counts[i]
-    tokens with ``sep``. token_ids is flat (sum(counts),)."""
+    tokens with ``sep``. token_ids is flat (sum(counts),).
+
+    One composed gather: each output byte is read straight from a cached
+    sep-appended vocab (the former take -> scatter -> gather chain moved the
+    token bytes three times)."""
     n = len(counts)
-    tok = vocab.take(token_ids)
-    # append sep to every token, then trim one sep per non-empty row
-    tok_lens = tok.lengths + len(sep)
-    row_lens = np.bincount(
-        np.repeat(np.arange(n), counts), weights=tok_lens, minlength=n
-    ).astype(np.int64)
-    row_lens = np.maximum(row_lens - len(sep) * (counts > 0), 0)
+    vs = _vocab_with_sep(vocab, sep)
+    vs_lens = vs.lengths
+    # per-token effective length: token+sep, minus the trailing sep for the
+    # last token of each row
+    eff = vs_lens[token_ids]
+    row_end = np.cumsum(counts) - 1  # index of each row's last token (counts>0)
+    nz = counts > 0
+    eff[row_end[nz]] -= len(sep)
+    total = int(eff.sum())
+    dcum = np.zeros(len(token_ids), dtype=np.int64)
+    np.cumsum(eff[:-1], out=dcum[1:])
+    gather = np.repeat(vs.offsets[:-1][token_ids] - dcum, eff) + np.arange(
+        total, dtype=np.int64
+    )
+    out = vs.data[gather]
+    row_lens = np.zeros(n, dtype=np.int64)
+    ecum = np.cumsum(eff)
+    row_lens[nz] = ecum[row_end[nz]] - np.concatenate(
+        ([0], ecum[row_end[nz]][:-1])
+    )
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(row_lens, out=offsets[1:])
-    total = int(offsets[-1]) + len(sep)  # slack for the trimmed final sep
-    out = np.zeros(total, dtype=np.uint8)
-    # write tokens+sep contiguously, then the trim falls out of offsets math
-    with_sep_lens = tok_lens
-    starts = np.zeros(len(token_ids), dtype=np.int64)
-    np.cumsum(with_sep_lens[:-1], out=starts[1:])
-    sep_arr = np.frombuffer(sep, dtype=np.uint8)
-    ntok = len(token_ids)
-    gtotal = int(tok.lengths.sum())
-    if gtotal:
-        scatter = np.repeat(starts - tok.offsets[:-1], tok.lengths) + np.arange(gtotal, dtype=np.int64)
-        out_full = np.zeros(int(with_sep_lens.sum()) + len(sep), dtype=np.uint8)
-        out_full[scatter] = tok.data
-        for b in range(len(sep)):
-            out_full[starts + tok.lengths + b] = sep_arr[b]
-        # now cut rows: row i spans tokens [tok_start[i], tok_start[i]+counts[i])
-        tok_start = np.zeros(n, dtype=np.int64)
-        np.cumsum(counts[:-1], out=tok_start[1:])
-        row_byte_start = np.where(counts > 0, starts[np.minimum(tok_start, max(ntok - 1, 0))], 0)
-        gather = np.repeat(row_byte_start - offsets[:-1], row_lens) + np.arange(int(offsets[-1]), dtype=np.int64)
-        out[: int(offsets[-1])] = out_full[gather]
-    return RaggedBytes(offsets, out[: int(offsets[-1])])
+    return RaggedBytes(offsets, out)
 
 
 _PATH_VOCAB = _words("seg", VOCAB)
@@ -223,12 +243,18 @@ def _hash_ragged(col: RaggedBytes) -> np.ndarray:
     """Order-sensitive 64-bit hash per ragged value, vectorized: position-mixed
     byte contributions summed per row."""
     n = len(col)
+    lens = col.lengths
     pos_in_row = np.arange(len(col.data), dtype=np.uint64) - np.repeat(
-        col.offsets[:-1].astype(np.uint64), col.lengths
+        col.offsets[:-1].astype(np.uint64), lens
     )
     contrib = _mix(col.data.astype(np.uint64) + (pos_in_row << np.uint64(8)), 99)
-    row = np.repeat(np.arange(n), col.lengths)
-    sums = np.bincount(row, weights=contrib.view(np.int64).astype(np.float64) % (2**52), minlength=n)
+    # exact floor-mod 2^52 without the scalar fmod loop of `%`: every
+    # intermediate (power-of-two divide, floor, multiply-back, subtract) is
+    # exact in float64 here, so the result is bit-identical to `f % 2**52`
+    f = contrib.view(np.int64).astype(np.float64)
+    w = f - np.floor(f * (2.0**-52)) * (2.0**52)
+    row = np.repeat(np.arange(n), lens)
+    sums = np.bincount(row, weights=w, minlength=n)
     return _mix(sums.astype(np.uint64), 100)
 
 

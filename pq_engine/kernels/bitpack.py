@@ -28,10 +28,12 @@ def pack(values: np.ndarray, width: int) -> bytes:
         raise ValueError(f"pack() needs a multiple of 8 values, got {n}")
     if width < 0 or width > 64:
         raise ValueError(f"width out of range: {width}")
-    v = values.astype(np.uint64, copy=False)
-    shifts = np.arange(width, dtype=np.uint64)
-    bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    # little-endian u64 bytes unpacked LSB-first give bit j of value i at
+    # column j; keep the low ``width`` columns and re-pack — identical stream
+    # to the former per-bit shift matrix at a fraction of the traffic
+    bits = np.unpackbits(v.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    return np.packbits(bits[:, :width].reshape(-1), bitorder="little").tobytes()
 
 
 def unpack(data, width: int, count: int) -> np.ndarray:
@@ -43,9 +45,11 @@ def unpack(data, width: int, count: int) -> np.ndarray:
         return np.zeros(0, dtype=np.uint64)
     raw = np.frombuffer(data, dtype=np.uint8, count=(count * width + 7) // 8)
     bits = np.unpackbits(raw, bitorder="little")[: count * width]
-    bits = bits.reshape(count, width).astype(np.uint64)
-    shifts = np.arange(width, dtype=np.uint64)
-    return (bits << shifts).sum(axis=1, dtype=np.uint64)
+    full = np.zeros((count, 64), dtype=np.uint8)
+    full[:, :width] = bits.reshape(count, width)
+    return np.packbits(full, axis=1, bitorder="little").reshape(count, 8).copy().view(
+        np.uint64
+    ).reshape(count)
 
 
 def width_for_max(max_value: int) -> int:

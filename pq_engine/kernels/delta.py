@@ -78,29 +78,44 @@ def encode_delta(values: np.ndarray) -> bytes:
     mini_first_idx = np.arange(nblocks * MINIBLOCKS).reshape(nblocks, MINIBLOCKS) * MINI
     widths[mini_first_idx >= nd] = 0
 
-    # pack all miniblocks of the same width in one vectorized call
-    packed: dict[int, np.ndarray] = {}
+    # ---- fully vectorized output assembly (byte-identical layout): per-block
+    # varint(zigzag(minDelta)) + width bytes + per-width packed payloads are
+    # scattered into one output buffer — no per-block Python byte shuffling
     flat_minis = minis.reshape(-1, MINI)
     flat_widths = widths.reshape(-1)
-    chunks: list[bytes | None] = [None] * len(flat_widths)
+    pl = flat_widths * MINI // 8  # payload bytes per miniblock (width 0 -> 0)
+    with np.errstate(over="ignore"):
+        zz = ((min_delta << np.int64(1)) ^ (min_delta >> np.int64(63))).view(np.uint64)
+    nbits = np.searchsorted(powers, zz, side="right")
+    vlen = np.maximum(1, (nbits + 6) // 7).astype(np.int64)
+    vmax = int(vlen.max())
+    blk_pl = pl.reshape(nblocks, MINIBLOCKS)
+    blk_total = vlen + MINIBLOCKS + blk_pl.sum(axis=1)
+    blk_off = np.zeros(nblocks, dtype=np.int64)
+    np.cumsum(blk_total[:-1], out=blk_off[1:])
+    body = np.zeros(int(blk_total.sum()), dtype=np.uint8)
+    for j in range(vmax):
+        rows = np.flatnonzero(vlen > j)
+        byte = ((zz[rows] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (vlen[rows] > j + 1).astype(np.uint8) << 7
+        body[blk_off[rows] + j] = byte | cont
+    wmat = widths.astype(np.uint8)
+    for m in range(MINIBLOCKS):
+        body[blk_off + vlen + m] = wmat[:, m]
+    wcum = np.zeros((nblocks, MINIBLOCKS), dtype=np.int64)
+    np.cumsum(blk_pl[:, :-1], axis=1, out=wcum[:, 1:])
+    mini_off = (blk_off + vlen + MINIBLOCKS)[:, None] + wcum
+    mini_off = mini_off.reshape(-1)
     for w in np.unique(flat_widths):
         w = int(w)
-        idx = np.flatnonzero(flat_widths == w)
         if w == 0:
-            for i in idx:
-                chunks[i] = b""
             continue
-        blob = pack(flat_minis[idx].reshape(-1), w)
+        idx = np.flatnonzero(flat_widths == w)
+        blob = np.frombuffer(pack(flat_minis[idx].reshape(-1), w), dtype=np.uint8)
         per = MINI * w // 8
-        for j, i in enumerate(idx):
-            chunks[i] = blob[j * per : (j + 1) * per]
-
-    for b in range(nblocks):
-        out += encode_uvarint(zigzag_encode(int(min_delta[b])))
-        out += bytes(int(x) for x in widths[b])
-        for m in range(MINIBLOCKS):
-            out += chunks[b * MINIBLOCKS + m]
-    return bytes(out)
+        dst = mini_off[idx][:, None] + np.arange(per, dtype=np.int64)
+        body[dst.reshape(-1)] = blob
+    return bytes(out) + body.tobytes()
 
 
 def decode_delta(buf, dtype=np.int64, return_consumed: bool = False):

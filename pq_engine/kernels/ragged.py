@@ -11,10 +11,51 @@ from __future__ import annotations
 import numpy as np
 
 
+_BYTE_MASKS = np.array(
+    [(1 << (8 * i)) - 1 for i in range(8)] + [0xFFFFFFFFFFFFFFFF], dtype=np.uint64
+)  # mask keeping the low i bytes of a little-endian u64 word
+
+
+def padded_words(
+    data: np.ndarray, offs: np.ndarray, cl: np.ndarray, nwords: int
+) -> np.ndarray:
+    """(k, nwords) little-endian u64 word matrix: row r holds bytes
+    ``data[offs[r] : offs[r]+cl[r]]`` zero-padded to ``nwords*8`` bytes.
+
+    Gathers whole words through an unaligned sliding view (8x fewer gathered
+    elements than a byte gather); rows whose last word would read past the
+    buffer end are fixed scalar-ly. Callers get bit-identical words to a
+    per-byte zero-padded build."""
+    k = len(offs)
+    nd = len(data)
+    if nd < 8:
+        # degenerate buffer: per-row scalar build
+        words = np.zeros((k, nwords), dtype=np.uint64)
+        for i in range(k):
+            for wi in range(0, int(cl[i]), 8):
+                chunk = data[int(offs[i]) + wi : int(offs[i]) + int(cl[i])][:8].tobytes()
+                words[i, wi // 8] = int.from_bytes(chunk, "little")
+        return words
+    sliding = np.ndarray((nd - 7,), dtype=np.uint64, buffer=data, strides=(1,))
+    jw = np.arange(nwords, dtype=np.int64) * 8
+    starts = offs[:, None] + jw
+    words = sliding[np.minimum(starts, nd - 8)]
+    rem = np.clip(cl[:, None] - jw, 0, 8)
+    words &= _BYTE_MASKS[rem]
+    nw_rows = (cl + 7) // 8
+    bad = np.flatnonzero(offs + 8 * (nw_rows - 1) > nd - 8)
+    for i in bad:
+        for wi in range(int(nw_rows[i])):
+            s = int(offs[i]) + 8 * wi
+            chunk = data[s : int(offs[i]) + int(cl[i])][:8].tobytes()
+            words[i, wi] = int.from_bytes(chunk, "little")
+    return words
+
+
 class RaggedBytes:
     """Immutable ragged byte-string column."""
 
-    __slots__ = ("offsets", "data")
+    __slots__ = ("offsets", "data", "_lengths")
 
     def __init__(self, offsets: np.ndarray, data: np.ndarray):
         self.offsets = np.ascontiguousarray(offsets, dtype=np.int64)
@@ -25,7 +66,16 @@ class RaggedBytes:
 
     @property
     def lengths(self) -> np.ndarray:
-        return np.diff(self.offsets)
+        # cached (the column is immutable by contract; np.diff per call was a
+        # measurable share of encode wall). Read-only so a caller that would
+        # have mutated the former per-call copy fails loudly instead.
+        try:
+            return self._lengths
+        except AttributeError:
+            lens = np.diff(self.offsets)
+            lens.flags.writeable = False
+            self._lengths = lens
+            return lens
 
     def __getitem__(self, i: int) -> bytes:
         return self.data[self.offsets[i] : self.offsets[i + 1]].tobytes()

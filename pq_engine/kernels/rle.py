@@ -54,13 +54,18 @@ def _emit_packed(values: np.ndarray, width: int, out: bytearray, *, final: bool)
         padded[:n] = values
         values = padded
         n = len(values)
+    # ONE pack call for the whole span, sliced per <=63-group run: runs split
+    # at 8-value group boundaries, which are byte boundaries in the packed
+    # stream (8 values * width bits = width bytes), so slices of the span's
+    # packed bytes are identical to per-run pack() output
     groups = n // 8
+    blob = pack(values, width)
     start = 0
     while groups > 0:
         g = min(groups, _MAX_GROUPS_PER_RUN)
         out += encode_uvarint((g << 1) | 1)
-        out += pack(values[start : start + g * 8], width)
-        start += g * 8
+        out += blob[start : start + g * width]
+        start += g * width
         groups -= g
     return
 

@@ -287,6 +287,10 @@ def _page_stats(ptype: str, vals, null_count: int) -> dict:
             "ndv": int(len(np.unique(vals))),
             "null_count": null_count,
         }
+    import pandas as pd
+
+    # pd.unique is a hash pass (no sort); only the COUNT is kept, which is
+    # identical to len(np.unique(...)) on these integer-domain inputs
     if ptype in ("float32", "float64"):
         finite = vals[~np.isnan(vals)]
         mn = float(finite.min()) if len(finite) else None
@@ -295,13 +299,13 @@ def _page_stats(ptype: str, vals, null_count: int) -> dict:
         return {
             "min": repr(mn),
             "max": repr(mx),
-            "ndv": int(len(np.unique(bits))),
+            "ndv": int(len(pd.unique(bits))),
             "null_count": null_count,
         }
     return {
         "min": str(int(vals.min())),
         "max": str(int(vals.max())),
-        "ndv": int(len(np.unique(vals))),
+        "ndv": int(len(pd.unique(vals))),
         "null_count": null_count,
     }
 

@@ -24,7 +24,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from .kernels.dictionary import dict_encoded_size, factorize_bytes, factorize_numeric
-from .kernels.ragged import RaggedBytes
+from .kernels.ragged import RaggedBytes, padded_words
 
 DICT_PAGE_SIZE_THRESHOLD = 1 << 20  # ParquetProperties.java:51 (1 MiB)
 SAMPLE_ROWS = 2048
@@ -117,31 +117,36 @@ def _sample_row_hashes(col: RaggedBytes, idx: np.ndarray, lens: np.ndarray) -> n
     size rail still bound the encoded output."""
     offs = col.offsets[:-1][idx]
     data = col.data
+    k = len(idx)
     h = (lens.astype(np.uint64) ^ _FNV_BASIS) * _FNV_PRIME
-    maxlen = int(lens.max()) if len(lens) else 0
-    for w in range(0, min(maxlen, _HASH_EXACT_CAP), 8):
-        rows = np.flatnonzero(lens > w)
-        sl = np.minimum(lens[rows] - w, 8)
-        total = int(sl.sum())
-        csl = np.zeros(len(rows), dtype=np.int64)
-        np.cumsum(sl[:-1], out=csl[1:])
-        ar = np.arange(total, dtype=np.int64)
-        pos = np.repeat(offs[rows] + w - csl, sl) + ar
-        dst = np.repeat(np.arange(len(rows), dtype=np.int64) * 8 - csl, sl) + ar
-        word = np.zeros(len(rows) * 8, dtype=np.uint8)
-        word[dst] = data[pos]
-        h[rows] = (h[rows] ^ word.view(np.uint64)) * _FNV_PRIME
+    maxlen = int(lens.max()) if k else 0
+    # one ragged gather builds a zero-padded (k, nwords*8) byte matrix; the
+    # per-word FNV steps are then masked row updates over contiguous words —
+    # identical hash values to the former 16-pass ragged loop (pure integer
+    # ops, same word bytes, same update order) at ~1/10 the index traffic
+    nwords = (min(maxlen, _HASH_EXACT_CAP) + 7) // 8
+    nd = len(data)
+    if nwords:
+        # whole-u64-word build via the shared sliding-view gather — bit-
+        # identical words to the former per-byte zero-padded 16-pass loop
+        cl = np.minimum(lens, nwords * 8)
+        nw_rows = (cl + 7) // 8  # words applied per row
+        words = padded_words(data, offs, cl, nwords)
+        for wi in range(nwords):
+            h = np.where(nw_rows > wi, (h ^ words[:, wi]) * _FNV_PRIME, h)
     if maxlen > _HASH_EXACT_CAP:
         long_rows = np.flatnonzero(lens > _HASH_EXACT_CAP)
         ll = lens[long_rows]
         lo = offs[long_rows]
-        rel = np.arange(8, dtype=np.int64)
-        for k in range(1, 17):  # k=16 pins the final 8 bytes (trailing ids)
-            p = _HASH_EXACT_CAP + ((ll - _HASH_EXACT_CAP) * k) // 16
-            p = np.minimum(p, ll - 8)
-            g = (lo + p)[:, None] + rel
-            word = data[g.reshape(-1)].view(np.uint64)
-            h[long_rows] = (h[long_rows] ^ word) * _FNV_PRIME
+        ks = np.arange(1, 17, dtype=np.int64)  # k=16 pins the final 8 bytes
+        p = _HASH_EXACT_CAP + ((ll[:, None] - _HASH_EXACT_CAP) * ks[None, :]) // 16
+        p = np.minimum(p, (ll - 8)[:, None])
+        sliding = np.ndarray((nd - 7,), dtype=np.uint64, buffer=data, strides=(1,))
+        words16 = sliding[lo[:, None] + p]  # p <= len-8: always fully in-row
+        hl = h[long_rows]
+        for j in range(16):
+            hl = (hl ^ words16[:, j]) * _FNV_PRIME
+        h[long_rows] = hl
     return h
 
 
