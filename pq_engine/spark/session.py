@@ -49,6 +49,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.driver.memory", os.environ.get("PQ_DRIVER_MEM", "24g"))
         .config("spark.python.worker.reuse", "true")
+        # JVM<->Python worker channel over unix domain sockets (Spark 4):
+        # the TCP loopback path sets no TCP_NODELAY, so the runner protocol's
+        # write-write-read patterns hit Linux's ~40 ms delayed-ACK timer on
+        # EVERY task (measured: 49 -> 14.5 ms fixed latency per Python task,
+        # executor CPU time ~4 ms either way). Executor and its workers
+        # always share a host, so this applies identically on a cluster;
+        # PQ_PY_UDS=false restores the TCP path.
+        .config(
+            "spark.python.unix.domain.socket.enabled",
+            os.environ.get("PQ_PY_UDS", "true"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
         .config("spark.task.cpus", str(task_cpus))
