@@ -700,9 +700,32 @@ def encode_parquet_files(
                 tasks.append((sid_, f, rg, lo, min(lo + per, n_batches)))
     else:
         tasks = [(sid_, f, rg, 0, 1 << 30) for sid_, f, rg in splits]
-    paths_df = spark.createDataFrame(
-        tasks, "split_id int, path string, rg int, bi_lo int, bi_hi int"
-    ).repartition(len(tasks), "split_id", "bi_lo")
+    # Distribute the task list WITHOUT a Python parallelize job or a hash
+    # exchange: createDataFrame(local list) runs a defaultParallelism-wide
+    # Python job just to ship a handful of rows, and hash-repartitioning n
+    # rows into n partitions leaves ~1/e of them empty (colliding rows become
+    # 2-3x straggler tasks). spark.range(n,...,n) is a JVM leaf with exactly
+    # one row per partition; each task resolves its (path, rg, range) via
+    # literal-array lookup. Falls back to round-robin repartition (exact
+    # 1 row/partition, deterministic under sortBeforeRepartition) when the
+    # task list is too large to inline into the plan.
+    if len(tasks) <= 1024:
+        cols_arrs = [
+            F.array(*[F.lit(t[i]) for t in tasks]).alias(f"_a{i}")
+            for i in range(5)
+        ]
+        idx = (F.col("id") + 1).cast("int")
+        paths_df = spark.range(0, len(tasks), 1, len(tasks)).select(
+            F.element_at(cols_arrs[0], idx).alias("split_id"),
+            F.element_at(cols_arrs[1], idx).alias("path"),
+            F.element_at(cols_arrs[2], idx).alias("rg"),
+            F.element_at(cols_arrs[3], idx).alias("bi_lo"),
+            F.element_at(cols_arrs[4], idx).alias("bi_hi"),
+        )
+    else:
+        paths_df = spark.createDataFrame(
+            tasks, "split_id int, path string, rg int, bi_lo int, bi_hi int"
+        ).repartition(len(tasks))
 
     def encode_files(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         tune_allocator()
