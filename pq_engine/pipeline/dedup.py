@@ -112,6 +112,67 @@ def _shingle_hashes_flat(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
     return _finalize(h_all[pos]), w_off
 
 
+def _minhash_sig_matrix(texts, k: int, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n, n_hashes) uint64 signature matrix for a batch of texts — the
+    minhash-specific fast path. Differences from routing through
+    :func:`_shingle_hashes_flat` (results are IDENTICAL — min over the same
+    window set, pure integer ops):
+
+    - ONE rolling-hash pass over the batch's concatenated bytes (window
+      hashes at every byte position; no per-doc Python, no window gather);
+    - per-doc mins via interleaved-index ``minimum.reduceat`` (the [::2]
+      trick), which simply never looks at the k-1 positions that cross a
+      doc boundary;
+    - docs are processed in ~256 KB chunks so the per-hash-function pass
+      reads cache-resident window hashes instead of streaming the whole
+      batch through DRAM n_hashes times."""
+    n = len(texts)
+    n_hashes = len(a)
+    sig = np.zeros((n, n_hashes), dtype=np.uint64)
+    encoded = [
+        (t if len(t) >= k else t.ljust(k, b"\x00")) if t else b""
+        for t in (s.encode("utf-8") if s else b"" for s in texts)
+    ]
+    lens = np.fromiter((len(x) for x in encoded), dtype=np.int64, count=n)
+    data = (
+        np.frombuffer(b"".join(encoded), dtype=np.uint8)
+        if n
+        else np.zeros(0, np.uint8)
+    )
+    N = len(data)
+    if N < k:
+        return sig
+    ds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=ds[1:])
+    w = np.maximum(lens - k + 1, 0)
+    m = N - k + 1
+    h_all = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        h_all = h_all * _P1 + data[j : j + m]
+    ne_idx = np.flatnonzero(w > 0)
+    chunk_bytes = 1 << 18
+    lo = 0
+    while lo < len(ne_idx):
+        hi = lo + 1
+        base = ds[ne_idx[lo]]
+        while hi < len(ne_idx) and ds[ne_idx[hi]] + w[ne_idx[hi]] - base <= chunk_bytes:
+            hi += 1
+        chunk = ne_idx[lo:hi]
+        h_lo = ds[chunk[0]]
+        h_hi = ds[chunk[-1]] + w[chunk[-1]]
+        hb = _finalize(h_all[h_lo:h_hi])
+        starts = ds[chunk] - h_lo
+        ends = starts + w[chunk]
+        idx = np.empty(2 * len(chunk) - 1, dtype=np.int64)
+        idx[0::2] = starts
+        idx[1::2] = ends[:-1]  # final end == len(hb): the odd-length tail segment
+        for f in range(n_hashes):
+            y = hb * a[f] + b[f]
+            sig[chunk, f] = np.minimum.reduceat(y, idx)[::2]
+        lo = hi
+    return sig
+
+
 _MINHASH_A = None
 _MINHASH_B = None
 
@@ -137,21 +198,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n_hashes: int = 64
         if row_counter is not None:
             row_counter.add(len(texts))
         a, b = _minhash_params(n_hashes)
-        hashes, w_off = _shingle_hashes_flat(texts, shingle_k)
-        n = len(texts)
-        sig = np.zeros((n, n_hashes), dtype=np.uint64)
-        widths = np.diff(w_off)
-        ne = widths > 0
-        starts_ne = w_off[:-1][ne]
-        if starts_ne.size:
-            # per hash function: one multiply-add over ALL windows + one
-            # segment-min (reduceat over nonempty segments — duplicates
-            # don't change a min, so no per-doc dedup needed)
-            for f in range(n_hashes):
-                y = hashes * a[f] + b[f]
-                sig[ne, f] = np.minimum.reduceat(y, starts_ne)
-        res = [row.view(np.int64).tolist() for row in sig]
-        return pd.Series(res)
+        sig = _minhash_sig_matrix(texts, shingle_k, a, b)
+        # list of int64 ndarrays: Arrow converts these ~20x faster than a
+        # Series of Python lists, to the identical array<long> values
+        return pd.Series(list(sig.view(np.int64)))
 
     return df.withColumn("sig", sig_udf(F.col(text_col)))
 
