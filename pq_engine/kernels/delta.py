@@ -31,6 +31,8 @@ BLOCK = 128
 MINIBLOCKS = 4
 MINI = BLOCK // MINIBLOCKS  # 32
 
+_POWERS64 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
 
 def encode_delta(values: np.ndarray) -> bytes:
     """Encode an int32/int64 array. Returns the full page body."""
@@ -58,25 +60,32 @@ def encode_delta(values: np.ndarray) -> bytes:
     padded[:nd] = deltas
 
     blocks = padded.reshape(nblocks, BLOCK)
-    # per-block minDelta over REAL deltas only (pad values must not win the min)
-    real_mask = (np.arange(nblocks * BLOCK).reshape(nblocks, BLOCK)) < nd
-    big = np.where(real_mask, blocks, np.int64(np.iinfo(np.int64).max))
-    min_delta = big.min(axis=1)
+    # per-block minDelta over REAL deltas only (pad values must not win the
+    # min). Only the LAST block can hold pad slots: full blocks take a plain
+    # row min, the last block's min is computed over its real slice alone —
+    # no O(n) index mask / where passes.
+    min_delta = blocks.min(axis=1)
+    last_start = (nblocks - 1) * BLOCK
+    if nd < nblocks * BLOCK:
+        min_delta[-1] = deltas[last_start:].min()
     with np.errstate(over="ignore"):
         adj = np.subtract(blocks, min_delta[:, None], dtype=np.int64)
-    adj = np.where(real_mask, adj, 0).view(np.uint64)  # pad slots pack as 0
+    flat = adj.reshape(-1)
+    flat[nd:] = 0  # pad slots pack as 0
+    adj = adj.view(np.uint64)
 
     minis = adj.reshape(nblocks, MINIBLOCKS, MINI)
     # width per miniblock = bit_length of max value — exact via searchsorted
     # against the 64 powers of two (float log2 would be inexact past 2^53)
     maxes = minis.max(axis=2)
-    powers = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    powers = _POWERS64
     widths = np.searchsorted(powers, maxes.reshape(-1), side="right").reshape(
         nblocks, MINIBLOCKS
     ).astype(np.int64)
-    # miniblocks fully past the data: width 0
-    mini_first_idx = np.arange(nblocks * MINIBLOCKS).reshape(nblocks, MINIBLOCKS) * MINI
-    widths[mini_first_idx >= nd] = 0
+    # miniblocks fully past the data: width 0 (first index past the data
+    # rounds up to a miniblock boundary; all later miniblocks carry no body)
+    first_past = (nd + MINI - 1) // MINI
+    widths.reshape(-1)[first_past:] = 0
 
     # ---- fully vectorized output assembly (byte-identical layout): per-block
     # varint(zigzag(minDelta)) + width bytes + per-width packed payloads are

@@ -131,7 +131,7 @@ def encode_list_column(
         from .stats import fixed_stats
 
         if kp in RAGGED_TYPES:
-            st = ragged_stats(col.child_values)
+            st = ragged_stats(col.child_values, text_metrics=page_compression is None)
         elif kp.startswith("fixed["):
             st = fixed_stats(col.child_values)
         elif kp == "bool":

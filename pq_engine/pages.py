@@ -352,7 +352,9 @@ def encode_column(
     # choose codec once per batch from sampled stats (not per page)
     if codec == "auto":
         if kp in RAGGED_TYPES:
-            st = ragged_stats(values)
+            # with a page compressor the string/binary decision never reads
+            # prefix_share/byte_entropy — skip their sample scans
+            st = ragged_stats(values, text_metrics=page_compression is None)
         elif kp.startswith("fixed["):
             from .stats import fixed_stats
 
