@@ -296,12 +296,47 @@ def _values_to_arrow(values, validity, ptype: str) -> pa.Array:
         dense = pa.array(values)
     if validity is None:
         return dense
-    # re-expand nulls: scatter dense values into a full-length array
+    # re-expand nulls. Fast paths build the nullable array directly from
+    # buffers — null slots are empty/zero and the validity bitmap is attached
+    # — instead of the old take + if_else pair, which copied the whole column
+    # TWICE (for a blob column that was most of the decode wall):
+    #   - binary/string: null slots get zero-length offsets; the data buffer
+    #     is reused untouched (dense values are already in row order)
+    #   - fixed-width primitives: one scatter of the dense rows into a
+    #     zeroed full-length buffer
     n = len(validity)
     if len(dense) == 0:
         return pa.nulls(n, dense.type)
+    import pyarrow.types as pt
+
+    t = dense.type
+    nnz = len(dense)
+    vbuf = pa.py_buffer(np.packbits(validity, bitorder="little"))
+    if (pt.is_binary(t) or pt.is_string(t)) and dense.offset == 0:
+        bufs = dense.buffers()
+        off32 = np.frombuffer(bufs[1], dtype=np.int32, count=nnz + 1)
+        new_lens = np.zeros(n, dtype=np.int32)
+        new_lens[validity] = np.diff(off32)
+        new_off = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(new_lens, out=new_off[1:])
+        return pa.Array.from_buffers(
+            t, n, [vbuf, pa.py_buffer(new_off), bufs[2]], null_count=n - nnz
+        )
+    if (
+        pt.is_primitive(t)
+        and not pt.is_boolean(t)
+        and t.bit_width % 8 == 0
+        and dense.offset == 0
+    ):
+        item = t.bit_width // 8
+        src = np.frombuffer(dense.buffers()[1], dtype=np.uint8, count=nnz * item)
+        out = np.zeros(n * item, dtype=np.uint8)
+        out.reshape(n, item)[validity] = src.reshape(nnz, item)
+        return pa.Array.from_buffers(
+            t, n, [vbuf, pa.py_buffer(out)], null_count=n - nnz
+        )
     idx = np.full(n, -1, dtype=np.int64)
-    idx[validity] = np.arange(int(validity.sum()), dtype=np.int64)
+    idx[validity] = np.arange(nnz, dtype=np.int64)
     mask = pa.array(validity)
     taken = dense.take(pa.array(np.maximum(idx, 0)))
     return pa.compute.if_else(mask, taken, pa.nulls(n, dense.type))
