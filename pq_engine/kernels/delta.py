@@ -191,7 +191,8 @@ def decode_delta(buf, dtype=np.int64, return_consumed: bool = False):
             dst = eb[sel][:, None] + np.arange(mini, dtype=np.int64)
             deltas[dst.reshape(-1)] = vals.reshape(-1)
     with np.errstate(over="ignore"):
-        deltas += np.repeat(min_deltas, block)
+        # in-place broadcast add — no block-expanded np.repeat allocation
+        deltas.reshape(nblocks, block)[...] += min_deltas[:, None]
         deltas = deltas[:nd]
         out = np.zeros(n, dtype=np.int64)
         out[0] = first
